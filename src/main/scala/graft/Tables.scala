@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver star schema (TESTDATA.md). One parquet file per
+  * table under `$dir/`. All query functions take the sf dir explicitly so the
+  * same code runs at any scale factor.
+  *
+  * Scale note: at 100 TB the fact tables (`lineitem`, `orders`, `events`,
+  * `documents`) would be multi-file, partitioned datasets; `spark.read
+  * .parquet(dir)` handles that transparently (file listing + partition
+  * pruning). Dimensions (`region`, `nation`, `supplier`, `customer`, `part`)
+  * stay broadcast-size by design — every join in this library that touches
+  * them is written broadcast-side-right.
+  */
+object Tables {
+  val factNames = Seq("lineitem", "orders", "events", "documents", "embeddings")
+  val dimNames  = Seq("region", "nation", "customer", "supplier", "part")
+  val all: Seq[String] = dimNames ++ factNames
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

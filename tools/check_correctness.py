@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ (Spark parquet) + oracle_sql.json, runs the
+oracle SQL in DuckDB with views named after the star-schema tables over
+<sfDir>/*.parquet, then compares: schema (column names, sorted), row count,
+and cell-exact values after sorting columns by name and rows by all columns.
+Stricter than any plausible driver compare — if this passes, the driver's
+hash compare passes. Exit 1 on any mismatch.
+"""
+import sys, os, json, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+
+    failures, passed, skipped = [], [], []
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        spark_glob = os.path.join(out_dir, name, "*.parquet")
+        if not glob.glob(spark_glob):
+            failures.append((name, "no spark parquet output"))
+            continue
+        if name not in oracle:
+            n = con.sql(f"SELECT count(*) FROM '{spark_glob}'").fetchone()[0]
+            skipped.append((name, n))
+            continue
+        try:
+            srel = con.sql(f"SELECT * FROM '{spark_glob}'")
+            scols = sorted(srel.columns)
+            sdf = srel.df()[scols]
+            orel = con.sql(oracle[name])
+            ocols = sorted(orel.columns)
+            odf = orel.df()[ocols] if ocols == scols else orel.df()
+        except Exception as e:
+            failures.append((name, f"exec error: {e}"))
+            continue
+        if scols != ocols:
+            failures.append((name, f"schema mismatch: spark={scols} oracle={ocols}"))
+            continue
+        if len(sdf) != len(odf):
+            failures.append((name, f"row count: spark={len(sdf)} oracle={len(odf)}"))
+            continue
+        ssort = sdf.sort_values(scols, ignore_index=True)
+        osort = odf.sort_values(ocols, ignore_index=True)
+        neq = []
+        for c in scols:
+            a, b = ssort[c], osort[c]
+            eq = (a == b) | (a.isna() & b.isna())
+            # container/object columns: fall back to string compare
+            if eq.dtype != bool:
+                eq = a.astype(str) == b.astype(str)
+            if not eq.all():
+                i = int((~eq).idxmax())
+                neq.append(f"col {c} differs at row {i}: spark={a[i]!r} oracle={b[i]!r} "
+                           f"({int((~eq).sum())} rows differ)")
+        if neq:
+            failures.append((name, "; ".join(neq)))
+        else:
+            passed.append((name, len(sdf)))
+
+    for n, rows in passed:
+        print(f"PASS  {n} ({rows} rows)")
+    for n, rows in skipped:
+        print(f"SKIP  {n} (no oracle; {rows} rows > 0: {rows > 0})")
+    for n, msg in failures:
+        print(f"FAIL  {n}: {msg}")
+    print(f"\n{len(passed)} passed, {len(skipped)} rows-only, {len(failures)} failed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
