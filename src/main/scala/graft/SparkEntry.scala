@@ -8,9 +8,11 @@ object SparkEntry {
     Aggregates.q1PricingSummary(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Aggregates.queries
+    Aggregates.queries ++ FiltersProjections.queries ++ Joins.queries ++
+      SetOpsWindows.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Aggregates.oracle
+    Aggregates.oracle ++ FiltersProjections.oracle ++ Joins.oracle ++
+      SetOpsWindows.oracle
 }

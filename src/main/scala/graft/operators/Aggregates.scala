@@ -53,11 +53,173 @@ object Aggregates {
 
   private def cast_double(c: Column): Column = c.cast("double")
 
+  /** A1 spatial sessionization (the reference's flagship operator,
+    * pdf_parser.py:259-281) transposed from page-space to event-time: a new
+    * session starts when the gap to the previous event of the same user is
+    * ≥ 10 minutes. `lag` + running `sum` over a per-user window is exactly
+    * equivalent to the reference's greedy sequential clustering (SURVEY.md
+    * §7.4). One shuffle on `user_id`; streaming analog is
+    * `session_window` (graft.streaming). */
+  def a01Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser))
+    Tables.events(spark, dir)
+      .withColumn("new_session",
+        when(gapUs.isNull || gapUs >= 600000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        cast_double(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** A2 ordered concatenation (pdf_parser.py:366 `' '.join(words)`): each
+    * user's event-type journey in time order. Spark side: sort_array over
+    * collected structs (the shuffle carries unordered lists; ordering is
+    * restored per-group — no global sort needed). */
+  def a02OrderedConcat(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          " ").as("journey"))
+      .orderBy("user_id")
+
+  /** A4 conditional-min scalar per group (pdf_parser.py:205-226: first
+    * qualifying header row's `top`). */
+  def a04ConditionalMin(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        count(when(col("event_type") === "signup", lit(1))).as("n_signups"))
+      .orderBy("user_id")
+
+  /** A5 code-type counts (main.py:40-58). */
+  def a05GroupCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+
+  /** F7+F8+F9+A7+P6 composed: COA-style classify/validate/dedup over a
+    * (code, name, code_type) table derived from `part`. Header-row skip,
+    * empty-cell drop, per-type code-shape regex, then **last-wins** dedup
+    * (Python dict overwrite semantics, pdf_parser.py:489-510) via `max_by`
+    * keyed on the unique source id. */
+  def coaClassify(spark: SparkSession, dir: String): DataFrame = {
+    val codeType = when(col("p_type") === "ECONOMY", "gl")
+      .when(col("p_type") === "SMALL", "location")
+      .when(col("p_type") === "STANDARD", "funder")
+      .when(col("p_type") === "PROMO", "program")
+      .otherwise("dept")
+    val codeShapeOk = when(col("code_type") === "funder", col("code").rlike("^\\d{2}$"))
+      .otherwise(col("code").rlike("^\\d+$"))
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        regexp_replace(col("p_brand"), "Brand#", "").as("code"),
+        trim(col("p_name")).as("name"),
+        codeType.as("code_type"))
+      .filter(!upper(col("name")).contains("CODE"))     // F7 header-row skip
+      .filter(col("code") =!= "" && col("name") =!= "") // F8 empty-cell drop
+      .filter(codeShapeOk)                              // F9 per-type shape
+      .groupBy(col("code_type"), col("code"))
+      .agg(max_by(col("name"), col("p_partkey")).as("name"), // A7 last wins
+        count(lit(1)).as("n_seen"))
+      .orderBy("code_type", "code")
+  }
+
+  /** W1 rightmost-match argmax (pdf_parser.py:344-350): per order, the line
+    * with the max (price, linenumber) — `max(struct(...))` gives exact
+    * lexicographic argmax with a deterministic tie-break, no shuffle beyond
+    * the groupBy. */
+  def w1Argmax(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(struct(dec(col("l_extendedprice")).as("p"), col("l_linenumber").as("ln"))).as("m"))
+      .select(col("l_orderkey"),
+        col("m.ln").as("best_linenumber"),
+        col("m.p").cast("double").as("best_price"))
+      .orderBy("l_orderkey")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1PricingSummary _)
+    "q1_agg" -> (q1PricingSummary _),
+    "a01_sessionize" -> (a01Sessionize _),
+    "a02_ordered_concat" -> (a02OrderedConcat _),
+    "a04_conditional_min" -> (a04ConditionalMin _),
+    "a05_group_counts" -> (a05GroupCounts _),
+    "a07_coa_classify" -> (coaClassify _),
+    "w1_argmax" -> (w1Argmax _)
   )
 
   def oracle: Map[String, String] = Map(
-    "q1_agg" -> q1PricingSummarySql
+    "q1_agg" -> q1PricingSummarySql,
+    "a01_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "a02_ordered_concat" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS journey
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a04_conditional_min" ->
+      """SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signups
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a05_group_counts" ->
+      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "a07_coa_classify" ->
+      """WITH coa AS (
+        |  SELECT p_partkey,
+        |    regexp_replace(p_brand, 'Brand#', '') AS code,
+        |    trim(p_name) AS name,
+        |    CASE WHEN p_type = 'ECONOMY' THEN 'gl'
+        |         WHEN p_type = 'SMALL' THEN 'location'
+        |         WHEN p_type = 'STANDARD' THEN 'funder'
+        |         WHEN p_type = 'PROMO' THEN 'program'
+        |         ELSE 'dept' END AS code_type
+        |  FROM part),
+        |f AS (
+        |  SELECT * FROM coa
+        |  WHERE NOT contains(upper(name), 'CODE')
+        |    AND code <> '' AND name <> ''
+        |    AND CASE WHEN code_type = 'funder' THEN regexp_matches(code, '^\d{2}$')
+        |             ELSE regexp_matches(code, '^\d+$') END)
+        |SELECT code_type, code, arg_max(name, p_partkey) AS name, COUNT(*) AS n_seen
+        |FROM f GROUP BY code_type, code
+        |ORDER BY code_type, code""".stripMargin,
+    "w1_argmax" ->
+      """WITH r AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY CAST(l_extendedprice AS DECIMAL(18,4)) DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber AS best_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DOUBLE) AS best_price
+        |FROM r WHERE rn = 1 ORDER BY l_orderkey""".stripMargin
   )
 }

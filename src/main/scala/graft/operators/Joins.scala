@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.operators.Aggregates.dec
+
+/** Join tier (SURVEY.md §2.3): exact broadcast enrichment (J1), two-phase
+  * exact→fuzzy enrichment (J1+J2+O3), group-scalar attach (J3/A3), band
+  * self-join (J4), and neighborhood-exists semi join (J5). */
+object Joins {
+
+  /** J1 exact enrichment: fact × broadcast dimension equi-join, then
+    * aggregate. At 100 TB the fact side never shuffles for this join —
+    * `broadcast(part)` forces BroadcastHashJoin. Ref: main.py:94-101. */
+  def j01ExactEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  /** J1+J2+O3: the flagship two-phase vendor enrichment over a vendor string
+    * derived from orders (exact-match third, substring-match third,
+    * no-match third). See [[Enrichment.twoPhase]]. */
+  def j02TwoPhaseEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val vendor =
+      when(col("o_orderkey") % 3 === 0,
+        concat(lit("Customer#"), lpad(col("o_custkey").cast("string"), 9, "0")))
+      .when(col("o_orderkey") % 3 === 1, lpad(col("o_custkey").cast("string"), 7, "0"))
+      .otherwise(concat(lit("UNKNOWN-"), col("o_orderkey").cast("string")))
+    val facts = Tables.orders(spark, dir).select(col("o_orderkey"), vendor.as("vendor"))
+    Enrichment.twoPhase(facts, Tables.customer(spark, dir),
+        factId = "o_orderkey", factKey = "vendor",
+        dimId = "c_custkey", dimKey = "c_name", payload = Seq("c_custkey", "c_mktsegment"))
+      .select(col("o_orderkey"), col("vendor"),
+        col("c_custkey").as("matched_custkey"),
+        col("c_mktsegment").as("matched_segment"), col("match_type"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J3/A3 group-scalar attach: compute a per-group scalar and classify each
+    * row against it — as a window over the group partition (one shuffle, no
+    * join back), the plan SURVEY.md §2.3 J3 recommends. Division-free
+    * comparison (`price * n > total`) keeps decimal math exact.
+    * Ref: pdf_parser.py:137-156. */
+  def j03GroupScalarAttach(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(spark, dir)
+      .withColumn("cust_n", count(lit(1)).over(w))
+      .withColumn("cust_total", sum(dec(col("o_totalprice"))).over(w))
+      .withColumn("above_avg", dec(col("o_totalprice")) * col("cust_n") > col("cust_total"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("above_avg"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J4 band self-join: error→click pairs by the same user within 60s.
+    * Equi-join on `user_id` carries the heavy lifting (sort-merge/shuffle on
+    * the key); the band predicate filters pairs. Ref: pdf_parser.py:195-203
+    * (same-line |Δtop|<2 header pair). */
+  def j04BandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val a = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+    a.join(b, a("user_id") === b("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") < col("a_ts") + expr("INTERVAL 60 SECONDS"))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** J5 neighborhood-exists probe: errors with a click by the same user
+    * within ±30s — left semi join (EXISTS). Ref: pdf_parser.py:220-226. */
+  def j05ExistsProbe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val errors = e.filter(col("event_type") === "error")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    errors.join(clicks,
+        errors("user_id") === col("c_user") &&
+        abs(unix_micros(col("c_ts")) - unix_micros(errors("ts"))) <= 30000000L,
+        "left_semi")
+      .select(col("event_id"), col("user_id"))
+      .orderBy("event_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j01_exact_enrich" -> (j01ExactEnrich _),
+    "j02_twophase_enrich" -> (j02TwoPhaseEnrich _),
+    "j03_group_scalar_attach" -> (j03GroupScalarAttach _),
+    "j04_band_join" -> (j04BandJoin _),
+    "j05_exists_probe" -> (j05ExistsProbe _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "j01_exact_enrich" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "j02_twophase_enrich" ->
+      """WITH facts AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'Customer#' || lpad(CAST(o_custkey AS VARCHAR), 9, '0')
+        |         WHEN o_orderkey % 3 = 1 THEN lpad(CAST(o_custkey AS VARCHAR), 7, '0')
+        |         ELSE 'UNKNOWN-' || CAST(o_orderkey AS VARCHAR) END AS vendor
+        |  FROM orders),
+        |exact AS (
+        |  SELECT f.o_orderkey, f.vendor, c.c_custkey, c.c_mktsegment
+        |  FROM facts f LEFT JOIN customer c ON f.vendor = c.c_name),
+        |hits AS (
+        |  SELECT o_orderkey, vendor, c_custkey AS matched_custkey,
+        |         c_mktsegment AS matched_segment, 'exact' AS match_type
+        |  FROM exact WHERE c_custkey IS NOT NULL),
+        |misses AS (SELECT o_orderkey, vendor FROM exact WHERE c_custkey IS NULL),
+        |fz AS (
+        |  SELECT m.o_orderkey, m.vendor, c.c_custkey, c.c_mktsegment,
+        |         row_number() OVER (PARTITION BY m.o_orderkey ORDER BY c.c_custkey) AS rn
+        |  FROM misses m LEFT JOIN customer c
+        |    ON contains(lower(c.c_name), lower(m.vendor)))
+        |SELECT * FROM hits
+        |UNION ALL
+        |SELECT o_orderkey, vendor, c_custkey AS matched_custkey,
+        |       c_mktsegment AS matched_segment,
+        |       CASE WHEN c_custkey IS NOT NULL THEN 'fuzzy' ELSE 'none' END AS match_type
+        |FROM fz WHERE rn = 1
+        |ORDER BY o_orderkey""".stripMargin,
+    "j03_group_scalar_attach" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(o_totalprice AS DECIMAL(18,4)) * COUNT(*) OVER w
+        |    > SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS above_avg
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "j04_band_join" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'error' AND b.event_type = 'click'
+        | AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 60 SECOND
+        |ORDER BY a_id, b_id""".stripMargin,
+    "j05_exists_probe" ->
+      """SELECT e.event_id, e.user_id FROM events e
+        |WHERE e.event_type = 'error' AND EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = e.user_id
+        |    AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 30000000)
+        |ORDER BY e.event_id""".stripMargin
+  )
+}

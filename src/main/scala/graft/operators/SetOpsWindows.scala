@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.operators.Aggregates.dec
+
+/** Sort/limit tier (§2.5), window functions (§2.6), set operations (§2.7),
+  * and the K2 upsert-merge sink semantics. */
+object SetOpsWindows {
+
+  /** O1 multi-key sort + O4 LIMIT k: global top-100 — Spark plans this as
+    * TakeOrderedAndProject (per-partition top-k + merge on driver), never a
+    * full global sort; exactly what you want at 100 TB. */
+  def o1TopkSort(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dec(col("l_extendedprice")).as("price_d"))
+      .orderBy(col("price_d").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+      .select(col("l_orderkey"), col("l_linenumber"), col("price_d").cast("double").as("price"))
+
+  /** O3/O4 per-group top-k via ranking window (row_number ≤ 3). */
+  def o4TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(dec(col("o_totalprice")).desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** §2.7 set operations: nation keys present in customer vs supplier —
+    * INTERSECT / EXCEPT both directions, tagged and unioned. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nk")).distinct()
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")).distinct()
+    c.intersect(s).withColumn("tag", lit("both"))
+      .unionByName(c.except(s).withColumn("tag", lit("customer_only")))
+      .unionByName(s.except(c).withColumn("tag", lit("supplier_only")))
+      .orderBy("tag", "nk")
+  }
+
+  /** K2 upsert-merge semantics (database.py:128-153 `INSERT ... ON CONFLICT
+    * DO UPDATE`) without Delta: union(updates, base) + last-wins window on
+    * the key ordered by source priority — the plain-parquet MERGE
+    * formulation from SURVEY.md §2.1 K2. Scale: one shuffle on the merge
+    * key; at 100 TB this is the standard copy-on-write merge pattern. */
+  def k2UpsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val base = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        dec(col("o_totalprice")).as("price_d"), lit(0).as("src"))
+    val updates = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit("U").as("status"),
+        (dec(col("o_totalprice")) + 100).as("price_d"), lit(1).as("src"))
+    val w = Window.partitionBy("o_orderkey").orderBy(col("src").desc)
+    base.unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("status"), col("price_d").cast("double").as("price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** §2.6 analytic windows: row_number + lag + running sum per customer.
+    * ROWS frame pinned explicitly (RANGE is the SQL default under ORDER BY
+    * and would differ on ties). */
+  def winRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("run_total",
+        sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .withColumn("prev_price", lag(dec(col("o_totalprice")), 1).over(w).cast("double"))
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("run_total"), col("prev_price"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** §2.9 streaming analog, batch form: epoch-aligned 6-hour tumbling window
+    * via Spark's native `window()`; the streaming twin lives in
+    * graft.streaming with watermarks. */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o1_topk_sort" -> (o1TopkSort _),
+    "o4_topk_per_group" -> (o4TopkPerGroup _),
+    "set_ops" -> (setOps _),
+    "k2_upsert_merge" -> (k2UpsertMerge _),
+    "win_running" -> (winRunning _),
+    "stream_tumbling" -> (tumblingWindow _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "o1_topk_sort" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DOUBLE) AS price
+        |FROM lineitem
+        |ORDER BY CAST(l_extendedprice AS DECIMAL(18,4)) DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+    "o4_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT o_custkey, rk, o_orderkey, o_totalprice
+        |FROM r WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "set_ops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+        |     s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        |SELECT nk, 'both' AS tag FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+        |UNION ALL
+        |SELECT nk, 'customer_only' AS tag FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+        |UNION ALL
+        |SELECT nk, 'supplier_only' AS tag FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c)
+        |ORDER BY tag, nk""".stripMargin,
+    "k2_upsert_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS price_d, 0 AS src
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |updates AS (
+        |  SELECT o_orderkey, 'U' AS status,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) + 100 AS price_d, 1 AS src
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |merged AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
+        |SELECT o_orderkey, status, CAST(price_d AS DOUBLE) AS price
+        |FROM merged WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    "win_running" ->
+      """SELECT o_custkey,
+        |  row_number() OVER w AS rn, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total,
+        |  CAST(lag(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "stream_tumbling" ->
+      """SELECT make_timestamp(CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) * 21600000000)
+        |    AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+  )
+}
