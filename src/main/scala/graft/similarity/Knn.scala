@@ -1,0 +1,129 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.dedup.Dedup.md5Hash60
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - [[bruteForceTopK]]: exact top-k by inner product (= cosine here: the
+  *    test vectors are unit-norm). The query set broadcasts; scoring is a
+  *    BroadcastNestedLoopJoin + a per-pair ordered fold (`zip_with` +
+  *    `aggregate`, left-to-right), so the double arithmetic is bit-identical
+  *    across engines and partition counts — no shuffle at all on the corpus
+  *    side beyond the final per-query top-k.
+  *  - [[lshTopK]]: sign-random-projection LSH — L hash tables of b-bit
+  *    bucket codes; only same-bucket vectors are scored. The 100 TB path:
+  *    candidate generation is an equi-join on (table, code), cost ∝ bucket
+  *    collisions instead of |queries|×|corpus|. Hyperplanes are md5-derived,
+  *    so fully deterministic.
+  */
+object Knn {
+
+  /** Ordered left-fold dot product of two float arrays, in double — the
+    * summation order is the array order in both Spark (`ArrayAggregate`)
+    * and DuckDB (`list_reduce`), making results engine-exact. */
+  def dotFold(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Exact top-k inner-product neighbors for query vectors (`vec_id % 20 = 0`). */
+  def bruteForceTopK(emb: DataFrame, k: Int): DataFrame = {
+    val q = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      .filter(col("a_id") % 20 === 0)
+    val c = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val scored = c.join(broadcast(q), col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        dotFold(col("ea"), col("eb")).as("dot"),
+        dotFold(col("ea"), col("ea")).as("na2"),
+        dotFold(col("eb"), col("eb")).as("nb2"))
+    val rk = Window.partitionBy("a_id").orderBy(col("dot").desc, col("b_id").asc)
+    scored.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= k)
+      .select(col("a_id"), col("rk"), col("b_id"), col("dot"),
+        (col("dot") / (sqrt(col("na2")) * sqrt(col("nb2")))).as("cosine"))
+  }
+
+  val lshBits = 8
+  val lshTables = 4
+
+  /** Deterministic md5-derived hyperplane component in [-0.5, 0.5) for
+    * (table t, bit j, dimension i). */
+  private def planeComponent(t: Column, j: Column, i: Column): Column =
+    (md5Hash60(concat_ws("|", lit("plane"), t.cast("string"), j.cast("string"),
+      i.cast("string"))).cast("double") / lit(1152921504606846976.0 /* 2^60 */)) - 0.5
+
+  /** (vec id, table, bucket code): L × b-bit sign-random-projection codes. */
+  def srpCodes(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val bits = spark.range(lshTables).select(col("id").cast("int").as("t"))
+      .crossJoin(spark.range(lshBits).select(col("id").cast("int").as("j")))
+    emb.select(col("vec_id").as("id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .crossJoin(broadcast(bits))
+      .withColumn("contrib", col("v").cast("double") * planeComponent(col("t"), col("j"), col("i")))
+      .groupBy("id", "t", "j").agg(sum("contrib").as("proj"))
+      .groupBy("id", "t")
+      .agg(sum(when(col("proj") > 0, expr("CAST(1 AS BIGINT) << j")).otherwise(0L)).as("code"))
+  }
+
+  /** Approximate top-k: union of same-bucket candidates over all tables.
+    * Recall vs [[bruteForceTopK]] is asserted in KnnSpec. */
+  def lshTopK(emb: DataFrame, k: Int): DataFrame = {
+    val codes = srpCodes(emb)
+    val qc = codes.filter(col("id") % 20 === 0).toDF("a_id", "t", "code")
+    val bc = codes.toDF("b_id", "t", "code")
+    val cand = qc.join(bc, Seq("t", "code")).filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val q = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val c = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val dots = cand.join(c, "b_id").join(broadcast(q), "a_id")
+      .select(col("a_id"), col("b_id"), dotFold(col("ea"), col("eb")).as("dot"))
+    val rk = Window.partitionBy("a_id").orderBy(col("dot").desc, col("b_id").asc)
+    dots.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= k)
+      .select(col("a_id"), col("rk"), col("b_id"), col("dot"))
+  }
+
+  def s1KnnExact(spark: SparkSession, dir: String): DataFrame =
+    bruteForceTopK(Tables.embeddings(spark, dir), 5).orderBy("a_id", "rk")
+
+  def s2KnnLsh(spark: SparkSession, dir: String): DataFrame =
+    lshTopK(Tables.embeddings(spark, dir), 5).orderBy("a_id", "rk")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_knn_exact" -> (s1KnnExact _),
+    "s2_knn_lsh" -> (s2KnnLsh _)
+  )
+
+  /** s2 has no oracle entry (sketch-based candidate set is engine-internal;
+    * its guarantee is recall vs s1, asserted in KnnSpec) → driver records a
+    * rows-only check for it. */
+  def oracle: Map[String, String] = Map(
+    "s1_knn_exact" ->
+      """WITH q AS (
+        |  SELECT vec_id AS a_id, embedding AS ea FROM embeddings WHERE vec_id % 20 = 0),
+        |scored AS (
+        |  SELECT a_id, b.vec_id AS b_id,
+        |    list_reduce(list_transform(range(1, len(ea) + 1),
+        |      i -> CAST(ea[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+        |      (acc, x) -> acc + x) AS dot,
+        |    list_reduce(list_transform(range(1, len(ea) + 1),
+        |      i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)),
+        |      (acc, x) -> acc + x) AS na2,
+        |    list_reduce(list_transform(range(1, len(b.embedding) + 1),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+        |      (acc, x) -> acc + x) AS nb2
+        |  FROM q JOIN embeddings b ON b.vec_id <> a_id),
+        |ranked AS (
+        |  SELECT a_id, b_id, dot, na2, nb2,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
+        |  FROM scored)
+        |SELECT a_id, rk, b_id, dot, dot / (sqrt(na2) * sqrt(nb2)) AS cosine
+        |FROM ranked WHERE rk <= 5 ORDER BY a_id, rk""".stripMargin
+  )
+}

@@ -1,0 +1,177 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis tier for large-scale training-data pipelines: token
+  * counting, quality scoring, language-ID heuristics, and document
+  * fingerprinting — all pure codegen'd Column expressions (no UDFs), so the
+  * whole stage stays inside WholeStageCodegen and scales linearly with the
+  * document count; there is no shuffle except the final aggregations. */
+object TextAnalysis {
+
+  /** Whitespace tokens of a trimmed text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles (distinct), the unit of near-dup similarity. */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** BPE-ish subtoken split: letter runs, digit runs, single other chars. */
+  val subtokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Content fingerprint (rolling-hash analog): md5 over normalized text —
+    * identical across engines, unlike murmur/xxhash. */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** T1: token / distinct-token / subtoken counts per document. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(t).cast("bigint").as("n_tokens"),
+        size(array_distinct(t)).cast("bigint").as("n_distinct"),
+        size(regexp_extract_all(lower(col("text")), lit(subtokenPattern), lit(0)))
+          .cast("bigint").as("n_subtokens"))
+      .orderBy("doc_id")
+  }
+
+  val stopwords = Seq("the", "a", "of", "and", "in", "to")
+
+  /** T2: quality scoring — type-token ratio, length saturation, stopword
+    * ratio combined into one deterministic double formula. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(t).cast("bigint"))
+      .withColumn("n_distinct", size(array_distinct(t)).cast("bigint"))
+      .withColumn("n_stop",
+        size(filter(t, x => x.isInCollection(stopwords))).cast("bigint"))
+      .withColumn("sum_len",
+        aggregate(transform(t, x => length(x)), lit(0), (acc, x) => acc + x).cast("bigint"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len", col("sum_len").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        col("ttr") * 0.5 + least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3 +
+          col("stop_ratio") * 0.2)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_stop"),
+        col("ttr"), col("stop_ratio"), col("avg_token_len"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language signature token lists for the n-gram/stopword langid
+    * heuristic. Deliberately tiny — a real deployment swaps in full
+    * character-n-gram profiles; the dataflow is identical. */
+  val langSignatures: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "et", "les"))
+
+  /** T3: language-ID — score each language's signature hits, argmax with a
+    * fixed preference order for ties. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(lower(col("text")))
+    val scored = langSignatures.foldLeft(Tables.documents(spark, dir)) {
+      case (df, (lang, sig)) =>
+        df.withColumn(s"hits_$lang",
+          size(filter(t, x => x.isInCollection(sig))).cast("bigint"))
+    }
+    val best = langSignatures.map(_._1).map(l => col(s"hits_$l"))
+    val predicted = langSignatures.map(_._1).foldRight(lit("unknown")) {
+      case (lang, els) =>
+        when(col(s"hits_$lang") === greatest(best: _*) && col(s"hits_$lang") > 0, lang)
+          .otherwise(els)
+    }
+    scored
+      .withColumn("predicted", predicted)
+      .withColumn("is_correct", col("predicted") === col("lang"))
+      .select(col("doc_id") +: langSignatures.map { case (l, _) => col(s"hits_$l") } :+
+        col("predicted") :+ col("is_correct"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** T4: md5 content fingerprint + canonical-copy marking (exact-dedup
+    * building block; graft.dedup.Dedup uses the same fingerprint). */
+  def fingerprintDocs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFp = Window.partitionBy("fp")
+    Tables.documents(spark, dir)
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("canonical_id", min("doc_id").over(byFp))
+      .withColumn("n_copies", count(lit(1)).over(byFp))
+      .select(col("doc_id"), col("fp"), col("canonical_id"),
+        col("n_copies"), (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_stats" -> (tokenStats _),
+    "t2_quality_score" -> (qualityScore _),
+    "t3_langid" -> (langId _),
+    "t4_fingerprint" -> (fingerprintDocs _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_distinct,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_subtokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_quality_score" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','in','to'))) AS BIGINT) AS n_stop,
+        |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len
+        |  FROM s)
+        |SELECT doc_id, n_tokens, n_distinct, n_stop,
+        |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+        |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |  CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
+        |  (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.5
+        |    + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+        |    + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.2 AS quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t3_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(t, x -> x IN ('the','a','and','of'))) AS BIGINT) AS hits_en,
+        |    CAST(len(list_filter(t, x -> x IN ('el','la','de','y'))) AS BIGINT) AS hits_es,
+        |    CAST(len(list_filter(t, x -> x IN ('der','die','das','und'))) AS BIGINT) AS hits_de,
+        |    CAST(len(list_filter(t, x -> x IN ('le','la','et','les'))) AS BIGINT) AS hits_fr
+        |  FROM s),
+        |p AS (
+        |  SELECT *,
+        |    CASE WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) AND hits_en > 0 THEN 'en'
+        |         WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) AND hits_es > 0 THEN 'es'
+        |         WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) AND hits_de > 0 THEN 'de'
+        |         WHEN hits_fr = greatest(hits_en, hits_es, hits_de, hits_fr) AND hits_fr > 0 THEN 'fr'
+        |         ELSE 'unknown' END AS predicted
+        |  FROM h)
+        |SELECT doc_id, hits_en, hits_es, hits_de, hits_fr, predicted,
+        |  predicted = lang AS is_correct
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents)
+        |SELECT doc_id, fp,
+        |  MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+        |  COUNT(*) OVER (PARTITION BY fp) AS n_copies,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_canonical
+        |FROM f ORDER BY doc_id""".stripMargin
+  )
+}
