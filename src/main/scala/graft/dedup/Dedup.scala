@@ -43,41 +43,61 @@ object Dedup {
   private def shingleRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
 
-  /** D2: exact n-gram Jaccard similarity join via shingle-inverted-index
-    * self-join. Returns pairs with jaccard ≥ threshold. */
+  /** D2: exact n-gram Jaccard similarity join with **prefix filtering**
+    * (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06): under a global
+    * rarity order on shingles, any pair with jaccard ≥ τ must share a
+    * shingle inside each doc's first `n − ⌈τ·n⌉ + 1` shingles (if all shared
+    * shingles sat outside a's prefix, overlap ≤ ⌈τ·na⌉ − 1 < τ·na ≤ required
+    * overlap). So candidates come from a prefix×prefix equi-join — frequent
+    * shingles (the quadratic blowup) land outside prefixes — and only
+    * candidates get a full-set verify. Exact, ~10× fewer generated pairs. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingleRows(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.toDF("a_id", "s")
-    val b = sh.toDF("b_id", "s2")
-    val common = a.join(b, col("s") === col("s2") && col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.toDF("a_id", "na"), "a_id")
-      .join(sizes.toDF("b_id", "nb"), "b_id")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val rarityOrder = Window.partitionBy("doc_id").orderBy("df", "s")
+    val prefixes = sh.join(freq, "s")
+      .withColumn("rank", row_number().over(rarityOrder))
+      .join(sizes, "doc_id")
+      .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("doc_id", "s")
+    val cand = prefixes.toDF("a_id", "s")
+      .join(prefixes.toDF("b_id", "s2"), col("s") === col("s2") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    pairsCommon(cand, sh, sizes, threshold)
   }
 
   val numHashes = 16
   val bandSize = 4
 
-  /** MinHash signatures: (doc_id, band, band_sig) — one row per band. */
+  /** The MinHash family: one md5 per shingle, then 16 xor-universal
+    * perturbations — avoids 16 md5 evaluations (or a 16× row explosion) per
+    * shingle; the whole signature is ONE wide aggregation per doc. The
+    * constants are themselves md5-derived so both engines can literal-inline
+    * identical values. */
+  val seedConstants: Seq[Long] = (0 until numHashes).map { i =>
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"seed|$i".getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** MinHash signatures: (doc_id, band, band_sig) — one row per band,
+    * produced by a single groupBy with 16 `min(h ^ cᵢ)` aggregates. */
   def minHashBands(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val seeds = spark.range(numHashes).select(col("id").cast("int").as("seed"))
+    val mins = seedConstants.zipWithIndex.map { case (c, i) =>
+      min(expr(s"__h ^ ${c}L")).as(s"mh$i")
+    }
+    val bandStructs = (0 until numHashes / bandSize).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until bandSize).map(k => col(s"mh${b * bandSize + k}").cast("string")): _*)
+          .as("band_sig"))
+    }
     shingleRows(docs)
-      .crossJoin(broadcast(seeds))
-      .select(col("doc_id"), col("seed"),
-        md5Hash60(concat(col("seed").cast("string"), lit("|"), col("s"))).as("h"))
-      .groupBy("doc_id", "seed").agg(min("h").as("mh"))
-      .withColumn("band", floor(col("seed") / bandSize).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-          x => x.getField("mh").cast("string"))).as("band_sig"))
+      .withColumn("__h", md5Hash60(col("s")))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
   }
 
   /** D3: MinHash+LSH near-dup pairs, verified with true Jaccard. Candidate
@@ -114,17 +134,24 @@ object Dedup {
 
   val simHashBits = 60
 
-  /** D4: 60-bit SimHash code per doc from distinct-token md5 hashes. */
-  def simHash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+  /** D4: 60-bit frequency-weighted SimHash (Charikar) per doc — token
+    * weight = occurrence count (unweighted distinct-token SimHash cannot
+    * separate docs drawn from one small vocabulary: their token *sets* all
+    * coincide; their frequency profiles don't). One wide aggregation (60
+    * signed bit-sums per doc), no bit-row explosion. */
+  def simHash(docs: DataFrame): DataFrame = {
+    val bitSums = (0 until simHashBits).map { j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, col("cnt")).otherwise(-col("cnt"))).as(s"s$j")
+    }
+    val code = (0 until simHashBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5Hash60(col("tok")))
-      .crossJoin(broadcast(docs.sparkSession.range(simHashBits)
-        .select(col("id").cast("int").as("j"))))
-      .withColumn("contrib",
-        when(expr("(h >> j) & 1") === 1, 1).otherwise(-1))
-      .groupBy("doc_id", "j").agg(sum("contrib").as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("CAST(1 AS BIGINT) << j")).otherwise(0L)).as("simhash"))
+      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), code.as("simhash"))
+  }
 
   /** D4 pairs: Hamming distance ≤ maxHamming over all doc pairs. */
   def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
@@ -189,17 +216,23 @@ object Dedup {
         |             JOIN sizes sb ON p.b_id = sb.doc_id
         |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
-    "d3_minhash_lsh" ->
+    "d3_minhash_lsh" -> {
+      val minExprs = seedConstants.zipWithIndex
+        .map { case (c, i) => s"MIN(xor(h, $c)) AS mh$i" }.mkString(",\n    ")
+      val bandSelects = (0 until numHashes / bandSize).map { b =>
+        val sig = (0 until bandSize).map(k => s"CAST(mh${b * bandSize + k} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, $sig AS band_sig FROM mh"
+      }.mkString("\n  UNION ALL ")
       s"""WITH $shingleSqlCtes,
+        |hashes AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh),
         |mh AS (
-        |  SELECT doc_id, seed.i AS seed,
-        |    MIN(CAST('0x' || substr(md5(CAST(seed.i AS VARCHAR) || '|' || s), 1, 15) AS BIGINT)) AS mh
-        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) seed
-        |  GROUP BY doc_id, seed.i),
+        |  SELECT doc_id,
+        |    $minExprs
+        |  FROM hashes GROUP BY doc_id),
         |bands AS (
-        |  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
-        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
-        |  FROM mh GROUP BY 1, 2),
+        |  $bandSelects),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM bands a JOIN bands b
@@ -214,27 +247,34 @@ object Dedup {
         |FROM common p JOIN sizes sa ON p.a_id = sa.doc_id
         |              JOIN sizes sb ON p.b_id = sb.doc_id
         |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin,
-    "d4_simhash" ->
-      """WITH toks AS (
+        |ORDER BY a_id, b_id""".stripMargin
+    },
+    "d4_simhash" -> {
+      val bitSums = (0 until simHashBits)
+        .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN cnt ELSE -cnt END) AS s$j")
+        .mkString(",\n    ")
+      val code = (0 until simHashBits)
+        .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
         |  SELECT doc_id,
-        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+        |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
         |  FROM documents),
+        |tc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok),
         |th AS (
-        |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+        |  SELECT doc_id, cnt, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tc),
         |bits AS (
-        |  SELECT doc_id, j.j AS j,
-        |    SUM(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS j) j
-        |  GROUP BY 1, 2),
-        |codes AS (
         |  SELECT doc_id,
-        |    SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
-        |  FROM bits GROUP BY doc_id)
+        |    $bitSums
+        |  FROM th GROUP BY doc_id),
+        |codes AS (
+        |  SELECT doc_id, $code AS simhash FROM bits)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |FROM codes a JOIN codes b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
         |ORDER BY a_id, b_id""".stripMargin
+    }
   )
 }

@@ -4,6 +4,32 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+/** Q-gram inverted index for substring-containment joins.
+  *
+  * `contains(dimKey, factKey)` implies every q-gram of `factKey` occurs in
+  * `dimKey`. So: index the dim side by all its q-grams, probe with ONE
+  * q-gram per fact — the *least frequent* one by dim document-frequency —
+  * and only verify `contains` on the surviving candidates. Facts holding a
+  * q-gram absent from the entire index can match nothing and are dropped
+  * before any comparison.
+  *
+  * Cost: |dim|·len(dimKey) index rows (built once, broadcastable for
+  * user-curated dims) + per fact the document frequency of its rarest gram —
+  * versus |facts|·|dim| string scans for the naive theta join. This is the
+  * standard q-gram filter for substring/similarity joins and the shape that
+  * survives 100 TB fact tables.
+  */
+object QGramIndex {
+  val Q = 4
+
+  /** All q-grams of a string column as an array (empty if len < q). */
+  def qgrams(s: Column): Column =
+    when(length(s) >= Q,
+      array_distinct(transform(sequence(lit(1), length(s) - (Q - 1)),
+        i => s.substr(i, lit(Q))))
+    ).otherwise(array().cast("array<string>"))
+}
+
 /** Two-phase vendor enrichment: exact equality lookup first, then a fuzzy
   * substring-containment fallback for the misses, first-candidate-wins.
   *
@@ -53,15 +79,59 @@ object Enrichment {
         lit("exact").as("match_type"): _*)
     val misses = exact.filter(e(dimId).isNull).select(facts.columns.map(col): _*)
 
-    val (d2, f) = dimFor("f")
-    val fuzzy = misses.join(d2, contains(lower(f(dimKey)), lower(misses(factKey))), "left")
-    val firstWins = Window.partitionBy(col(factId)).orderBy(f(dimId).asc_nulls_last)
-    val fuzzyResolved = fuzzy
+    val fuzzyHits = fuzzyContains(misses, dim, factId, factKey, dimId, dimKey, payload)
+    val noneRows = misses.join(fuzzyHits.select(col(factId)), Seq(factId), "left_anti")
+      .select(facts.columns.map(col) ++
+        payload.map(p => lit(null).cast(dim.schema(p).dataType).as(p)) :+
+        lit("none").as("match_type"): _*)
+
+    hits.unionByName(fuzzyHits).unionByName(noneRows)
+  }
+
+  /** Fuzzy phase via [[QGramIndex]]: facts whose key is substring-contained
+    * in a dim key, first dim (lowest dimId) wins. Facts shorter than Q fall
+    * back to the naive broadcast theta join (bounded, rare). Returns only
+    * matched facts, `match_type = "fuzzy"`. */
+  def fuzzyContains(misses: DataFrame, dim: DataFrame, factId: String, factKey: String,
+                    dimId: String, dimKey: String, payload: Seq[String]): DataFrame = {
+    import QGramIndex.{qgrams, Q}
+    val dimNames = (dimId +: dimKey +: payload).distinct
+    val pre = "__fz_"
+    val d = dim.select(dimNames.map(col): _*).toDF(dimNames.map(pre + _): _*)
+      .withColumn("__dk", lower(col(pre + dimKey)))
+    val f = (n: String) => col(pre + n)
+
+    val missesL = misses.withColumn("__lk", lower(col(factKey)))
+    val longFacts = missesL.filter(length(col("__lk")) >= Q)
+    val shortFacts = missesL.filter(length(col("__lk")) < Q)
+
+    // dim-side q-gram inverted index + document frequencies (broadcast-size)
+    val grams = d.withColumn("__g", explode(qgrams(col("__dk"))))
+    val gramDf = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+
+    // per fact: probe with its least-frequent gram; df=0 ⇒ no match possible
+    val probe = longFacts
+      .select(col(factId).as("__fid"), explode(qgrams(col("__lk"))).as("__g"))
+      .join(broadcast(gramDf), Seq("__g"), "left")
+      .na.fill(0L, Seq("__df"))
+      .groupBy("__fid")
+      .agg(min(struct(col("__df"), col("__g"))).as("__m"))
+      .filter(col("__m.__df") > 0)
+      .select(col("__fid"), col("__m.__g").as("__probe"))
+
+    val longCand = longFacts
+      .join(probe, longFacts(factId) === col("__fid"))
+      .join(broadcast(grams), col("__probe") === grams("__g"))
+      .filter(contains(col("__dk"), col("__lk")))
+    val shortCand = shortFacts.join(broadcast(d), contains(col("__dk"), col("__lk")))
+
+    val outCols = misses.columns.map(col) ++ payload.map(p => f(p).as(p)) :+
+      lit("fuzzy").as("match_type")
+    val firstWins = Window.partitionBy(col(factId)).orderBy(f(dimId).asc)
+    longCand.select(misses.columns.map(col) ++ dimNames.map(n => f(n)): _*)
+      .unionByName(shortCand.select(misses.columns.map(col) ++ dimNames.map(n => f(n)): _*))
       .withColumn("__rn", row_number().over(firstWins))
       .filter(col("__rn") === 1)
-      .select(facts.columns.map(col) ++ payload.map(p => f(p).as(p)) :+
-        when(f(dimId).isNotNull, "fuzzy").otherwise("none").as("match_type"): _*)
-
-    hits.unionByName(fuzzyResolved)
+      .select(outCols: _*)
   }
 }

@@ -51,24 +51,42 @@ object Knn {
 
   val lshBits = 8
   val lshTables = 4
+  val maxDims = 64
 
-  /** Deterministic md5-derived hyperplane component in [-0.5, 0.5) for
-    * (table t, bit j, dimension i). */
-  private def planeComponent(t: Column, j: Column, i: Column): Column =
-    (md5Hash60(concat_ws("|", lit("plane"), t.cast("string"), j.cast("string"),
-      i.cast("string"))).cast("double") / lit(1152921504606846976.0 /* 2^60 */)) - 0.5
+  /** Deterministic md5-derived hyperplane matrix, computed once on the
+    * driver and shipped as a literal array — zero runtime hashing, zero
+    * extra shuffle. planes((t*lshBits + j)*maxDims + i) ∈ [-0.5, 0.5). */
+  lazy val planes: Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(lshTables * lshBits * maxDims) { flat =>
+      val t = flat / (lshBits * maxDims)
+      val j = (flat / maxDims) % lshBits
+      val i = flat % maxDims
+      val hex = md.digest(s"plane|$t|$j|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0 /* 2^60 */ - 0.5
+    }
+  }
 
-  /** (vec id, table, bucket code): L × b-bit sign-random-projection codes. */
+  /** (vec id, table, bucket code): L × b-bit sign-random-projection codes.
+    * One explode + one wide aggregation (L·b projection sums per vector),
+    * planes indexed from the broadcast literal. */
   def srpCodes(emb: DataFrame): DataFrame = {
-    val spark = emb.sparkSession
-    val bits = spark.range(lshTables).select(col("id").cast("int").as("t"))
-      .crossJoin(spark.range(lshBits).select(col("id").cast("int").as("j")))
+    val planesLit = typedLit(planes.toSeq)
+    val projSums = (0 until lshTables * lshBits).map { flat =>
+      sum(col("v").cast("double") *
+        element_at(planesLit, lit(flat * maxDims) + col("i") + 1)).as(s"p$flat")
+    }
+    val codes = (0 until lshTables).map { t =>
+      struct(lit(t).as("t"),
+        (0 until lshBits)
+          .map(j => when(col(s"p${t * lshBits + j}") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("code"))
+    }
     emb.select(col("vec_id").as("id"), posexplode(col("embedding")).as(Seq("i", "v")))
-      .crossJoin(broadcast(bits))
-      .withColumn("contrib", col("v").cast("double") * planeComponent(col("t"), col("j"), col("i")))
-      .groupBy("id", "t", "j").agg(sum("contrib").as("proj"))
-      .groupBy("id", "t")
-      .agg(sum(when(col("proj") > 0, expr("CAST(1 AS BIGINT) << j")).otherwise(0L)).as("code"))
+      .groupBy("id").agg(projSums.head, projSums.tail: _*)
+      .select(col("id"), explode(array(codes: _*)).as("tc"))
+      .select(col("id"), col("tc.t").as("t"), col("tc.code").as("code"))
   }
 
   /** Approximate top-k: union of same-bucket candidates over all tables.

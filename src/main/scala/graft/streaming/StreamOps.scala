@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming tier (SURVEY.md §2.9): the reference's latent streaming
+  * semantics as Structured Streaming transforms. Every function takes a
+  * (possibly streaming) DataFrame of the `events` shape
+  * `(event_id, ts, user_id, event_type, value, props)` and returns a lazy
+  * transform — the same code runs on `readStream` and on batch DataFrames.
+  *
+  *  - tumbling/sliding windows + watermark: the month-folder landing
+  *    partitioning (email_fetcher.py:71-74) generalized;
+  *  - session windows: A1's gap-based clustering transposed to time
+  *    (pdf_parser.py:259-281 ≈ `session_window(ts, gap)`);
+  *  - watermarked dedup: the skip-if-exists download guard
+  *    (email_fetcher.py:86-90) as exactly-once state;
+  *  - flatMapGroupsWithState: custom running per-user counters, the general
+  *    stateful escape hatch.
+  */
+object StreamOps {
+
+  /** Tumbling hourly counts with late-data handling: events later than the
+    * watermark are dropped, so state is bounded — the property that lets
+    * this run forever at 100 TB/day. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding window variant (1h window, 15m slide). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n"))
+
+  /** Session windows: per-user sessions closed by a 10-minute gap — the
+    * streaming twin of Aggregates.a01Sessionize (same gap, same semantics;
+    * the batch window formulation and this must agree on closed sessions). */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Exactly-once landing dedup: drop duplicate event_ids arriving within
+    * the watermark horizon (state is GC'd beyond it). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom state: running per-user totals via flatMapGroupsWithState —
+    * emits an updated `UserRunning` row per input batch per user. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val evs = batch.toSeq
+          val next = UserRunning(uid, prev.n_events + evs.size,
+            prev.total_value + evs.map(_.value).sum)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

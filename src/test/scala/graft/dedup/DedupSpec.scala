@@ -1,0 +1,68 @@
+package graft.dedup
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf0001)
+
+  test("exact dedup keeps one canonical row per fingerprint") {
+    val dups = Seq((1L, "hello world foo"), (2L, "hello world foo"),
+      (3L, "  Hello World Foo "), (4L, "different text here")).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(dups, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L)) // 2 and 3 normalize to doc 1's fingerprint
+  }
+
+  test("MinHash+LSH finds exactly the true near-dup pairs (vs exact Jaccard)") {
+    val exact = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLshPairs(docs, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    // verify step guarantees precision (lsh ⊆ exact); recall should be
+    // total here: planted dups have jaccard ≈ 0.99 → all bands collide
+    assert(lsh === exact)
+  }
+
+  test("prefix-filtered Jaccard join ≡ naive inverted-index join") {
+    val naive = {
+      val sh = docs.select(col("doc_id"),
+        explode(graft.text.TextAnalysis.shingles(graft.text.TextAnalysis.tokens(col("text")))).as("s"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sh.toDF("a_id", "s").join(sh.toDF("b_id", "s2"),
+          col("s") === col("s2") && col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+        .join(sizes.toDF("a_id", "na"), "a_id")
+        .join(sizes.toDF("b_id", "nb"), "b_id")
+        .withColumn("j", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+        .filter(col("j") >= 0.5)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    }
+    val filtered = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(filtered === naive)
+  }
+
+  test("SimHash puts near-dup pairs at small Hamming distance") {
+    val nearDups = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val hams = Dedup.simHashPairs(docs, Dedup.simHashBits).toDF("a", "b", "h")
+      .as[(Long, Long, Long)].collect().map { case (a, b, h) => (a, b) -> h }.toMap
+    val dupHam = nearDups.toSeq.map(hams)
+    val allHam = hams.values.toSeq
+    assert(dupHam.max < allHam.sum.toDouble / allHam.size,
+      "near-dups should sit well below mean Hamming distance")
+    // sketch, not exact: most planted pairs land very low, tail tolerated
+    assert(dupHam.count(_ <= 10).toDouble / dupHam.size >= 0.9,
+      s"planted near-dups at hamming $dupHam")
+  }
+
+  test("md5Hash60 is stable and non-negative") {
+    val h = Seq("a", "b", "a").toDF("s").select(Dedup.md5Hash60(col("s")).as("h"))
+      .as[Long].collect()
+    assert(h(0) === h(2) && h(0) >= 0 && h(1) >= 0 && h(0) != h(1))
+  }
+}

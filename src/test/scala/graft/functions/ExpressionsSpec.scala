@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("money_parse handles the reference's cases plus accounting forms") {
+    val in = Seq("$1,234.56", "39.12", "1,000.00", "(45.10)", "-7.25",
+      "$0.01", "garbage", "", "12.34.56", "PAYMENT").toDF("s")
+    val got = in.select(GraftFunctions.money_parse($"s").as("v"))
+      .as[Option[BigDecimal]].collect().toSeq
+    val want = Seq(Some(BigDecimal("1234.56")), Some(BigDecimal("39.12")),
+      Some(BigDecimal("1000.00")), Some(BigDecimal("-45.10")), Some(BigDecimal("-7.25")),
+      Some(BigDecimal("0.01")), None, None, None, None)
+    assert(got.map(_.map(_.setScale(2))) === want)
+  }
+
+  test("money_parse matches the builtin-composed parse on generated amounts") {
+    val df = graft.Tables.orders(spark, sf0001)
+      .withColumn("s", concat(lit("$"), col("o_totalprice").cast("decimal(12,2)").cast("string")))
+    val diff = df.select(
+        GraftFunctions.money_parse(col("s")).as("a"),
+        regexp_replace(col("s"), "[$,]", "").cast("decimal(12,2)").as("b"))
+      .filter(col("a") =!= col("b") || col("a").isNull)
+    assert(diff.count() === 0)
+  }
+
+  test("version_cmp total order semantics") {
+    val cases = Seq(
+      ("1.2.3", "1.2.3", 0), ("1.2.10", "1.2.9", 1), ("1.2", "1.2.0", 0),
+      ("2.0", "1.99.99", 1), ("v1.3.0", "1.2.9", 1), ("0.9", "1.0", -1))
+    val df = cases.toDF("a", "b", "want")
+    val bad = df.filter(GraftFunctions.version_cmp($"a", $"b") =!= $"want")
+    assert(bad.count() === 0)
+  }
+
+  test("SQL registration works (spark.sql path)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT money_parse('$12.50') AS m, version_cmp('1.3.0', '1.2.9') AS v")
+      .collect().head
+    assert(r.getDecimal(0) === new java.math.BigDecimal("12.50"))
+    assert(r.getInt(1) === 1)
+  }
+
+  test("expressions participate in whole-stage codegen plans") {
+    // over a real scan (local relations constant-fold to LocalTableScan)
+    val df = graft.Tables.orders(spark, sf0001)
+      .select(GraftFunctions.money_parse(col("o_totalprice").cast("string")))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" marks operators inside a WholeStageCodegen stage; a codegen
+    // fallback would print a bare Project
+    assert(plan.contains("*(1) Project"), s"plan was:\n$plan")
+  }
+
+  test("typed Aggregator: MoneySum counts failures instead of dropping them") {
+    val ds = Seq("$10.00", "5.50", "junk", "(2.25)").toDS()
+    val r = ds.select(udaf(Aggregators.MoneySumAgg).apply($"value")).collect()
+    // cents: 1000 + 550 - 225 = 1325, parsed 3, failed 1
+    val m = r.head.getStruct(0)
+    assert(m.getAs[Long]("cents") === 1325L)
+    assert(m.getAs[Long]("parsed") === 3L)
+    assert(m.getAs[Long]("failed") === 1L)
+  }
+
+  test("typed Aggregator: BoundingBox over word boxes") {
+    import org.apache.spark.sql.functions.udaf
+    val words = Seq((10.0, 100.0), (50.0, 90.0), (30.0, 200.0)).toDS()
+    val box = words.select(udaf(Aggregators.BoundingBox).apply($"_1", $"_2"))
+      .collect().head.getStruct(0)
+    assert(box.getAs[Double]("minX") === 10.0)
+    assert(box.getAs[Double]("maxX") === 50.0)
+    assert(box.getAs[Double]("minTop") === 90.0)
+    assert(box.getAs[Double]("maxTop") === 200.0)
+    assert(box.getAs[Long]("n") === 3L)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Two-phase enrichment semantics (J1+J2+O3) vs a direct transcription of
+  * the reference loop (main.py:94-101 → database.py:83-126), plus q-gram
+  * path equivalence with the naive theta join. */
+class EnrichmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  // vendor_mappings fixture (FIXTURES.md A3): exact, fuzzy single, fuzzy
+  // multi-candidate (tie → lowest id), and no-match cases.
+  val mappings = Seq(
+    (1L, "AMAZON MKTPL", "51000", "01", "100", "2001", "200"),
+    (2L, "STARBUCKS COFFEE #1234", "52000", "02", "101", "2002", "201"),
+    (3L, "THE HOME DEPOT STORE", "53000", "03", "102", "2003", "202"),
+    (4L, "HOME DEPOT RENTAL", "54000", "04", "103", "2004", "203"),
+    (5L, "ZCASE Mixed UPPER lower", "55000", "05", "104", "2005", "204")
+  ).toDF("id", "vendor", "gl_account", "location", "program", "funder", "department")
+
+  val txns = Seq(
+    (10L, "AMAZON MKTPL"),        // exact hit
+    (11L, "STARBUCKS COFFEE"),    // fuzzy: mapping 2 contains it
+    (12L, "HOME DEPOT"),          // fuzzy: mappings 3 AND 4 contain it → id 3 wins
+    (13L, "UNKNOWN VENDOR LLC"),  // none
+    (14L, "mixed upper"),         // fuzzy case-insensitive → id 5
+    (15L, "ab")                   // short (< Q): exercises short-key fallback; no match
+  ).toDF("txn_id", "vendor")
+
+  /** The reference loop, verbatim semantics, driver-side. */
+  def referenceEnrich(): Map[Long, (Option[Long], String)] = {
+    val maps = mappings.orderBy("id")
+      .as[(Long, String, String, String, String, String, String)].collect()
+    txns.as[(Long, String)].collect().map { case (tid, vendor) =>
+      val exact = maps.find(_._2 == vendor)
+      val hit = exact.map((_, "exact")).orElse(
+        maps.find(m => m._2.toLowerCase.contains(vendor.toLowerCase)).map((_, "fuzzy")))
+      tid -> (hit.map(_._1._1), hit.map(_._2).getOrElse("none"))
+    }.toMap
+  }
+
+  test("twoPhase matches the reference loop on every case") {
+    val got = Enrichment.twoPhase(txns, mappings, "txn_id", "vendor", "id", "vendor",
+        Seq("gl_account", "location", "program", "funder", "department"))
+      .select("txn_id", "gl_account", "match_type")
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), r.getString(2))).toMap
+    val want = referenceEnrich().map { case (tid, (mid, mt)) =>
+      tid -> (mid.map(id => s"5${id}000"), mt)
+    }
+    assert(got.keySet === want.keySet)
+    for ((tid, (gl, mt)) <- want) {
+      assert(got(tid)._2 === mt, s"match_type for txn $tid")
+      assert(got(tid)._1 === gl, s"gl_account for txn $tid")
+    }
+  }
+
+  test("fuzzy tie-break picks the lowest mapping id") {
+    val row = Enrichment.twoPhase(txns, mappings, "txn_id", "vendor", "id", "vendor",
+        Seq("gl_account")).filter($"txn_id" === 12L).collect().head
+    assert(row.getAs[String]("gl_account") === "53000") // id 3, not 4
+    assert(row.getAs[String]("match_type") === "fuzzy")
+  }
+
+  test("every fact appears exactly once in the output") {
+    val out = Enrichment.twoPhase(txns, mappings, "txn_id", "vendor", "id", "vendor", Seq("gl_account"))
+    assert(out.count() === txns.count())
+    assert(out.select("txn_id").distinct().count() === txns.count())
+  }
+
+  test("q-gram fuzzyContains ≡ naive theta join on random-ish vendor sets") {
+    // misses drawn from customer names at sf0.001: substrings + garbage
+    val dim = graft.Tables.customer(spark, sf0001)
+      .select(col("c_custkey").as("id"), col("c_name").as("vendor"),
+        col("c_mktsegment").as("gl_account"))
+    val facts = graft.Tables.orders(spark, sf0001).limit(400)
+      .select(col("o_orderkey").as("txn_id"),
+        when(col("o_orderkey") % 4 === 0, lpad((col("o_custkey") % 1000).cast("string"), 6, "0"))
+          .when(col("o_orderkey") % 4 === 1, concat(lit("junk-"), col("o_orderkey")))
+          .when(col("o_orderkey") % 4 === 2, lit("mer#0"))  // len 5 ≥ Q, common substring
+          .otherwise(lit("ab"))                             // short path
+          .as("vendor"))
+    val fast = Enrichment.fuzzyContains(facts, dim, "txn_id", "vendor", "id", "vendor", Seq("gl_account"))
+      .select("txn_id", "gl_account").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // naive: broadcast theta join + first-wins
+    val naive = {
+      import org.apache.spark.sql.expressions.Window
+      val d = broadcast(dim.toDF("d_id", "d_vendor", "d_gl"))
+      facts.join(d, contains(lower(col("d_vendor")), lower(col("vendor"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("txn_id").orderBy(col("d_id").asc)))
+        .filter(col("rn") === 1)
+        .select("txn_id", "d_gl").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    assert(fast === naive)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Statement pipeline golden test on the FIXTURES.md A1 word table, plus the
+  * clustering-equivalence property (window formulation ≡ reference's greedy
+  * sequential rule, SURVEY.md §7.4). */
+object StatementSpec {
+  case class W(file: String, page: Int, text: String, x0: Double, x1: Double,
+               top: Double, bottom: Double)
+}
+
+class StatementSpec extends SparkSpec {
+  import spark.implicits._
+  import StatementSpec.W
+
+  def headerWords(file: String, page: Int): Seq[W] = Seq(
+    W(file, page, "Transaction", 50, 110, 180, 190),
+    W(file, page, "Details", 115, 150, 180, 190),
+    W(file, page, "Credits", 465.0, 501.6, 210.0, 220),
+    W(file, page, "Charges", 540.0, 572.3, 210.0, 220),
+    W(file, page, "Trans", 40, 70, 225.0, 235),
+    W(file, page, "Post", 80, 105, 225.3, 235),
+    W(file, page, "Reference", 115, 160, 224.8, 235))
+
+  def txnRow(file: String, page: Int, top: Double, date: String, ref: String,
+             desc: Seq[String], amt: String, amtX1: Double): Seq[W] = {
+    val dateW = Seq(W(file, page, date, 40, 65, top, top + 10),
+      W(file, page, date, 70, 95, top + 0.4, top + 10),
+      W(file, page, ref, 100, 160, top - 0.4, top + 10))
+    val descW = desc.zipWithIndex.map { case (d, i) =>
+      W(file, page, d, 170 + i * 60, 225 + i * 60, top + (i % 2) * 0.5, top + 10)
+    }
+    dateW ++ descW :+ W(file, page, amt, amtX1 - 30, amtX1, top, top + 10)
+  }
+
+  val words: Seq[W] =
+    headerWords("stmt.pdf", 1) ++
+      txnRow("stmt.pdf", 1, 240, "01/03", "2466XY", Seq("AMAZON", "MKTPL"), "39.12", 571) ++
+      txnRow("stmt.pdf", 1, 255, "01/05", "8832AB", Seq("REFUND", "VENDOR"), "15.00", 501) ++
+      txnRow("stmt.pdf", 1, 270, "01/15", "9921CD", Seq("PAYMENT", "THANK", "YOU"), "500.00", 571) ++
+      txnRow("stmt.pdf", 1, 300, "01/20", "5555EF", Seq("BIG", "BOX", "STORE"), "1,234.56", 570) ++
+      // footer: no leading MM/DD dates → rejected by F3
+      Seq(W("stmt.pdf", 1, "Subtotal", 40, 90, 330, 340),
+        W("stmt.pdf", 1, "1,788.68", 540, 570, 330, 340)) ++
+      // page 2 lacks "Transaction Details" → F1 skips it entirely
+      Seq(W("stmt.pdf", 2, "Rewards", 40, 90, 100, 110),
+        W("stmt.pdf", 2, "Summary", 95, 140, 100, 110)) ++
+      headerWords("other.pdf", 1) ++
+      txnRow("other.pdf", 1, 250, "02/10", "1199ZZ", Seq("COFFEE", "SHOP"), "4.75", 568)
+
+  lazy val out = Statement.parse(words.toDF()).collect()
+    .map(r => (r.getAs[String]("date"), r.getAs[String]("vendor"),
+      r.getAs[java.math.BigDecimal]("amount").doubleValue()))
+    .toSet
+
+  test("golden transactions: charges, comma amounts, multi-file union") {
+    assert(out.contains(("01/03", "AMAZON MKTPL", 39.12)))
+    assert(out.contains(("01/20", "BIG BOX STORE", 1234.56)))
+    assert(out.contains(("02/10", "COFFEE SHOP", 4.75)))
+  }
+
+  test("credit rows (amount left of threshold) are negated") {
+    assert(out.contains(("01/05", "REFUND VENDOR", -15.0)))
+  }
+
+  test("payment rows, footers, and non-detail pages are dropped") {
+    assert(out.size === 4)
+    assert(!out.exists(_._2.contains("PAYMENT")))
+  }
+
+  test("clustering window formulation ≡ greedy sequential reference rule") {
+    // jittered tops incl. a 2.9-gap chain drift that naive bucketing splits
+    val tops = Seq(100.0, 101.2, 102.9, 105.8, 120.0, 122.9, 125.7, 140.0, 160.0, 160.1)
+    val ws = tops.zipWithIndex.map { case (t, i) =>
+      W("f", 1, s"w$i", i * 10.0, i * 10.0 + 8, t, t + 8)
+    }
+    // reference greedy rule (pdf_parser.py:264-279): new row when gap ≥ 3
+    val expected = {
+      var row = 0
+      tops.sorted.zip(tops.sorted.drop(1)).map(_._2).scanLeft((tops.sorted.head, 0)) {
+        case ((prev, r), t) => (t, if (t - prev >= 3) r + 1 else r)
+      }.map(_._2)
+    }
+    val got = Statement.clusterRows(ws.toDF())
+      .orderBy("row_id").collect()
+      .flatMap(r => r.getSeq[org.apache.spark.sql.Row](3).map(_ => r.getLong(2)))
+    assert(got.length === tops.length)
+    // same grouping structure: sizes per cluster in order
+    val gotSizes = got.groupBy(identity).toSeq.sortBy(_._1).map(_._2.length)
+    val wantSizes = expected.groupBy(identity).toSeq.sortBy(_._1).map(_._2.length)
+    assert(gotSizes === wantSizes)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.similarity
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf0001)
+
+  test("dotFold computes the exact sequential dot product") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val got = df.select(Knn.dotFold(col("a"), col("b"))).as[Double].collect().head
+    assert(got === 32.0)
+  }
+
+  test("brute-force top-k ranks by true dot product, deterministic ties") {
+    val topk = Knn.bruteForceTopK(emb, 5)
+    val rows = topk.collect()
+    val perQuery = rows.groupBy(_.getAs[Long]("a_id"))
+    assert(perQuery.nonEmpty)
+    perQuery.foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      val dots = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("dot"))
+      assert(dots.zip(dots.drop(1)).forall { case (x, y) => x >= y }, "dot desc within query")
+    }
+    // cosine ≈ dot for unit-norm vectors
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cosine") - r.getAs[Double]("dot")) < 1e-4)
+    }
+  }
+
+  test("LSH top-k returns true dot products and beats random retrieval") {
+    val lsh = Knn.lshTopK(emb, 5).collect()
+    assert(lsh.nonEmpty, "LSH should produce candidates at this corpus size")
+    // spot-check: reported dots match brute-force dot for the same pairs
+    val exactDots = Knn.bruteForceTopK(emb, emb.count().toInt).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("dot")).toMap
+    lsh.take(50).foreach { r =>
+      val key = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      exactDots.get(key).foreach(d => assert(math.abs(d - r.getAs[Double]("dot")) < 1e-12))
+    }
+    // same-bucket candidates should average higher similarity than corpus mean
+    val lshMean = lsh.map(_.getAs[Double]("dot")).sum / lsh.length
+    val corpusMean = exactDots.values.sum / exactDots.size
+    assert(lshMean > corpusMean, s"lsh mean $lshMean vs corpus mean $corpusMean")
+  }
+
+  test("srp codes are within [0, 2^bits) per table") {
+    val codes = Knn.srpCodes(emb).collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val c = r.getAs[Long]("code")
+      assert(c >= 0 && c < (1L << Knn.lshBits))
+      assert(r.getAs[Int]("t") >= 0 && r.getAs[Int]("t") < Knn.lshTables)
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming tier driven by MemoryStream (§2.9). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  def mkEvents(rows: (Long, String, Long, String, Double)*): Seq[StreamOps.UserEvent] =
+    rows.map { case (id, t, uid, et, v) => StreamOps.UserEvent(id, ts(t), uid, et, v) }
+
+  val batch1 = mkEvents(
+    (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+    (2, "2024-01-01 10:02:00", 1, "view", 2.0),
+    (3, "2024-01-01 10:30:00", 1, "click", 3.0),   // > 10 min gap → new session
+    (4, "2024-01-01 10:03:00", 2, "signup", 4.0))
+
+  /** Start the query first, then feed batches one micro-batch at a time so
+    * the watermark actually advances between them. */
+  def runBatches(stream: MemoryStream[StreamOps.UserEvent],
+                 df: org.apache.spark.sql.DataFrame,
+                 mode: String, name: String,
+                 batches: Seq[Seq[StreamOps.UserEvent]]): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(name)
+  }
+
+  test("session_window agrees with the batch gap-clustering semantics") {
+    val stream = MemoryStream[StreamOps.UserEvent]
+    val out = runBatches(stream,
+      StreamOps.sessionCounts(stream.toDF(), "10 minutes"), "append", "sessions",
+      // second batch advances the watermark far enough to close all sessions
+      Seq(batch1, mkEvents((99, "2024-01-01 12:00:00", 9, "click", 0.0))))
+    val u1 = out.filter($"user_id" === 1).orderBy("session_start")
+      .select("n_events").as[Long].collect().toSeq
+    assert(u1 === Seq(2L, 1L)) // events 1+2 in one session, 3 alone
+    val u2 = out.filter($"user_id" === 2).select("n_events").as[Long].collect().toSeq
+    assert(u2 === Seq(1L))
+  }
+
+  test("tumbling window with watermark drops late data") {
+    val stream = MemoryStream[StreamOps.UserEvent]
+    val out = runBatches(stream,
+      StreamOps.tumblingCounts(stream.toDF(), "1 hour", "30 minutes"), "append", "tumbling",
+      Seq(batch1,
+        mkEvents((5, "2024-01-01 12:00:00", 3, "click", 1.0)),  // watermark → 11:30
+        mkEvents((6, "2024-01-01 09:00:00", 3, "click", 1.0)))) // late → dropped
+    val closed = out.filter($"window_start" === ts("2024-01-01 09:00:00")).count()
+    assert(closed === 0, "late event must not resurrect a closed window")
+    val tenOclock = out.filter($"window_start" === ts("2024-01-01 10:00:00"))
+      .agg(sum("n")).as[Long].collect().head
+    assert(tenOclock === 4)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed event ids") {
+    val stream = MemoryStream[StreamOps.UserEvent]
+    val out = runBatches(stream,
+      StreamOps.dedupWithinWatermark(stream.toDF()), "append", "deduped",
+      Seq(batch1, batch1)) // exact replay (at-least-once delivery)
+    assert(out.count() === batch1.length)
+  }
+
+  test("flatMapGroupsWithState maintains running per-user totals across batches") {
+    val stream = MemoryStream[StreamOps.UserEvent]
+    val out = runBatches(stream,
+      StreamOps.runningUserTotals(stream.toDS()).toDF(), "append", "running",
+      Seq(batch1.filter(_.user_id == 1).take(2), batch1.filter(_.user_id == 1).drop(2)))
+    val rows = out.filter($"user_id" === 1).orderBy("n_events")
+      .select("n_events", "total_value").as[(Long, Double)].collect()
+    assert(rows.last === ((3L, 6.0))) // final state: 3 events, 1+2+3
+  }
+}
