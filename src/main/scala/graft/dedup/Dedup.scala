@@ -41,7 +41,7 @@ object Dedup {
 
   /** Distinct (doc_id, shingle) pairs — shared by Jaccard and MinHash. */
   private def shingleRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
+    graft.text.TextAnalysis.shingleRows(docs)
 
   /** D2: exact n-gram Jaccard similarity join with **prefix filtering**
     * (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06): under a global
