@@ -79,13 +79,17 @@ object Enrichment {
         lit("exact").as("match_type"): _*)
     val misses = exact.filter(e(dimId).isNull).select(facts.columns.map(col): _*)
 
-    val fuzzyHits = fuzzyContains(misses, dim, factId, factKey, dimId, dimKey, payload)
-    val noneRows = misses.join(fuzzyHits.select(col(factId)), Seq(factId), "left_anti")
-      .select(facts.columns.map(col) ++
-        payload.map(p => lit(null).cast(dim.schema(p).dataType).as(p)) :+
-        lit("none").as("match_type"): _*)
+    // one fuzzy subtree; misses left-join it so no-match facts fall out of
+    // the same pass (an anti-join against the result would re-execute the
+    // whole fuzzy plan — DataFrame DAGs don't dedupe shared subtrees)
+    val best = fuzzyContains(misses, dim, factId, factKey, dimId, dimKey, payload)
+      .withColumnRenamed("match_type", "__mt")
+    val fuzzyResolved = misses
+      .join(best.select((factId +: "__mt" +: payload).map(col): _*), Seq(factId), "left")
+      .select(facts.columns.map(col) ++ payload.map(col) :+
+        coalesce(col("__mt"), lit("none")).as("match_type"): _*)
 
-    hits.unionByName(fuzzyHits).unionByName(noneRows)
+    hits.unionByName(fuzzyResolved)
   }
 
   /** Fuzzy phase via [[QGramIndex]]: facts whose key is substring-contained

@@ -107,15 +107,38 @@ object Knn {
       .select(col("a_id"), col("rk"), col("b_id"), col("dot"))
   }
 
+  /** Embedding-cosine near-dup pairs: LSH-bucketed candidate generation +
+    * exact cosine verify ≥ threshold. The dedup-tier twin of lshTopK —
+    * cost ∝ bucket collisions, never |corpus|². */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val codes = srpCodes(emb)
+    val cand = codes.toDF("a_id", "t", "code")
+      .join(codes.toDF("b_id", "t", "code"), Seq("t", "code"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val va = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val vb = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    cand.join(va, "a_id").join(vb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        (dotFold(col("ea"), col("eb")) /
+          (sqrt(dotFold(col("ea"), col("ea"))) * sqrt(dotFold(col("eb"), col("eb")))))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   def s1KnnExact(spark: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables.embeddings(spark, dir), 5).orderBy("a_id", "rk")
 
   def s2KnnLsh(spark: SparkSession, dir: String): DataFrame =
     lshTopK(Tables.embeddings(spark, dir), 5).orderBy("a_id", "rk")
 
+  def d5EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDupPairs(Tables.embeddings(spark, dir), 0.3).orderBy("a_id", "b_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_exact" -> (s1KnnExact _),
-    "s2_knn_lsh" -> (s2KnnLsh _)
+    "s2_knn_lsh" -> (s2KnnLsh _),
+    "d5_embedding_neardup" -> (d5EmbeddingNearDup _)
   )
 
   /** s2 has no oracle entry (sketch-based candidate set is engine-internal;

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan shape assertions: the properties that make these queries
+  * survive a 100 TB scale-up, pinned as tests so a refactor can't silently
+  * regress them. Uses sf0.001 (plan shape is scale-independent; AQE may
+  * refine joins at runtime but the static plan shows the intent). */
+class PlanSpec extends SparkSpec {
+
+  def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  def planOf(name: String): String = plan(SparkEntry.queries(name)(spark, sf0001))
+
+  test("filters push down to the parquet scan and prune columns") {
+    val p = planOf("f01_contains_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(text), StringContains(text,table)]"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string,n_chars:bigint>"), p)
+  }
+
+  test("q1 aggregates partially before the shuffle (map-side combine)") {
+    val p = planOf("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+  }
+
+  test("dimension joins broadcast (J1) — no fact-side shuffle") {
+    val p = planOf("j01_exact_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("two-phase enrichment never cartesian-joins the long-key path") {
+    val p = planOf("j02_twophase_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the bounded short-key (< Q chars) fallback
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = planOf("o1_topk_sort")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("sessionization shuffles once: window partitioning feeds the groupBy") {
+    val p = planOf("a01_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"expected the groupBy to reuse the window's user_id partitioning:\n$p")
+  }
+
+  test("group-scalar attach uses a window, not a join back (J3)") {
+    val p = planOf("j03_group_scalar_attach")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("band join is an equi sort-merge on the user key, not a cross product") {
+    val p = planOf("j04_band_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("knn exact broadcasts the query side") {
+    val p = planOf("s1_knn_exact")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // q-side broadcast, corpus streams
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("money aggregates use exact decimal sums (no double accumulation)") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf0001)
+    val aggExprs = df.queryExecution.optimizedPlan.toString
+    assert(aggExprs.contains("sum(cast("), aggExprs)
+    assert(aggExprs.toLowerCase.contains("decimal"), aggExprs)
+  }
+}

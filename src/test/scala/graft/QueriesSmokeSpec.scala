@@ -10,7 +10,7 @@ class QueriesSmokeSpec extends SparkSpec {
   // pair-finding queries can legitimately find nothing in ~1k-row samples
   val mayBeEmptyAtTinyScale =
     Set("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
-      "j04_band_join", "j05_exists_probe")
+      "d5_embedding_neardup", "j04_band_join", "j05_exists_probe")
 
   test("all queries run at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

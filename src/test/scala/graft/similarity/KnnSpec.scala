@@ -46,6 +46,25 @@ class KnnSpec extends SparkSpec {
     assert(lshMean > corpusMean, s"lsh mean $lshMean vs corpus mean $corpusMean")
   }
 
+  test("cosine near-dup pairs are a subset of exact pairs with correct values") {
+    val lshPairs = Knn.cosineNearDupPairs(emb, 0.3).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("cosine")).toMap
+    // exact all-pairs at this tiny scale
+    val e = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exactPairs = (for {
+      (ia, va) <- e; (ib, vb) <- e if ia < ib
+      c = cos(va, vb) if c >= 0.3
+    } yield (ia, ib) -> c).toMap
+    assert(lshPairs.keySet.subsetOf(exactPairs.keySet),
+      s"LSH produced a non-true pair: ${lshPairs.keySet -- exactPairs.keySet}")
+    lshPairs.foreach { case (k, v) => assert(math.abs(v - exactPairs(k)) < 1e-9) }
+  }
+
   test("srp codes are within [0, 2^bits) per table") {
     val codes = Knn.srpCodes(emb).collect()
     assert(codes.nonEmpty)

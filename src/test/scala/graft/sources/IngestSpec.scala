@@ -1,0 +1,61 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  def mkDropDir(): String = {
+    val dir = Files.createTempDirectory("graft_drop").toString
+    Files.createDirectories(Paths.get(s"$dir/2024-01"))
+    Files.write(Paths.get(s"$dir/2024-01/stmt_a.pdf"), "01/03 01/03 2466 AMAZON 39.12".getBytes)
+    Files.write(Paths.get(s"$dir/2024-01/stmt_b.pdf"), "01/05 01/06 8832 REFUND 15.00".getBytes)
+    Files.write(Paths.get(s"$dir/notes.txt"), "not a pdf".getBytes)
+    dir
+  }
+
+  test("binary glob scan is recursive and respects the glob filter") {
+    val dir = mkDropDir()
+    val files = Ingest.binaryScan(spark, dir)
+    val paths = files.select("path").as[String].collect()
+    assert(paths.length === 2)
+    assert(paths.forall(_.endsWith(".pdf")))
+  }
+
+  test("word extraction produces the FIXTURES.md A1 contract") {
+    val dir = mkDropDir()
+    val words = Ingest.extractWords(Ingest.binaryScan(spark, dir))
+    assert(words.columns.toSeq ===
+      Seq("file", "page", "text", "x0", "x1", "top", "bottom"))
+    val amazon = words.filter($"text" === "AMAZON").collect()
+    assert(amazon.length === 1)
+    assert(words.count() === 10)
+  }
+
+  test("manifest dedup drops already-landed filenames (F13)") {
+    val dir = mkDropDir()
+    val incoming = Ingest.binaryScan(spark, dir)
+    val manifest = Seq("stmt_a.pdf").toDF("filename")
+    val fresh = Ingest.dedupAgainstManifest(incoming, manifest)
+      .select("filename").as[String].collect()
+    assert(fresh.toSeq === Seq("stmt_b.pdf"))
+  }
+
+  test("streaming binaryFile landing processes new files incrementally") {
+    val dir = mkDropDir()
+    val stream = Ingest.withMonthPartition(
+      Ingest.binaryStream(spark, dir).drop("content"))
+    val q = stream.writeStream.format("memory").queryName("landing")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("landing").count() === 2)
+    Files.write(Paths.get(s"$dir/2024-01/stmt_c.pdf"), "02/01 02/02 1111 NEW 1.00".getBytes)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("landing").count() === 3)
+    val months = spark.table("landing").select("month").distinct().as[String].collect()
+    assert(months.nonEmpty)
+  }
+}
