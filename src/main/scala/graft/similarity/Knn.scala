@@ -32,19 +32,22 @@ object Knn {
       lit(0.0),
       (acc, x) => acc + x)
 
-  /** Exact top-k inner-product neighbors for query vectors (`vec_id % 20 = 0`). */
+  /** Exact top-k inner-product neighbors for query vectors (`vec_id % 20 = 0`).
+    * Norms are one fold per *vector* (broadcast-joined in), not per pair —
+    * per-pair norm recomputation cost |queries|·|corpus| redundant folds. */
   def bruteForceTopK(emb: DataFrame, k: Int): DataFrame = {
     val q = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
       .filter(col("a_id") % 20 === 0)
     val c = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val norms = emb.select(col("vec_id").as("id"),
+      dotFold(col("embedding"), col("embedding")).as("n2"))
     val scored = c.join(broadcast(q), col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        dotFold(col("ea"), col("eb")).as("dot"),
-        dotFold(col("ea"), col("ea")).as("na2"),
-        dotFold(col("eb"), col("eb")).as("nb2"))
+      .select(col("a_id"), col("b_id"), dotFold(col("ea"), col("eb")).as("dot"))
     val rk = Window.partitionBy("a_id").orderBy(col("dot").desc, col("b_id").asc)
     scored.withColumn("rk", row_number().over(rk))
       .filter(col("rk") <= k)
+      .join(broadcast(norms.toDF("a_id", "na2")), "a_id")
+      .join(broadcast(norms.toDF("b_id", "nb2")), "b_id")
       .select(col("a_id"), col("rk"), col("b_id"), col("dot"),
         (col("dot") / (sqrt(col("na2")) * sqrt(col("nb2")))).as("cosine"))
   }
@@ -148,23 +151,25 @@ object Knn {
     "s1_knn_exact" ->
       """WITH q AS (
         |  SELECT vec_id AS a_id, embedding AS ea FROM embeddings WHERE vec_id % 20 = 0),
+        |norms AS (
+        |  SELECT vec_id AS id,
+        |    list_reduce(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (acc, x) -> acc + x) AS n2
+        |  FROM embeddings),
         |scored AS (
         |  SELECT a_id, b.vec_id AS b_id,
         |    list_reduce(list_transform(range(1, len(ea) + 1),
         |      i -> CAST(ea[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-        |      (acc, x) -> acc + x) AS dot,
-        |    list_reduce(list_transform(range(1, len(ea) + 1),
-        |      i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)),
-        |      (acc, x) -> acc + x) AS na2,
-        |    list_reduce(list_transform(range(1, len(b.embedding) + 1),
-        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-        |      (acc, x) -> acc + x) AS nb2
+        |      (acc, x) -> acc + x) AS dot
         |  FROM q JOIN embeddings b ON b.vec_id <> a_id),
         |ranked AS (
-        |  SELECT a_id, b_id, dot, na2, nb2,
+        |  SELECT a_id, b_id, dot,
         |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
         |  FROM scored)
-        |SELECT a_id, rk, b_id, dot, dot / (sqrt(na2) * sqrt(nb2)) AS cosine
-        |FROM ranked WHERE rk <= 5 ORDER BY a_id, rk""".stripMargin
+        |SELECT a_id, rk, b_id, dot,
+        |  dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+        |FROM ranked JOIN norms na ON na.id = a_id JOIN norms nb ON nb.id = b_id
+        |WHERE rk <= 5 ORDER BY a_id, rk""".stripMargin
   )
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{MoneyParse, VersionCmp}
+
+/** Property-based tier (SURVEY.md §5.3). Pure-function properties run at
+  * full ScalaCheck volume; Spark-backed properties cap cases (each case is
+  * a Spark job). */
+object PureProperties extends Properties("pure") {
+
+  val money: Gen[BigDecimal] =
+    Gen.chooseNum(-99999999L, 99999999L).map(c => BigDecimal(c) / 100)
+
+  property("money_parse round-trips formatted decimals") = forAll(money) { d =>
+    val plain = d.setScale(2).toString
+    val parsed = MoneyParse.parse((if (d >= 0) "$" else "") + plain)
+    parsed != null && BigDecimal(parsed.toBigDecimal.bigDecimal) == d.setScale(2)
+  }
+
+  property("money_parse handles comma grouping") = forAll(money.suchThat(_ >= 0)) { d =>
+    val s = java.text.NumberFormat.getInstance(java.util.Locale.US)
+      .format(d.setScale(2).bigDecimal)
+    val withCents = if (s.contains(".")) s else s + ".00"
+    val parsed = MoneyParse.parse("$" + withCents)
+    parsed != null && BigDecimal(parsed.toBigDecimal.bigDecimal) == d.setScale(2)
+  }
+
+  property("money_parse rejects garbage") = forAll(Gen.alphaStr) { s =>
+    val r = MoneyParse.parse(s)
+    r == null || s.exists(_.isDigit)
+  }
+
+  val version: Gen[String] =
+    Gen.listOfN(3, Gen.chooseNum(0, 99)).map(_.mkString("."))
+
+  property("version_cmp is antisymmetric") = forAll(version, version) { (a, b) =>
+    VersionCmp.compare(a, b) == -VersionCmp.compare(b, a)
+  }
+
+  property("version_cmp is transitively consistent with numeric order") =
+    forAll(version, version, version) { (a, b, c) =>
+      val (x, y, z) = (VersionCmp.compare(a, b), VersionCmp.compare(b, c), VersionCmp.compare(a, c))
+      !(x > 0 && y > 0) || z > 0
+    }
+
+  property("version_cmp treats missing components as zero") = forAll(version) { v =>
+    VersionCmp.compare(v + ".0", v) == 0 && VersionCmp.compare("v" + v, v) == 0
+  }
+}
+
+/** Spark-backed properties: the clustering window formulation is exactly the
+  * reference's greedy rule on arbitrary jittered layouts. */
+class ClusteringPropertySpec extends SparkSpec {
+  import spark.implicits._
+  import org.scalacheck.Prop.propBoolean
+
+  def greedyReference(tops: List[Double], gap: Double = 3.0): List[Int] = {
+    val sorted = tops.sorted
+    sorted.tail.scanLeft((sorted.head, 0)) { case ((prev, g), t) =>
+      (t, if (t - prev >= gap) g + 1 else g)
+    }.map(_._2)
+  }
+
+  test("clustering ≡ greedy reference on random layouts (property)") {
+    val genTops = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0.0, 300.0).map(t => math.rint(t * 10) / 10)))
+    val prop = forAll(genTops) { tops =>
+      tops.nonEmpty ==> {
+        val df = tops.zipWithIndex.map { case (t, i) =>
+          ("f", 1, s"w$i", i * 5.0, i * 5.0 + 4, t, t + 8.0)
+        }.toDF("file", "page", "text", "x0", "x1", "top", "bottom")
+        val rows = graft.pipeline.Statement.clusterRows(df)
+          .select("row_id", "ws").collect()
+        val gotSizes = rows.map(r => r.getLong(0) -> r.getSeq[Any](1).size)
+          .sortBy(_._1).map(_._2).toList
+        val ref = greedyReference(tops)
+        val refSizes = ref.groupBy(identity).toList.sortBy(_._1).map(_._2.size)
+        Prop(gotSizes == refSizes) :| s"got $gotSizes want $refSizes tops=$tops"
+      }
+    }
+    val result = Test.check(Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, result.status.toString)
+  }
+}
