@@ -20,6 +20,11 @@ object Profile {
     val docs = Tables.documents(spark, dir)
     docs.count()  // warm
 
+    args.headOption.foreach {
+      case "shj" => spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      case _ =>
+    }
+
     val sh = docs.select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
     t("shingleRows")(sh)
     t("shingle freq")(sh.groupBy("s").count())
@@ -29,10 +34,14 @@ object Profile {
           col("s") === col("s2") && col("a_id") < col("b_id"))
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("common")))
     t("d2 current (prefix+verify)")(graft.dedup.Dedup.ngramJaccardPairs(docs, 0.5))
-    t("d3 bands")(graft.dedup.Dedup.minHashBands(docs))
+    t("d3 bands")(graft.dedup.Dedup.minHashBands(
+      graft.text.TextAnalysis.shingleRows(docs)))
     t("d3 full")(graft.dedup.Dedup.minHashLshPairs(docs, 0.5))
     t("s2 codes")(graft.similarity.Knn.srpCodes(Tables.embeddings(spark, dir)))
     t("s2 full")(graft.similarity.Knn.lshTopK(Tables.embeddings(spark, dir), 5))
+    t("d5 neardup")(graft.similarity.Knn.cosineNearDupPairs(Tables.embeddings(spark, dir), 0.3))
+    t("a07 coa")(graft.operators.Aggregates.coaClassify(spark, dir))
+    t("j02 twophase")(graft.operators.Joins.j02TwoPhaseEnrich(spark, dir))
     spark.stop()
   }
 }

@@ -52,7 +52,10 @@ object Dedup {
     * shingles (the quadratic blowup) land outside prefixes — and only
     * candidates get a full-set verify. Exact, ~10× fewer generated pairs. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs)
+    // the shingle table feeds candidate generation, both verify sides, and
+    // sizes — four subtree evaluations without a cache (DataFrame DAGs
+    // don't dedupe shared subtrees once pushdown differentiates them)
+    val sh = shingleRows(docs).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val rarityOrder = Window.partitionBy("doc_id").orderBy("df", "s")
@@ -83,8 +86,10 @@ object Dedup {
   }
 
   /** MinHash signatures: (doc_id, band, band_sig) — one row per band,
-    * produced by a single groupBy with 16 `min(h ^ cᵢ)` aggregates. */
-  def minHashBands(docs: DataFrame): DataFrame = {
+    * produced by a single groupBy with 16 `min(h ^ cᵢ)` aggregates.
+    * Takes the (doc_id, s) shingle table (see [[minHashLshPairs]] for the
+    * cached composition). */
+  def minHashBands(sh: DataFrame): DataFrame = {
     val mins = seedConstants.zipWithIndex.map { case (c, i) =>
       min(expr(s"__h ^ ${c}L")).as(s"mh$i")
     }
@@ -93,8 +98,7 @@ object Dedup {
         concat_ws(",", (0 until bandSize).map(k => col(s"mh${b * bandSize + k}").cast("string")): _*)
           .as("band_sig"))
     }
-    shingleRows(docs)
-      .withColumn("__h", md5Hash60(col("s")))
+    sh.withColumn("__h", md5Hash60(col("s")))
       .groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
@@ -104,13 +108,13 @@ object Dedup {
     * generation is an equi-join on (band, band_sig); only collisions are
     * verified. */
   def minHashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val bands = minHashBands(docs)
+    val sh = shingleRows(docs).persist()
+    val bands = minHashBands(sh)
     val cand = bands.toDF("a_id", "band", "sig")
       .join(bands.toDF("b_id", "band2", "sig2"),
         col("band") === col("band2") && col("sig") === col("sig2") &&
           col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val sh = shingleRows(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     pairsCommon(cand, sh, sizes, threshold)
   }

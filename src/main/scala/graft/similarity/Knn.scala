@@ -95,7 +95,10 @@ object Knn {
   /** Approximate top-k: union of same-bucket candidates over all tables.
     * Recall vs [[bruteForceTopK]] is asserted in KnnSpec. */
   def lshTopK(emb: DataFrame, k: Int): DataFrame = {
-    val codes = srpCodes(emb)
+    // both sides of the bucket self-join read the codes; pushdown of the
+    // query-side filter differentiates the subtrees and defeats exchange
+    // reuse, so cache the sketch (a few KB per thousand vectors)
+    val codes = srpCodes(emb).persist()
     val qc = codes.filter(col("id") % 20 === 0).toDF("a_id", "t", "code")
     val bc = codes.toDF("b_id", "t", "code")
     val cand = qc.join(bc, Seq("t", "code")).filter(col("a_id") =!= col("b_id"))
@@ -114,18 +117,20 @@ object Knn {
     * exact cosine verify ≥ threshold. The dedup-tier twin of lshTopK —
     * cost ∝ bucket collisions, never |corpus|². */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val codes = srpCodes(emb)
+    val codes = srpCodes(emb).persist()
     val cand = codes.toDF("a_id", "t", "code")
       .join(codes.toDF("b_id", "t", "code"), Seq("t", "code"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     val va = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
     val vb = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val norms = emb.select(col("vec_id").as("id"),
+      sqrt(dotFold(col("embedding"), col("embedding"))).as("nrm"))
     cand.join(va, "a_id").join(vb, "b_id")
+      .join(broadcast(norms.toDF("a_id", "na")), "a_id")
+      .join(broadcast(norms.toDF("b_id", "nb")), "b_id")
       .select(col("a_id"), col("b_id"),
-        (dotFold(col("ea"), col("eb")) /
-          (sqrt(dotFold(col("ea"), col("ea"))) * sqrt(dotFold(col("eb"), col("eb")))))
-          .as("cosine"))
+        (dotFold(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
