@@ -94,7 +94,25 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** J6 (extension): as-of join — each purchase gets the user's latest
+    * click at-or-before it. See [[AsOf.joinAsOf]]; DuckDB's native
+    * `ASOF LEFT JOIN` is the oracle. */
+  def j06AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    AsOf.joinAsOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+        payload = Seq("click_id"), prefix = "last_")
+      .select(col("event_id"), col("user_id"),
+        col("last_click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("last_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j06_asof_join" -> (j06AsOfJoin _),
     "j01_exact_enrich" -> (j01ExactEnrich _),
     "j02_twophase_enrich" -> (j02TwoPhaseEnrich _),
     "j03_group_scalar_attach" -> (j03GroupScalarAttach _),
@@ -103,6 +121,13 @@ object Joins {
   )
 
   def oracle: Map[String, String] = Map(
+    "j06_asof_join" ->
+      """SELECT p.event_id, p.user_id, c.event_id AS last_click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "j01_exact_enrich" ->
       """SELECT p_brand, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue

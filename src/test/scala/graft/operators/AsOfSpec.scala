@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(s: Long): Timestamp = new Timestamp(s * 1000)
+
+  val left = Seq(
+    (101L, 1L, ts(100)), // after right rows at 80, 90 → match 90
+    (102L, 1L, ts(85)),  // between 80 and 90 → match 80
+    (103L, 1L, ts(50)),  // before any right → null
+    (104L, 2L, ts(100)), // key with no right rows → null
+    (105L, 3L, ts(70))   // exactly simultaneous right → matches it (>=)
+  ).toDF("event_id", "user_id", "ts")
+
+  val right = Seq(
+    (1L, ts(80), 901L),
+    (1L, ts(90), 902L),
+    (3L, ts(70), 903L),
+    (4L, ts(10), 904L)
+  ).toDF("user_id", "ts", "click_id")
+
+  lazy val out = AsOf.joinAsOf(left, right, Seq("user_id"), "ts", "ts",
+      Seq("click_id"), prefix = "last_")
+    .collect().map(r => r.getAs[Long]("event_id") ->
+      Option(r.getAs[java.lang.Long]("last_click_id")).map(_.toLong)).toMap
+
+  test("attaches the latest right row at or before each left timestamp") {
+    assert(out(101L) === Some(902L))
+    assert(out(102L) === Some(901L))
+    assert(out(105L) === Some(903L)) // inclusive at equality
+  }
+
+  test("left rows with no eligible right row get nulls, and are kept") {
+    assert(out(103L) === None)
+    assert(out(104L) === None)
+    assert(out.size === 5)
+  }
+
+  test("right rows never appear as output rows") {
+    val n = AsOf.joinAsOf(left, right, Seq("user_id"), "ts", "ts", Seq("click_id")).count()
+    assert(n === left.count())
+  }
+
+  test("plan is one shuffle on the key — no range join, no cartesian") {
+    val df = AsOf.joinAsOf(left, right, Seq("user_id"), "ts", "ts", Seq("click_id"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)   // union + window, not a join at all
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+}
