@@ -12,6 +12,7 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

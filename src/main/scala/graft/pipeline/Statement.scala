@@ -131,6 +131,27 @@ object Statement {
         col("amount"), col("description"))
   }
 
+  /** SURVEY.md §7.4: the reference keeps `MM/DD` strings and never resolves
+    * the year. Parity keeps strings; this opt-in enrichment derives a real
+    * DateType given the statement year (statement-period boundary rule:
+    * December dates on a January statement belong to `year - 1`). */
+  def withResolvedDates(txns: DataFrame, statementYear: Int, statementMonth: Int): DataFrame = {
+    val mm = split(col("date"), "/").getItem(0).cast("int")
+    val yr = when(mm > statementMonth, lit(statementYear - 1)).otherwise(lit(statementYear))
+    txns.withColumn("date_resolved",
+      to_date(concat_ws("-", yr, format_string("%02d", mm),
+        split(col("date"), "/").getItem(1))))
+  }
+
+  /** A6 empty-input guard (main.py:108-112): fail fast with the reference's
+    * abort semantics instead of writing an empty report. */
+  def requireTransactions(txns: DataFrame): DataFrame = {
+    if (txns.isEmpty)
+      throw new IllegalStateException(
+        "No transactions found — check input statements (main.py:108-112 semantics)")
+    txns
+  }
+
   /** The full pipeline: words → transactions (one lazy plan, §3.1).
     * The header-buffer filter (F10, pdf_parser.py:259-260) drops words at or
     * above `header_top + 5` *before* clustering, like the reference. */

@@ -78,4 +78,17 @@ object Ingest {
     val named = incoming.withColumn("filename", element_at(split(col("path"), "/"), -1))
     named.join(broadcast(manifest.select(col("filename"))), Seq("filename"), "left_anti")
   }
+
+  /** F11: statement-email subject filter (email_fetcher.py:49-56) over a
+    * mail-metadata frame `(subject, from, received, ...)`. */
+  def statementSubjectFilter(mail: DataFrame): DataFrame =
+    mail.filter(lower(col("subject")).rlike("statement|credit card|mastercard"))
+
+  /** F12: server-side date+sender predicate (email_fetcher.py:38-44):
+    * last `days` days, from the bank domain. `asOf` is explicit — the
+    * engine never embeds wall-clock now() in a lazy plan. */
+  def recentFromBank(mail: DataFrame, asOf: java.sql.Timestamp, days: Int = 30,
+                     senderDomain: String = "wellsfargo.com"): DataFrame =
+    mail.filter(col("received") >= date_sub(lit(asOf).cast("date"), days) &&
+      col("from").contains(senderDomain))
 }

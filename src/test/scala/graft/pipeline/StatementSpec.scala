@@ -70,6 +70,23 @@ class StatementSpec extends SparkSpec {
     assert(!out.exists(_._2.contains("PAYMENT")))
   }
 
+  test("optional year resolution handles the statement-period boundary") {
+    val txns = Seq(("01/03", "A"), ("12/28", "B")).toDF("date", "vendor")
+    val dated = Statement.withResolvedDates(txns, 2024, 1)
+      .select("date", "date_resolved").collect()
+      .map(r => r.getString(0) -> r.getDate(1).toString).toMap
+    assert(dated("01/03") === "2024-01-03")
+    assert(dated("12/28") === "2023-12-28") // December on a January statement
+  }
+
+  test("empty-input guard aborts like the reference") {
+    val empty = words.toDF().filter($"page" === 999)
+    intercept[IllegalStateException] {
+      Statement.requireTransactions(Statement.parse(empty))
+    }
+    assert(Statement.requireTransactions(Statement.parse(words.toDF())).count() === 4)
+  }
+
   test("clustering window formulation ≡ greedy sequential reference rule") {
     // jittered tops incl. a 2.9-gap chain drift that naive bucketing splits
     val tops = Seq(100.0, 101.2, 102.9, 105.8, 120.0, 122.9, 125.7, 140.0, 160.0, 160.1)

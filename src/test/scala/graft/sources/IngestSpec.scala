@@ -43,6 +43,26 @@ class IngestSpec extends SparkSpec {
     assert(fresh.toSeq === Seq("stmt_b.pdf"))
   }
 
+  test("email subject/date filters select statement mail (F11/F12)") {
+    val ts = java.sql.Timestamp.valueOf("2024-02-01 12:00:00")
+    val mail = Seq(
+      ("Your Credit Card Statement", "alerts@wellsfargo.com", "2024-01-20 08:00:00"),
+      ("Mastercard statement ready", "alerts@wellsfargo.com", "2023-11-01 08:00:00"), // too old
+      ("Credit card offer!!", "spam@other.com", "2024-01-25 08:00:00"),               // wrong sender
+      ("Lunch?", "friend@wellsfargo.com", "2024-01-28 08:00:00")                      // wrong subject
+    ).toDF("subject", "from", "received_s")
+      .withColumn("received", $"received_s".cast("timestamp")).drop("received_s")
+    val got = Ingest.statementSubjectFilter(Ingest.recentFromBank(mail, ts))
+      .select("subject").as[String].collect().toSeq
+    assert(got === Seq("Your Credit Card Statement"))
+  }
+
+  test("report filename is timestamped (K3)") {
+    val name = graft.pipeline.Report.reportFilename(
+      java.time.LocalDateTime.of(2024, 2, 1, 13, 45, 9))
+    assert(name === "credit_card_transactions_20240201_134509.csv")
+  }
+
   test("streaming binaryFile landing processes new files incrementally") {
     val dir = mkDropDir()
     val stream = Ingest.withMonthPartition(
