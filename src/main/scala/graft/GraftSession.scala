@@ -7,8 +7,8 @@ import org.apache.spark.sql.SparkSession
   * `shuffle.partitions` ≈ total cores; AQE coalesces/replans at runtime so
   * the same code scales from local[4] to a 1000-executor cluster. */
 object GraftSession {
-  def apply(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
-            cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+  def apply(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+            cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")

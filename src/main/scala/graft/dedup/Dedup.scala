@@ -43,18 +43,37 @@ object Dedup {
   private def shingleRows(docs: DataFrame): DataFrame =
     graft.text.TextAnalysis.shingleRows(docs)
 
-  /** D2: exact n-gram Jaccard similarity join with **prefix filtering**
-    * (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06): under a global
-    * rarity order on shingles, any pair with jaccard ≥ τ must share a
-    * shingle inside each doc's first `n − ⌈τ·n⌉ + 1` shingles (if all shared
-    * shingles sat outside a's prefix, overlap ≤ ⌈τ·na⌉ − 1 < τ·na ≤ required
-    * overlap). So candidates come from a prefix×prefix equi-join — frequent
-    * shingles (the quadratic blowup) land outside prefixes — and only
-    * candidates get a full-set verify. Exact, ~10× fewer generated pairs. */
+  /** D2: exact n-gram Jaccard similarity join — inverted-index self-join
+    * with direct overlap counting (one join + one aggregation). The right
+    * default when the pairs-sharing-a-shingle volume (Σ df²) is tractable,
+    * which holds for dense small-vocabulary corpora like the test data;
+    * for zipf-distributed real text where a few hot shingles make Σ df²
+    * explode, use [[ngramJaccardPairsPrefix]] (equivalent results, see
+    * DedupSpec). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // the shingle table feeds candidate generation, both verify sides, and
-    // sizes — four subtree evaluations without a cache (DataFrame DAGs
-    // don't dedupe shared subtrees once pushdown differentiates them)
+    val sh = shingleRows(docs).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.toDF("a_id", "s")
+      .join(sh.toDF("b_id", "s2"), col("s") === col("s2") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** D2 scale path: **prefix filtering** (Bayardo et al., WWW'07; Chaudhuri
+    * et al., ICDE'06). Under a global rarity order on shingles, any pair
+    * with jaccard ≥ τ must share a shingle inside each doc's first
+    * `n − ⌈τ·n⌉ + 1` shingles (if all shared shingles sat outside a's
+    * prefix, overlap ≤ ⌈τ·na⌉ − 1 < τ·na ≤ required overlap). Candidates
+    * come from a prefix×prefix equi-join — the hot shingles that blow up
+    * Σ df² land outside every prefix — then only candidates get the
+    * full-set verify. */
+  def ngramJaccardPairsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingleRows(docs).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))

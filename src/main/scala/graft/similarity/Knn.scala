@@ -126,7 +126,7 @@ object Knn {
     val vb = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     val norms = emb.select(col("vec_id").as("id"),
       sqrt(dotFold(col("embedding"), col("embedding"))).as("nrm"))
-    cand.join(va, "a_id").join(vb, "b_id")
+    cand.join(broadcast(va), "a_id").join(broadcast(vb), "b_id")
       .join(broadcast(norms.toDF("a_id", "na")), "a_id")
       .join(broadcast(norms.toDF("b_id", "nb")), "b_id")
       .select(col("a_id"), col("b_id"),

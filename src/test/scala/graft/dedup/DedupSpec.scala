@@ -27,23 +27,13 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
-  test("prefix-filtered Jaccard join ≡ naive inverted-index join") {
-    val naive = {
-      val sh = docs.select(col("doc_id"),
-        explode(graft.text.TextAnalysis.shingles(graft.text.TextAnalysis.tokens(col("text")))).as("s"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      sh.toDF("a_id", "s").join(sh.toDF("b_id", "s2"),
-          col("s") === col("s2") && col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
-        .join(sizes.toDF("a_id", "na"), "a_id")
-        .join(sizes.toDF("b_id", "nb"), "b_id")
-        .withColumn("j", col("common").cast("double") / (col("na") + col("nb") - col("common")))
-        .filter(col("j") >= 0.5)
-        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    }
-    val filtered = Dedup.ngramJaccardPairs(docs, 0.5)
-      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    assert(filtered === naive)
+  test("prefix-filtered Jaccard join ≡ direct-count Jaccard join") {
+    val direct = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val filtered = Dedup.ngramJaccardPairsPrefix(docs, 0.5)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(direct.nonEmpty)
+    assert(filtered === direct)
   }
 
   test("SimHash puts near-dup pairs at small Hamming distance") {
