@@ -12,8 +12,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup: absorb one-time JVM/codegen/parquet-footer costs so per-query
-    // numbers measure the queries, not session startup.
+    // Warmup: run every query once at the smallest SF so whole-stage
+    // codegen compilation and JIT happen outside the timed region — the
+    // timed numbers then measure dataflow, not first-touch compilation.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => }
+      }
     SparkEntry.entry(spark).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

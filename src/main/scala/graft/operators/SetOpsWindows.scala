@@ -90,7 +90,18 @@ object SetOpsWindows {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** §2.9 sliding window, batch form: 1-hour windows sliding every 15
+    * minutes — each event lands in 4 windows (Spark's `window()` generator;
+    * the oracle replicates it by exploding 4 offsets per event). */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sliding" -> (slidingWindow _),
     "o1_topk_sort" -> (o1TopkSort _),
     "o4_topk_per_group" -> (o4TopkPerGroup _),
     "set_ops" -> (setOps _),
@@ -100,6 +111,16 @@ object SetOpsWindows {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_sliding" ->
+      """WITH hits AS (
+        |  SELECT event_type, value,
+        |    make_timestamp(
+        |      (CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) - k.k) * 900000000)
+        |      AS window_start
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k)
+        |SELECT window_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM hits GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "o1_topk_sort" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DOUBLE) AS price

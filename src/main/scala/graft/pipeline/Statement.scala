@@ -47,7 +47,11 @@ object Statement {
         col("file") === col("f2") && col("page") === col("p2") &&
         abs(col("cred_top") - col("chg_top")) < 2 && col("chg_x1") > col("cred_x1"))
       .groupBy("file", "page")
-      .agg(first((col("cred_x1") + col("chg_x1")) / 2).as("column_threshold"))
+      // reference takes the first pair in word-scan order (pdf_parser.py:
+      // 137-146); min(struct) = topmost-leftmost pair, deterministically
+      .agg(min(struct(col("cred_top"), col("cred_x1"), col("chg_x1"))).as("m"))
+      .select(col("file"), col("page"),
+        ((col("m.cred_x1") + col("m.chg_x1")) / 2).as("column_threshold"))
   }
 
   /** J5+A4: per-page header row — the first `Trans` word confirmed by `Post`

@@ -57,6 +57,16 @@ class IngestSpec extends SparkSpec {
     assert(got === Seq("Your Credit Card Statement"))
   }
 
+  test("config JSON loads with explicit schema and normalizes to a code table (S6)") {
+    val p = java.nio.file.Files.createTempDirectory("cfg").resolve("config.json")
+    java.nio.file.Files.writeString(p,
+      """{ "gl_codes": { "51000": "Office Supplies", "52000": "Travel" } }""")
+    val codes = Config.glCodes(Config.load(spark, p.toString))
+      .orderBy("code").collect()
+      .map(r => (r.getAs[String]("code_type"), r.getAs[String]("code"), r.getAs[String]("name")))
+    assert(codes.toSeq === Seq(("gl", "51000", "Office Supplies"), ("gl", "52000", "Travel")))
+  }
+
   test("report filename is timestamped (K3)") {
     val name = graft.pipeline.Report.reportFilename(
       java.time.LocalDateTime.of(2024, 2, 1, 13, 45, 9))
