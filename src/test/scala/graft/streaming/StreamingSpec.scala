@@ -46,6 +46,19 @@ class StreamingSpec extends SparkSpec {
     assert(u2 === Seq(1L))
   }
 
+  test("session_window (batch mode) agrees with the A1 window formulation on real data") {
+    // same 10-minute gap: the streaming-native operator and the lag+cumsum
+    // batch formulation must carve identical sessions
+    val events = graft.Tables.events(spark, sf0001)
+    val native = StreamOps.sessionCounts(events.withColumnRenamed("x", "x"), "10 minutes")
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = graft.operators.Aggregates.a01Sessionize(spark, sf0001)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(native === batch)
+  }
+
   test("tumbling window with watermark drops late data") {
     val stream = MemoryStream[StreamOps.UserEvent]
     val out = runBatches(stream,
