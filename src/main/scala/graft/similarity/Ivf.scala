@@ -1,0 +1,68 @@
+package graft.similarity
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF (inverted-file) approximate nearest neighbor — the other standard
+  * scale path next to LSH (graft.similarity.Knn): a k-means coarse
+  * quantizer partitions the corpus into cells; a query scores only the
+  * `nprobe` cells whose centroids are nearest.
+  *
+  * Cost model at 100 TB: index build is one MLlib k-means fit (sampled) +
+  * one assignment pass; each query touches |corpus|·nprobe/nlist vectors.
+  * The cell id is a plain partition-friendly column — at scale the corpus
+  * would be written `partitionBy("cell")` so a probe prunes whole files.
+  * Deterministic: fixed k-means seed. */
+object Ivf {
+
+  case class IvfIndex(assignments: DataFrame /* (vec_id, cell, embedding) */ ,
+                      centroids: Array[(Int, Array[Double])])
+
+  /** Build: fit the coarse quantizer and assign every vector to a cell. */
+  def build(emb: DataFrame, nlist: Int, seed: Long = 42L): IvfIndex = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val withVec = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble)), e) }
+      .toDF("vec_id", "features", "embedding")
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("prediction").as("cell"), col("embedding"))
+    IvfIndex(assigned, model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+  }
+
+  /** Search: for query vectors (`vec_id % 20 = 0`), probe the nprobe nearest
+    * cells and rank candidates by exact dot product. */
+  def search(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = index.centroids
+    // driver-side probe-cell selection per query (centroid table is tiny)
+    val probeCells = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val d = e.map(_.toDouble)
+        val best = cents.map { case (c, cv) =>
+          (c, cv.zip(d).map { case (x, y) => x * y }.sum)
+        }.sortBy { case (c, dot) => (-dot, c) }.take(nprobe).map(_._1)
+        (id, best)
+      }.toDF("a_id", "cells")
+    val probes = probeCells.select(col("a_id"), explode(col("cells")).as("cell"))
+
+    val q = queries.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val cand = index.assignments.toDF("b_id", "cell", "eb")
+      .join(broadcast(probes), "cell")
+      .filter(col("a_id") =!= col("b_id"))
+      .join(broadcast(q), "a_id")
+      .select(col("a_id"), col("b_id"), Knn.dotFold(col("ea"), col("eb")).as("dot"))
+    val rk = Window.partitionBy("a_id").orderBy(col("dot").desc, col("b_id").asc)
+    cand.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= k)
+      .select("a_id", "rk", "b_id", "dot")
+  }
+}

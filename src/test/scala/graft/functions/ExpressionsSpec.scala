@@ -65,6 +65,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(m.getAs[Long]("failed") === 1L)
   }
 
+  test("KMV sketch: exact below k, within 15% above k, merge-associative") {
+    val ds = graft.Tables.orders(spark, sf0001)
+      .select(col("o_custkey").cast("string")).as[String]
+    val trueDistinct = ds.distinct().count().toDouble
+    val est = ds.select(udaf(KmvSketch.KmvAgg(256)).apply($"o_custkey")).as[Double].collect().head
+    assert(math.abs(est - trueDistinct) / trueDistinct < 0.15,
+      s"est=$est true=$trueDistinct")
+    // small-cardinality exactness (below k)
+    val small = Seq("a", "b", "a", "c").toDS()
+    val exact = small.select(udaf(KmvSketch.KmvAgg(256)).apply($"value")).as[Double].collect().head
+    assert(exact === 3.0)
+    // partition-count invariance (merge correctness)
+    val est2 = ds.repartition(13)
+      .select(udaf(KmvSketch.KmvAgg(256)).apply($"o_custkey")).as[Double].collect().head
+    assert(est === est2)
+  }
+
   test("typed Aggregator: BoundingBox over word boxes") {
     import org.apache.spark.sql.functions.udaf
     val words = Seq((10.0, 100.0), (50.0, 90.0), (30.0, 200.0)).toDS()

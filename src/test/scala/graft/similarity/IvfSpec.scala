@@ -1,0 +1,44 @@
+package graft.similarity
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf0001)
+  lazy val queries = emb.filter(col("vec_id") % 20 === 0)
+  lazy val index = Ivf.build(emb, nlist = 8)
+
+  test("index assigns every vector to exactly one of nlist cells") {
+    assert(index.assignments.count() === emb.count())
+    val cells = index.assignments.select("cell").distinct().as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 8))
+    assert(index.centroids.length === 8)
+  }
+
+  test("probing all cells reproduces exact brute-force top-k") {
+    val full = Ivf.search(index, queries, k = 5, nprobe = 8)
+      .select("a_id", "rk", "b_id").as[(Long, Int, Long)].collect().toSet
+    val exact = Knn.bruteForceTopK(emb, 5)
+      .select("a_id", "rk", "b_id").as[(Long, Int, Long)].collect().toSet
+    assert(full === exact)
+  }
+
+  test("nprobe trades recall for cost, stays above a sane floor") {
+    val exact = Knn.bruteForceTopK(emb, 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val approx = Ivf.search(index, queries, k = 5, nprobe = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(approx.nonEmpty && recall >= 0.3, s"recall=$recall")
+    // every reported dot is a true dot product
+    val dots = Ivf.search(index, queries, k = 5, nprobe = 3).collect()
+    val truth = Knn.bruteForceTopK(emb, emb.count().toInt).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("dot")).toMap
+    dots.foreach { r =>
+      val key = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      truth.get(key).foreach(d => assert(math.abs(d - r.getAs[Double]("dot")) < 1e-12))
+    }
+  }
+}
