@@ -51,7 +51,7 @@ object Dedup {
     * explode, use [[ngramJaccardPairsPrefix]] (equivalent results, see
     * DedupSpec). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs).persist()
+    val sh = graft.util.Caches.scoped(shingleRows(docs))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.toDF("a_id", "s")
       .join(sh.toDF("b_id", "s2"), col("s") === col("s2") && col("a_id") < col("b_id"))
@@ -74,7 +74,7 @@ object Dedup {
     * Σ df² land outside every prefix — then only candidates get the
     * full-set verify. */
   def ngramJaccardPairsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs).persist()
+    val sh = graft.util.Caches.scoped(shingleRows(docs))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val rarityOrder = Window.partitionBy("doc_id").orderBy("df", "s")
@@ -127,7 +127,7 @@ object Dedup {
     * generation is an equi-join on (band, band_sig); only collisions are
     * verified. */
   def minHashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs).persist()
+    val sh = graft.util.Caches.scoped(shingleRows(docs))
     val bands = minHashBands(sh)
     val cand = bands.toDF("a_id", "band", "sig")
       .join(bands.toDF("b_id", "band2", "sig2"),

@@ -18,10 +18,21 @@ object KmvSketch {
 
   val HashSpace: Double = (1L << 60).toDouble
 
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5, straight from the digest bytes — no per-row
+    * provider lookup, no hex round-trip (hot path of the reduce). */
   def hash60(s: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
-    java.lang.Long.parseLong(hex, 16)
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4 // 64 → 60 bits, matching the 15-hex-char convention
   }
 
   /** Buffer: sorted ascending array of ≤ k distinct smallest hashes. */

@@ -34,12 +34,12 @@ object AsOf {
   def joinAsOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
                prefix: String = "asof_", tieBreak: Option[String] = None): DataFrame = {
-    val attached = (prefix + "ts") +: payload.map(prefix + _)
+    // the whole right row travels as ONE struct: per-column carry-forward
+    // would let an older row's value bleed into a newer row's NULL payload
+    val rStruct = struct(col(rightTs).as("ts") +: payload.map(p => col(p).as(p)): _*)
     val rPrep = right.select(
       keyCols.map(col) ++
-        Seq(col(rightTs).as("__ts"), lit(0).as("__tag"),
-          col(rightTs).as(prefix + "ts")) ++
-        payload.map(p => col(p).as(prefix + p)) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__tag"), rStruct.as("__r")) ++
         tieBreak.map(t => col(t).as("__tie")).toSeq: _*)
     val lOther = left.columns.filterNot(keyCols.contains).toSeq
     val lPrep = left.select(
@@ -52,12 +52,12 @@ object AsOf {
       .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    val unioned = lPrep.unionByName(rPrep, allowMissingColumns = true)
-    val withAttach = attached.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    withAttach.filter(col("__tag") === 1)
+    lPrep.unionByName(rPrep, allowMissingColumns = true)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
       .select(keyCols.map(col) ++ Seq(col("__ts").as(leftTs)) ++
-        lOther.filterNot(_ == leftTs).map(col) ++ attached.map(col): _*)
+        lOther.filterNot(_ == leftTs).map(col) ++
+        (col("__m.ts").as(prefix + "ts") +:
+          payload.map(p => col(s"__m.$p").as(prefix + p))): _*)
   }
 }

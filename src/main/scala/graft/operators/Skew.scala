@@ -16,33 +16,40 @@ import org.apache.spark.sql.functions._
   * the direct one. */
 object Skew {
 
-  /** Two-phase salted aggregation: exact same result as
-    * `df.groupBy(keys).agg(sum/count/min/max)`, but the first shuffle keys
-    * on (keys, salt) so a hot key spreads over `saltFactor` partitions.
-    * The salt is derived from a uniqueish column (deterministic, no rand()
-    * — plans stay replayable). */
-  def saltedAgg(df: DataFrame, keys: Seq[String], saltSource: String, saltFactor: Int,
-                aggs: Map[String, Column => Column]): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(hash(col(saltSource)), lit(saltFactor)))
-    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
-      .agg(aggs.head match { case (n, f) => f(col(n)).as(s"__p_$n") },
-        aggs.tail.toSeq.map { case (n, f) => f(col(n)).as(s"__p_$n") }: _*)
-    partial.groupBy(keys.map(col): _*)
-      .agg(aggs.head match { case (n, f) => recombine(n, f).as(n) },
-        aggs.tail.toSeq.map { case (n, f) => recombine(n, f).as(n) }: _*)
-  }
+  /** The aggregates salting supports — a closed set, because recombination
+    * must be the aggregate's own merge function. Arbitrary aggregates
+    * (count_distinct, avg, min_by, ...) do NOT decompose this way and are
+    * rejected by construction rather than silently recombined wrong. */
+  sealed trait SaltedAggSpec { def name: String }
+  case class SaltedSum(name: String, value: Column => Column = identity) extends SaltedAggSpec
+  case class SaltedCount(name: String) extends SaltedAggSpec
+  case class SaltedMin(name: String, value: Column => Column = identity) extends SaltedAggSpec
+  case class SaltedMax(name: String, value: Column => Column = identity) extends SaltedAggSpec
 
-  /** sum-of-partial-sums / sum-of-partial-counts / min-of-mins / max-of-maxs.
-    * count() partials must recombine with sum — callers pass `count` via
-    * `c => count(c)` and we detect it structurally is not possible, so the
-    * recombination is: sum for sums and counts, min for min, max for max,
-    * chosen by re-applying the aggregate to the partial column — valid for
-    * idempotent-merge aggregates (min/max) and handled specially for count. */
-  private def recombine(n: String, f: Column => Column): Column = {
-    val probe = f(lit(1)).toString
-    if (probe.startsWith("count")) sum(col(s"__p_$n"))
-    else if (probe.startsWith("min")) min(col(s"__p_$n"))
-    else if (probe.startsWith("max")) max(col(s"__p_$n"))
-    else sum(col(s"__p_$n"))
+  /** Two-phase salted aggregation: exact same result as
+    * `df.groupBy(keys).agg(...)`, but the first shuffle keys on
+    * (keys, salt) so a hot key spreads over `saltFactor` partitions. The
+    * salt is derived from a uniqueish column (deterministic, no rand() —
+    * plans stay replayable). */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltSource: String, saltFactor: Int,
+                aggs: Seq[(String, SaltedAggSpec)]): DataFrame = {
+    require(aggs.nonEmpty)
+    def partialOf(a: SaltedAggSpec): Column = a match {
+      case SaltedSum(n, v) => sum(v(col(n)))
+      case SaltedCount(n) => count(col(n))
+      case SaltedMin(n, v) => min(v(col(n)))
+      case SaltedMax(n, v) => max(v(col(n)))
+    }
+    def mergeOf(a: SaltedAggSpec, p: Column): Column = a match {
+      case _: SaltedSum | _: SaltedCount => sum(p) // counts merge by summing
+      case _: SaltedMin => min(p)
+      case _: SaltedMax => max(p)
+    }
+    val salted = df.withColumn("__salt", pmod(hash(col(saltSource)), lit(saltFactor)))
+    val partials = aggs.zipWithIndex.map { case ((_, a), i) => partialOf(a).as(s"__p_$i") }
+    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+    val merged = aggs.zipWithIndex.map { case ((out, a), i) => mergeOf(a, col(s"__p_$i")).as(out) }
+    partial.groupBy(keys.map(col): _*).agg(merged.head, merged.tail: _*)
   }
 }

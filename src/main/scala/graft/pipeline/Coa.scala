@@ -60,10 +60,12 @@ object Coa {
       .filter(shapeOk)                                                     // F9
   }
 
-  /** A7: last occurrence wins per (code_type, code), in document order. */
+  /** A7: last occurrence wins per (code_type, code), in document order —
+    * `file` included so multi-file input stays deterministic (the reference
+    * reads one COA pdf; lexicographic file order generalizes it). */
   def dedupLastWins(rows: DataFrame): DataFrame = {
     val order = Window.partitionBy("code_type", "code")
-      .orderBy(col("page").desc, col("table_idx").desc, col("row_idx").desc)
+      .orderBy(col("file").desc, col("page").desc, col("table_idx").desc, col("row_idx").desc)
     rows.withColumn("__rn", row_number().over(order))
       .filter(col("__rn") === 1)
       .select("code_type", "code", "name")

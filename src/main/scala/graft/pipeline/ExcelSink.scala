@@ -66,7 +66,7 @@ object ExcelSink {
     val listRows = (0 until maxLen).map(r => listCols.map(c => if (r < c.size) c(r) else null))
 
     val validationXml =
-      if (ddCols.isEmpty) ""
+      if (ddCols.isEmpty || data.isEmpty) "" // no data rows → sqref would be reversed (D2:D1)
       else s"""<dataValidations count="${ddCols.size}">""" + ddCols.zipWithIndex.map {
         case (name, di) =>
           val target = colRef(headers.indexOf(name))

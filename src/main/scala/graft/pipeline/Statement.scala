@@ -71,22 +71,52 @@ object Statement {
       .groupBy("file", "page").agg(min("t_top").as("header_top"))
   }
 
-  /** A1: spatial row clustering — sort words by (top, x0) within a page,
-    * start a new row when the vertical gap to the previous word is ≥ 3
-    * (pdf_parser.py:259-281). `lag` + running-sum window is exactly the
-    * reference's greedy sequential rule (chain drift included: the gap is
-    * measured to the previous *word*, not the row anchor). */
+  case class ClusterWord(file: String, page: Int, text: String,
+                         x0: Double, x1: Double, top: Double)
+  case class ClusteredRow(file: String, page: Int, row_id: Long,
+                          ws: Seq[(Double, String, Double)], row_top: Double)
+
+  /** A1: spatial row clustering — sort words by (top, x0) within a page; a
+    * word joins the current row while `|top − anchor| < 3` where the anchor
+    * is the **row's first word** (pdf_parser.py:267-276: `current_top` is
+    * set when a row opens and never updated). Anchor semantics are NOT
+    * expressible as a lag window — a lag formulation lets slow vertical
+    * drift chain-merge rows the reference splits — so this is a per-page
+    * greedy fold (`flatMapGroups`), which still parallelizes perfectly:
+    * one task per hash bucket of pages, bounded words per page. */
   def clusterRows(words: DataFrame): DataFrame = {
-    val byPage = Window.partitionBy("file", "page").orderBy("top", "x0")
-    words
-      .withColumn("prev_top", lag("top", 1).over(byPage))
-      .withColumn("new_row",
-        when(col("prev_top").isNull || col("top") - col("prev_top") >= 3, 1).otherwise(0))
-      .withColumn("row_id", sum("new_row").over(byPage.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy("file", "page", "row_id")
-      .agg(
-        array_sort(collect_list(struct(col("x0"), col("text"), col("x1")))).as("ws"),
-        min("top").as("row_top"))
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.select(col("file"), col("page").cast("int").as("page"), col("text"),
+        col("x0").cast("double"), col("x1").cast("double"), col("top").cast("double"))
+      .as[ClusterWord]
+      .groupByKey(w => (w.file, w.page))
+      .flatMapGroups { (key: (String, Int), it: Iterator[ClusterWord]) =>
+        val (file, page) = key
+        val ws = it.toArray.sortBy(w => (w.top, w.x0))
+        val rows = Seq.newBuilder[ClusteredRow]
+        var rowId = 1L
+        var start = 0
+        var anchor = if (ws.nonEmpty) ws(0).top else 0.0
+        def emit(endExclusive: Int): Unit = {
+          val row = ws.slice(start, endExclusive)
+          rows += ClusteredRow(file, page, rowId,
+            row.sortBy(w => (w.x0, w.text, w.x1)).map(w => (w.x0, w.text, w.x1)).toSeq,
+            row.map(_.top).min)
+        }
+        var i = 1
+        while (i < ws.length) {
+          if (math.abs(ws(i).top - anchor) >= 3) {
+            emit(i); rowId += 1; start = i; anchor = ws(i).top
+          }
+          i += 1
+        }
+        if (ws.nonEmpty) emit(ws.length)
+        rows.result()
+      }
+      .toDF("file", "page", "row_id", "ws", "row_top")
+      .withColumn("ws", col("ws").cast(
+        "array<struct<x0:double,text:string,x1:double>>"))
   }
 
   /** P1/F2-F6/W1/P2/P3/A2: clustered row → transaction projection

@@ -98,7 +98,7 @@ object Knn {
     // both sides of the bucket self-join read the codes; pushdown of the
     // query-side filter differentiates the subtrees and defeats exchange
     // reuse, so cache the sketch (a few KB per thousand vectors)
-    val codes = srpCodes(emb).persist()
+    val codes = graft.util.Caches.scoped(srpCodes(emb))
     val qc = codes.filter(col("id") % 20 === 0).toDF("a_id", "t", "code")
     val bc = codes.toDF("b_id", "t", "code")
     val cand = qc.join(bc, Seq("t", "code")).filter(col("a_id") =!= col("b_id"))
@@ -117,7 +117,7 @@ object Knn {
     * exact cosine verify ≥ threshold. The dedup-tier twin of lshTopK —
     * cost ∝ bucket collisions, never |corpus|². */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val codes = srpCodes(emb).persist()
+    val codes = graft.util.Caches.scoped(srpCodes(emb))
     val cand = codes.toDF("a_id", "t", "code")
       .join(codes.toDF("b_id", "t", "code"), Seq("t", "code"))
       .filter(col("a_id") < col("b_id"))

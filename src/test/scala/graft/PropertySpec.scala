@@ -56,11 +56,15 @@ class ClusteringPropertySpec extends SparkSpec {
   import spark.implicits._
   import org.scalacheck.Prop.propBoolean
 
+  /** pdf_parser.py:267-276 verbatim: the anchor is the row's FIRST word and
+    * is not updated as words append. */
   def greedyReference(tops: List[Double], gap: Double = 3.0): List[Int] = {
     val sorted = tops.sorted
-    sorted.tail.scanLeft((sorted.head, 0)) { case ((prev, g), t) =>
-      (t, if (t - prev >= gap) g + 1 else g)
-    }.map(_._2)
+    var anchor = sorted.head; var row = 0
+    sorted.map { t =>
+      if (math.abs(t - anchor) >= gap) { row += 1; anchor = t }
+      row
+    }
   }
 
   test("clustering ≡ greedy reference on random layouts (property)") {

@@ -40,6 +40,19 @@ class AsOfSpec extends SparkSpec {
     assert(out.size === 5)
   }
 
+  test("NULL payload in the matched right row stays NULL (no bleed-forward)") {
+    val r2 = Seq(
+      (1L, ts(80), Some(901L)),
+      (1L, ts(90), None)        // newer row with NULL payload
+    ).toDF("user_id", "ts", "click_id")
+    val got = AsOf.joinAsOf(
+        Seq((201L, 1L, ts(100))).toDF("event_id", "user_id", "ts"),
+        r2, Seq("user_id"), "ts", "ts", Seq("click_id"), prefix = "last_")
+      .collect().head
+    assert(got.getAs[java.sql.Timestamp]("last_ts") === ts(90))
+    assert(got.getAs[Any]("last_click_id") === null) // DuckDB ASOF semantics
+  }
+
   test("right rows never appear as output rows") {
     val n = AsOf.joinAsOf(left, right, Seq("user_id"), "ts", "ts", Seq("click_id")).count()
     assert(n === left.count())

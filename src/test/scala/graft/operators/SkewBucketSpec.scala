@@ -15,11 +15,11 @@ class SkewBucketSpec extends SparkSpec {
         min(dec(col("l_extendedprice"))).as("mn"), max(dec(col("l_extendedprice"))).as("mx"))
       .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
     val salted = Skew.saltedAgg(li, Seq("l_returnflag"), "l_orderkey", 16,
-      aggs = scala.collection.immutable.ListMap(
-        "l_quantity" -> (c => sum(dec(c))),
-        "l_linenumber" -> (c => count(c)),
-        "l_extendedprice" -> (c => min(dec(c))),
-        "l_tax" -> (c => max(dec(col("l_extendedprice"))))))
+      aggs = Seq(
+        "s" -> Skew.SaltedSum("l_quantity", dec),
+        "n" -> Skew.SaltedCount("l_linenumber"),
+        "mn" -> Skew.SaltedMin("l_extendedprice", dec),
+        "mx" -> Skew.SaltedMax("l_extendedprice", dec)))
     // structural check on the salted plan: two aggregation exchanges
     val p = salted.queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
@@ -34,9 +34,20 @@ class SkewBucketSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle (co-located join)") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
+    // a crashed prior run can leave the managed location behind without a
+    // catalog entry; clear it or saveAsTable refuses
+    Seq("li_b", "ord_b").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     Tables.lineitem(spark, sf0001).write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
     Tables.orders(spark, sf0001).write.mode("overwrite")

@@ -87,26 +87,30 @@ class StatementSpec extends SparkSpec {
     assert(Statement.requireTransactions(Statement.parse(words.toDF())).count() === 4)
   }
 
-  test("clustering window formulation ≡ greedy sequential reference rule") {
-    // jittered tops incl. a 2.9-gap chain drift that naive bucketing splits
-    val tops = Seq(100.0, 101.2, 102.9, 105.8, 120.0, 122.9, 125.7, 140.0, 160.0, 160.1)
+  test("clustering ≡ reference's anchor rule (chain drift splits rows)") {
+    // 100.0, 102.9, 105.8: the ANCHOR rule groups {100.0, 102.9} | {105.8}
+    // (105.8 − 100.0 ≥ 3); a lag-to-previous-word rule would wrongly
+    // chain-merge all three (per-word gaps are 2.9). pdf_parser.py:267-276.
+    val tops = Seq(100.0, 102.9, 105.8, 120.0, 122.9, 125.7, 140.0, 160.0, 160.1)
     val ws = tops.zipWithIndex.map { case (t, i) =>
       W("f", 1, s"w$i", i * 10.0, i * 10.0 + 8, t, t + 8)
     }
-    // reference greedy rule (pdf_parser.py:264-279): new row when gap ≥ 3
+    // reference rule verbatim: anchor = row's first word top
     val expected = {
-      var row = 0
-      tops.sorted.zip(tops.sorted.drop(1)).map(_._2).scanLeft((tops.sorted.head, 0)) {
-        case ((prev, r), t) => (t, if (t - prev >= 3) r + 1 else r)
-      }.map(_._2)
+      val sorted = tops.sorted
+      var anchor = sorted.head; var row = 0
+      sorted.map { t =>
+        if (math.abs(t - anchor) >= 3) { row += 1; anchor = t }
+        row
+      }
     }
     val got = Statement.clusterRows(ws.toDF())
       .orderBy("row_id").collect()
       .flatMap(r => r.getSeq[org.apache.spark.sql.Row](3).map(_ => r.getLong(2)))
     assert(got.length === tops.length)
-    // same grouping structure: sizes per cluster in order
     val gotSizes = got.groupBy(identity).toSeq.sortBy(_._1).map(_._2.length)
     val wantSizes = expected.groupBy(identity).toSeq.sortBy(_._1).map(_._2.length)
     assert(gotSizes === wantSizes)
+    assert(wantSizes.take(2) === Seq(2, 1)) // the drift case actually splits
   }
 }
