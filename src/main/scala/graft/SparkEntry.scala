@@ -9,12 +9,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Aggregates.queries ++ FiltersProjections.queries ++ Joins.queries ++
-      SetOpsWindows.queries ++ graft.text.TextAnalysis.queries ++
+      SetOpsWindows.queries ++ Analytics.queries ++
+      graft.text.TextAnalysis.queries ++
       graft.dedup.Dedup.queries ++ graft.similarity.Knn.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Aggregates.oracle ++ FiltersProjections.oracle ++ Joins.oracle ++
-      SetOpsWindows.oracle ++ graft.text.TextAnalysis.oracle ++
+      SetOpsWindows.oracle ++ Analytics.oracle ++
+      graft.text.TextAnalysis.oracle ++
       graft.dedup.Dedup.oracle ++ graft.similarity.Knn.oracle
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Aggregates.dec
+
+/** OLAP analytics surface beyond the reference's own operators: grouping
+  * sets (ROLLUP with grouping flags), pivot, multiset EXCEPT/INTERSECT ALL,
+  * and null-handling scalars — the rest of what "a user could switch" needs
+  * from a general-purpose engine. */
+object Analytics {
+
+  /** ROLLUP over (year, status) with grouping indicators — subtotal rows
+    * carry NULL keys; `grouping()` disambiguates them from natural NULLs. */
+  def a06Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+      .rollup(col("order_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"),
+        grouping(col("order_year")).cast("int").as("g_year"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"))
+      .orderBy(col("order_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  /** Pivot: order counts by year × status as columns. Cells are coalesced
+    * to 0 (Spark pivots empty cells to NULL; conditional aggregation — the
+    * portable form — yields 0). */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.orders(spark, dir)
+      .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+      .groupBy("order_year")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+    p.select(col("order_year"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("order_year")
+  }
+
+  /** EXCEPT ALL / INTERSECT ALL — multiset semantics (duplicates counted),
+    * which DISTINCT-based set ops lose. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val a = li.filter(col("l_orderkey") % 2 === 0).select(col("l_partkey").as("pk"))
+    val b = li.filter(col("l_orderkey") % 3 === 0).select(col("l_partkey").as("pk"))
+    a.exceptAll(b).withColumn("tag", lit("a_minus_b"))
+      .unionByName(a.intersectAll(b).withColumn("tag", lit("a_and_b")))
+      .orderBy("tag", "pk")
+  }
+
+  /** Null-handling scalars: nullif / coalesce / greatest-least null rules /
+    * IS NULL — identical semantics across engines. */
+  def scalarNulls(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        nullif(col("event_type"), lit("click")).as("non_click_type"),
+        coalesce(nullif(col("event_type"), lit("click")), lit("was_click")).as("type_or_marker"),
+        greatest(col("value"), get_json_object(col("props"), "$.k").cast("double")).as("vmax"),
+        least(col("value"), get_json_object(col("props"), "$.k").cast("double")).as("vmin"),
+        isnull(nullif(col("event_type"), lit("click"))).as("is_click"))
+      .orderBy("event_id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a06_rollup" -> (a06Rollup _),
+    "pivot_status" -> (pivotStatus _),
+    "set_ops_all" -> (setOpsAll _),
+    "scalar_nulls" -> (scalarNulls _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "a06_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(grouping(CAST(year(o_orderdate) AS INT)) AS INT) AS g_year,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status
+        |FROM orders
+        |GROUP BY ROLLUP(CAST(year(o_orderdate) AS INT), o_orderstatus)
+        |ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "pivot_status" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin,
+    "set_ops_all" ->
+      """WITH a AS (SELECT l_partkey AS pk FROM lineitem WHERE l_orderkey % 2 = 0),
+        |     b AS (SELECT l_partkey AS pk FROM lineitem WHERE l_orderkey % 3 = 0)
+        |SELECT pk, 'a_minus_b' AS tag FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT pk, 'a_and_b' AS tag FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |ORDER BY tag, pk""".stripMargin,
+    "scalar_nulls" ->
+      """SELECT event_id,
+        |  nullif(event_type, 'click') AS non_click_type,
+        |  coalesce(nullif(event_type, 'click'), 'was_click') AS type_or_marker,
+        |  greatest(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS vmax,
+        |  least(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS vmin,
+        |  nullif(event_type, 'click') IS NULL AS is_click
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Storage layer: partitioned writes with partition pruning (the mechanism
+  * that turns a 100 TB scan into a few-file read), plus csv/json/orc
+  * round-trips with explicit schemas. */
+class StorageSpec extends SparkSpec {
+
+  def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString + "/out"
+
+  test("partitionBy layout prunes partitions at read (PartitionFilters)") {
+    val out = tmp("part")
+    Tables.events(spark, sf0001)
+      .write.partitionBy("event_type").parquet(out)
+    val clicks = spark.read.parquet(out).filter(col("event_type") === "click")
+    val plan = clicks.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    val expected = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "click").count()
+    assert(clicks.count() === expected)
+    // pruning actually skipped the other partitions' files
+    val scanned = clicks.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("event_type=purchase"))
+  }
+
+  test("csv round-trip with explicit schema") {
+    val out = tmp("csv")
+    val src = Tables.nation(spark, sf0001)
+    src.write.option("header", "true").csv(out)
+    val back = spark.read.option("header", "true").schema(src.schema).csv(out)
+    assert(back.orderBy("n_nationkey").collect().toSeq ===
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("json round-trip with explicit schema") {
+    val out = tmp("json")
+    val src = Tables.region(spark, sf0001)
+    src.write.json(out)
+    val back = spark.read.schema(src.schema).json(out)
+    assert(back.orderBy("r_regionkey").collect().toSeq ===
+      src.orderBy("r_regionkey").collect().toSeq)
+  }
+
+  test("orc round-trip preserves schema and values") {
+    val out = tmp("orc")
+    val src = Tables.supplier(spark, sf0001)
+    src.write.orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema === src.schema)
+    assert(back.orderBy("s_suppkey").collect().toSeq ===
+      src.orderBy("s_suppkey").collect().toSeq)
+  }
+}
