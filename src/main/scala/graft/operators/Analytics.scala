@@ -63,7 +63,23 @@ object Analytics {
         isnull(nullif(col("event_type"), lit("click"))).as("is_click"))
       .orderBy("event_id")
 
+  /** The SQL frontend surface: the same engine drives `spark.sql` text with
+    * scalar and IN subqueries (planned as broadcast scalar + left semi
+    * join). Division-free above-average predicate keeps decimal exactness. */
+  def sqlFrontend(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_v
+        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) * (SELECT COUNT(*) FROM orders_v)
+        |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders_v)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer_v WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_frontend" -> (sqlFrontend _),
     "a06_rollup" -> (a06Rollup _),
     "pivot_status" -> (pivotStatus _),
     "set_ops_all" -> (setOpsAll _),
@@ -71,6 +87,13 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "sql_frontend" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) * (SELECT COUNT(*) FROM orders)
+        |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
     "a06_rollup" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
         |  COUNT(*) AS n,
