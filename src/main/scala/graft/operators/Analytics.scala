@@ -65,18 +65,20 @@ object Analytics {
 
   /** The SQL frontend surface: the same engine drives `spark.sql` text with
     * scalar and IN subqueries (planned as broadcast scalar + left semi
-    * join). Division-free above-average predicate keeps decimal exactness. */
-  def sqlFrontend(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
-    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    * join). Uses path-addressed `parquet.` relations — no temp views, so
+    * the query stays pure (no session-catalog side effects). Division-free
+    * above-average predicate keeps decimal exactness. */
+  def sqlFrontend(spark: SparkSession, dir: String): DataFrame =
     spark.sql(
-      """SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM orders_v
-        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) * (SELECT COUNT(*) FROM orders_v)
-        |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders_v)
-        |  AND o_custkey IN (SELECT c_custkey FROM customer_v WHERE c_mktsegment = 'BUILDING')
-        |ORDER BY o_orderkey""".stripMargin)
-  }
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM parquet.`$dir/orders.parquet`
+         |WHERE CAST(o_totalprice AS DECIMAL(18,4))
+         |        * (SELECT COUNT(*) FROM parquet.`$dir/orders.parquet`)
+         |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+         |         FROM parquet.`$dir/orders.parquet`)
+         |  AND o_custkey IN (SELECT c_custkey FROM parquet.`$dir/customer.parquet`
+         |                    WHERE c_mktsegment = 'BUILDING')
+         |ORDER BY o_orderkey""".stripMargin)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_frontend" -> (sqlFrontend _),

@@ -89,6 +89,9 @@ object Statement {
     import spark.implicits._
     words.select(col("file"), col("page").cast("int").as("page"), col("text"),
         col("x0").cast("double"), col("x1").cast("double"), col("top").cast("double"))
+      // a real word extractor always provides text+coords; defensively drop
+      // incomplete words rather than crash the typed encoder on nulls
+      .na.drop(Seq("file", "page", "text", "x0", "x1", "top"))
       .as[ClusterWord]
       .groupByKey(w => (w.file, w.page))
       .flatMapGroups { (key: (String, Int), it: Iterator[ClusterWord]) =>
@@ -100,8 +103,13 @@ object Statement {
         var anchor = if (ws.nonEmpty) ws(0).top else 0.0
         def emit(endExclusive: Int): Unit = {
           val row = ws.slice(start, endExclusive)
+          // rows inherit the page's (top, x0) sort — the reference never
+          // re-sorts within a row (pdf_parser.py:264 sorts once, rows are
+          // scan-order slices), and _parse_row's positional logic consumes
+          // THAT order; an x0 re-sort would accept rows the reference
+          // rejects when jitter puts a word slightly above the dates
           rows += ClusteredRow(file, page, rowId,
-            row.sortBy(w => (w.x0, w.text, w.x1)).map(w => (w.x0, w.text, w.x1)).toSeq,
+            row.map(w => (w.x0, w.text, w.x1)).toSeq,
             row.map(_.top).min)
         }
         var i = 1

@@ -38,8 +38,9 @@ class SkewBucketSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ord_b")
     // a crashed prior run can leave the managed location behind without a
     // catalog entry; clear it or saveAsTable refuses
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
     Seq("li_b", "ord_b").foreach { t =>
-      val dir = new java.io.File(s"spark-warehouse/$t")
+      val dir = new java.io.File(warehouse, t)
       if (dir.exists()) {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)

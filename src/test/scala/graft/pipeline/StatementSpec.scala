@@ -24,13 +24,15 @@ class StatementSpec extends SparkSpec {
     W(file, page, "Post", 80, 105, 225.3, 235),
     W(file, page, "Reference", 115, 160, 224.8, 235))
 
+  /** A parseable row: all words share one top, so the page's (top, x0)
+    * order — which rows inherit, like the reference — reads left-to-right. */
   def txnRow(file: String, page: Int, top: Double, date: String, ref: String,
              desc: Seq[String], amt: String, amtX1: Double): Seq[W] = {
     val dateW = Seq(W(file, page, date, 40, 65, top, top + 10),
-      W(file, page, date, 70, 95, top + 0.4, top + 10),
-      W(file, page, ref, 100, 160, top - 0.4, top + 10))
+      W(file, page, date, 70, 95, top, top + 10),
+      W(file, page, ref, 100, 160, top, top + 10))
     val descW = desc.zipWithIndex.map { case (d, i) =>
-      W(file, page, d, 170 + i * 60, 225 + i * 60, top + (i % 2) * 0.5, top + 10)
+      W(file, page, d, 170 + i * 60, 225 + i * 60, top, top + 10)
     }
     dateW ++ descW :+ W(file, page, amt, amtX1 - 30, amtX1, top, top + 10)
   }
@@ -44,6 +46,15 @@ class StatementSpec extends SparkSpec {
       // footer: no leading MM/DD dates → rejected by F3
       Seq(W("stmt.pdf", 1, "Subtotal", 40, 90, 330, 340),
         W("stmt.pdf", 1, "1,788.68", 540, 570, 330, 340)) ++
+      // jitter puts the reference number slightly ABOVE the dates: in the
+      // inherited (top, x0) order it becomes words[0], so the row fails the
+      // MM/DD checks — the reference rejects it and so must we
+      Seq(W("stmt.pdf", 1, "01/09", 40, 65, 315, 325),
+        W("stmt.pdf", 1, "01/09", 70, 95, 315, 325),
+        W("stmt.pdf", 1, "7777GG", 100, 160, 314.6, 325),
+        W("stmt.pdf", 1, "JITTER", 170, 230, 315, 325),
+        W("stmt.pdf", 1, "SHOP", 235, 290, 315, 325),
+        W("stmt.pdf", 1, "9.99", 540, 570, 315, 325)) ++
       // page 2 lacks "Transaction Details" → F1 skips it entirely
       Seq(W("stmt.pdf", 2, "Rewards", 40, 90, 100, 110),
         W("stmt.pdf", 2, "Summary", 95, 140, 100, 110)) ++
@@ -68,6 +79,10 @@ class StatementSpec extends SparkSpec {
   test("payment rows, footers, and non-detail pages are dropped") {
     assert(out.size === 4)
     assert(!out.exists(_._2.contains("PAYMENT")))
+  }
+
+  test("a row whose ref number jitters above the dates is rejected (positional order parity)") {
+    assert(!out.exists(_._2.contains("JITTER")))
   }
 
   test("optional year resolution handles the statement-period boundary") {
