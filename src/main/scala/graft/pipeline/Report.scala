@@ -36,9 +36,10 @@ object Report {
         concat_ws(" - ", col("code"), col("name")).as("display"))
       .orderBy("code_type", "display")
 
-  /** Full reference pipeline: words + COA tables + vendor mappings →
-    * enriched report rows (§3.1 stages 3-8 as one plan). */
-  def pipeline(words: DataFrame, coaTables: DataFrame, mappings: DataFrame): DataFrame = {
+  /** Full reference pipeline: words + vendor mappings → enriched report
+    * rows (§3.1 stages 4-8 as one plan; COA codes feed the dropdown sheet
+    * via [[dropdownValues]], not the rows). */
+  def pipeline(words: DataFrame, mappings: DataFrame): DataFrame = {
     val txns = Statement.parse(words)
       .withColumn("txn_id", monotonically_increasing_id())
     val enriched = Enrichment.twoPhase(txns, mappings,
