@@ -11,12 +11,14 @@ object SparkEntry {
     Aggregates.queries ++ FiltersProjections.queries ++ Joins.queries ++
       SetOpsWindows.queries ++ Analytics.queries ++
       graft.text.TextAnalysis.queries ++
-      graft.dedup.Dedup.queries ++ graft.similarity.Knn.queries
+      graft.dedup.Dedup.queries ++ graft.dedup.CleanCorpus.queries ++
+      graft.similarity.Knn.queries ++ graft.multimodal.MultimodalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Aggregates.oracle ++ FiltersProjections.oracle ++ Joins.oracle ++
       SetOpsWindows.oracle ++ Analytics.oracle ++
       graft.text.TextAnalysis.oracle ++
-      graft.dedup.Dedup.oracle ++ graft.similarity.Knn.oracle
+      graft.dedup.Dedup.oracle ++ graft.dedup.CleanCorpus.oracle ++
+      graft.similarity.Knn.oracle
 }
