@@ -35,7 +35,12 @@ object Aggregates {
       .agg(
         cast_double(sum(dec(col("l_quantity")))).as("sum_qty"),
         cast_double(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        cast_double(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))).as("sum_disc_price"),
+        // product-sums carry scale 8: re-quantize to (18,4) BEFORE the
+        // double cast so value×10⁴ < 2^53 and the conversion is exact in
+        // every engine (at scale 8 the conversion rounds, and engines
+        // disagree by 1 ulp)
+        cast_double(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -44,7 +49,7 @@ object Aggregates {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate < TIMESTAMP '1998-09-01'

@@ -69,6 +69,43 @@ class EnrichmentSpec extends SparkSpec {
     assert(out.select("txn_id").distinct().count() === txns.count())
   }
 
+  test("twoPhase ≡ reference loop on randomized vendor universes (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val tokens = Seq("ACME", "AMAZON", "MKTPL", "STORE", "COFFEE", "DEPOT",
+      "LLC", "INC", "a1", "b2", "x")
+    val genName = Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, Gen.oneOf(tokens)))
+      .map(_.mkString(" "))
+    val genCase = Gen.listOfN(8, genName).flatMap { dims =>
+      val mixed = Gen.oneOf(
+        genName,                                  // arbitrary vendor
+        Gen.oneOf(dims),                          // exact-match vendor
+        Gen.oneOf(dims).map(d =>                  // substring of a dim name
+          d.substring(0, math.max(1, d.length / 2)).toLowerCase))
+      Gen.listOfN(12, mixed).map(facts => (dims, facts))
+    }
+    val prop = forAll(genCase) { case (dims, factKeys) =>
+      val dimDf = dims.zipWithIndex.map { case (v, i) => (i.toLong, v, s"gl$i") }
+        .toDF("id", "vendor", "gl_account")
+      val factDf = factKeys.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("txn_id", "vendor")
+      val got = Enrichment.twoPhase(factDf, dimDf, "txn_id", "vendor", "id", "vendor",
+          Seq("gl_account"))
+        .collect().map(r => r.getLong(0) -> (Option(r.getString(2)), r.getString(3))).toMap
+      // reference loop semantics, driver-side
+      val dimsSorted = dims.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val want = factKeys.zipWithIndex.map { case (v, i) =>
+        val exact = dimsSorted.find(_._2 == v)
+        val hit = exact.map(d => (d, "exact")).orElse(
+          dimsSorted.find(d => d._2.toLowerCase.contains(v.toLowerCase)).map((_, "fuzzy")))
+        i.toLong -> (hit.map(h => s"gl${h._1._1}"), hit.map(_._2).getOrElse("none"))
+      }.toMap
+      Prop(got == want) :| s"got=$got want=$want dims=$dims facts=$factKeys"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("q-gram fuzzyContains ≡ naive theta join on random-ish vendor sets") {
     // misses drawn from customer names at sf0.001: substrings + garbage
     val dim = graft.Tables.customer(spark, sf0001)
