@@ -123,6 +123,9 @@ object Enrichment {
       .filter(col("__m.__df") > 0)
       .select(col("__fid"), col("__m.__g").as("__probe"))
 
+    // probe is fact-sized (one row per miss) — never broadcast it; the
+    // factId equi-join shuffles both fact-sized sides, which is the shape
+    // that survives a fact-table scale-up
     val longCand = longFacts
       .join(probe, longFacts(factId) === col("__fid"))
       .join(broadcast(grams), col("__probe") === grams("__g"))
