@@ -23,10 +23,7 @@ object CleanCorpus {
 
   def clean(docs: DataFrame, jaccardThreshold: Double = 0.5,
             minTokens: Int = 20, minTtr: Double = 0.3): DataFrame = {
-    val byFp = Window.partitionBy("fp")
-    val staged = docs
-      .withColumn("fp", fingerprint(col("text")))
-      .withColumn("canonical_id", min("doc_id").over(byFp))
+    val staged = graft.text.TextAnalysis.withCanonicalId(docs, "doc_id", "text")
       .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
       .withColumn("ttr",
         size(array_distinct(tokens(col("text")))).cast("double") / col("n_tokens"))

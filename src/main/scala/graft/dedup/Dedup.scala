@@ -31,13 +31,10 @@ object Dedup {
     conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
 
   /** Exact dedup: keep the lowest doc_id per content fingerprint. */
-  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val byFp = Window.partitionBy("fp")
-    docs.withColumn("fp", fingerprint(col(textCol)))
-      .withColumn("canonical_id", min(idCol).over(byFp))
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.text.TextAnalysis.withCanonicalId(docs, idCol, textCol)
       .filter(col(idCol) === col("canonical_id"))
       .drop("canonical_id")
-  }
 
   /** Distinct (doc_id, shingle) pairs — shared by Jaccard and MinHash. */
   private def shingleRows(docs: DataFrame): DataFrame =

@@ -24,6 +24,15 @@ object Aggregates {
     * to DECIMAL(28,4) automatically). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** Engine-exact double output for sums of decimal PRODUCTS: products
+    * carry scale 8, and a scale-8 decimal→double conversion must round —
+    * engines disagree by 1 ulp. Re-quantize to scale 4 first (exact: the
+    * 2-decimal inputs make products exact at 4 decimals), at precision 38
+    * so there is no ANSI overflow cliff. Exact double conversion holds
+    * while |value|·10⁴ < 2⁵³. */
+  def sumMoney(product: Column): Column =
+    sum(product).cast(DecimalType(38, 4)).cast("double")
+
   /** A5/A8 analog + TPC-H Q1 shape: pricing summary over the `lineitem`
     * fact. Partial (map-side) aggregation makes this a single shuffle of
     * |groups| rows per partition — scale-safe at any SF.
@@ -35,12 +44,8 @@ object Aggregates {
       .agg(
         cast_double(sum(dec(col("l_quantity")))).as("sum_qty"),
         cast_double(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        // product-sums carry scale 8: re-quantize to (18,4) BEFORE the
-        // double cast so value×10⁴ < 2^53 and the conversion is exact in
-        // every engine (at scale 8 the conversion rounds, and engines
-        // disagree by 1 ulp)
-        cast_double(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-          .cast(DecimalType(18, 4))).as("sum_disc_price"),
+        sumMoney(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -49,7 +54,7 @@ object Aggregates {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate < TIMESTAMP '1998-09-01'

@@ -64,11 +64,19 @@ object Enrichment {
   def twoPhase(facts: DataFrame, dim: DataFrame, factId: String, factKey: String,
                dimId: String, dimKey: String, payload: Seq[String]): DataFrame = {
     val dimNames = (dimId +: dimKey +: payload).distinct
+    // The reference declares the mapping key UNIQUE (database.py:63); for
+    // arbitrary input we impose it: lowest dimId wins per key — exactly the
+    // `fetchone` scan-order rule — so the exact join can never fan a fact
+    // out into multiple rows. Dim is broadcast-size; this dedup is cheap.
+    val keyWins = Window.partitionBy(col(dimKey)).orderBy(col(dimId).asc)
+    val dimUnique = dim.select(dimNames.map(col): _*)
+      .withColumn("__kr", row_number().over(keyWins))
+      .filter(col("__kr") === 1).drop("__kr")
     // Fresh attribute ids per phase (toDF re-aliases) — the two joins must
     // not share dim lineage or Catalyst sees an ambiguous self-join.
     def dimFor(phase: String): (DataFrame, String => Column) = {
       val pre = s"__${phase}_"
-      val d = broadcast(dim.select(dimNames.map(col): _*).toDF(dimNames.map(pre + _): _*))
+      val d = broadcast(dimUnique.toDF(dimNames.map(pre + _): _*))
       (d, (n: String) => col(pre + n))
     }
 
@@ -82,7 +90,7 @@ object Enrichment {
     // one fuzzy subtree; misses left-join it so no-match facts fall out of
     // the same pass (an anti-join against the result would re-execute the
     // whole fuzzy plan — DataFrame DAGs don't dedupe shared subtrees)
-    val best = fuzzyContains(misses, dim, factId, factKey, dimId, dimKey, payload)
+    val best = fuzzyContains(misses, dimUnique, factId, factKey, dimId, dimKey, payload)
       .withColumnRenamed("match_type", "__mt")
     val fuzzyResolved = misses
       .join(best.select((factId +: "__mt" +: payload).map(col): _*), Seq(factId), "left")

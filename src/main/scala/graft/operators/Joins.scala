@@ -22,11 +22,8 @@ object Joins {
       .groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("n_items"),
-        // re-quantize the scale-8 product-sum before the double cast (see
-        // Aggregates.q1PricingSummary)
-        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-          .cast(org.apache.spark.sql.types.DecimalType(18, 4))
-          .cast("double").as("revenue"))
+        Aggregates.sumMoney(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .as("revenue"))
       .orderBy("p_brand")
   }
 
@@ -133,7 +130,7 @@ object Joins {
         |ORDER BY p.event_id""".stripMargin,
     "j01_exact_enrich" ->
       """SELECT p_brand, COUNT(*) AS n_items,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "j02_twophase_enrich" ->

@@ -40,8 +40,12 @@ object Report {
     * rows (§3.1 stages 4-8 as one plan; COA codes feed the dropdown sheet
     * via [[dropdownValues]], not the rows). */
   def pipeline(words: DataFrame, mappings: DataFrame): DataFrame = {
+    // txn id must be STABLE across plan-subtree re-evaluations (the
+    // enrichment DAG evaluates the fact subtree in several branches);
+    // monotonically_increasing_id depends on partition/fetch order and can
+    // differ between evaluations on a cluster — hash the row identity.
     val txns = Statement.parse(words)
-      .withColumn("txn_id", monotonically_increasing_id())
+      .withColumn("txn_id", xxhash64(col("file"), col("page"), col("row_id")))
     val enriched = Enrichment.twoPhase(txns, mappings,
       factId = "txn_id", factKey = "vendor", dimId = "id", dimKey = "vendor",
       payload = Seq("gl_account", "location", "program", "funder", "department"))

@@ -45,6 +45,17 @@ object TextAnalysis {
     * identical across engines, unlike murmur/xxhash. */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 
+  /** The one shared exact-dedup invariant: adds `fp` (content fingerprint)
+    * and `canonical_id` (lowest id per fingerprint). Used by exact dedup,
+    * fingerprint reporting, and the cleaning pipeline so the rule can never
+    * drift between them. */
+  def withCanonicalId(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    df.withColumn("fp", fingerprint(col(textCol)))
+      .withColumn("canonical_id", min(idCol).over(byFp))
+  }
+
   /** T1: token / distinct-token / subtoken counts per document. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
@@ -116,11 +127,8 @@ object TextAnalysis {
   /** T4: md5 content fingerprint + canonical-copy marking (exact-dedup
     * building block; graft.dedup.Dedup uses the same fingerprint). */
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byFp = Window.partitionBy("fp")
-    Tables.documents(spark, dir)
-      .withColumn("fp", fingerprint(col("text")))
-      .withColumn("canonical_id", min("doc_id").over(byFp))
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    withCanonicalId(Tables.documents(spark, dir), "doc_id", "text")
       .withColumn("n_copies", count(lit(1)).over(byFp))
       .select(col("doc_id"), col("fp"), col("canonical_id"),
         col("n_copies"), (col("doc_id") === col("canonical_id")).as("is_canonical"))

@@ -89,10 +89,11 @@ class EnrichmentSpec extends SparkSpec {
         .toDF("id", "vendor", "gl_account")
       val factDf = factKeys.zipWithIndex.map { case (v, i) => (i.toLong, v) }
         .toDF("txn_id", "vendor")
-      val got = Enrichment.twoPhase(factDf, dimDf, "txn_id", "vendor", "id", "vendor",
-          Seq("gl_account"))
-        .collect().map(r => r.getLong(0) -> (Option(r.getString(2)), r.getString(3))).toMap
-      // reference loop semantics, driver-side
+      val rows = Enrichment.twoPhase(factDf, dimDf, "txn_id", "vendor", "id", "vendor",
+          Seq("gl_account")).collect()
+      val got = rows.map(r => r.getLong(0) -> (Option(r.getString(2)), r.getString(3))).toMap
+      // reference loop semantics, driver-side (duplicate dim keys: lowest
+      // id wins, like the UNIQUE-keyed table's fetchone)
       val dimsSorted = dims.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       val want = factKeys.zipWithIndex.map { case (v, i) =>
         val exact = dimsSorted.find(_._2 == v)
@@ -100,7 +101,8 @@ class EnrichmentSpec extends SparkSpec {
           dimsSorted.find(d => d._2.toLowerCase.contains(v.toLowerCase)).map((_, "fuzzy")))
         i.toLong -> (hit.map(h => s"gl${h._1._1}"), hit.map(_._2).getOrElse("none"))
       }.toMap
-      Prop(got == want) :| s"got=$got want=$want dims=$dims facts=$factKeys"
+      Prop(rows.length == factKeys.size && got == want) :|
+        s"rows=${rows.length}/${factKeys.size} got=$got want=$want dims=$dims facts=$factKeys"
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)

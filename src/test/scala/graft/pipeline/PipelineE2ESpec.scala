@@ -8,10 +8,7 @@ import org.apache.spark.sql.functions._
   * enrichment → report projection → sinks. */
 class PipelineE2ESpec extends SparkSpec {
   import spark.implicits._
-  import StatementSpec.W
-
-  val spec = new StatementSpec
-  lazy val words = spec.words.toDF()
+  lazy val words = StatementSpec.words.toDF()
 
   val mappings = Seq(
     (1L, "AMAZON MKTPL", "51000", "01", "100", "2001", "200"),

@@ -9,11 +9,6 @@ import org.apache.spark.sql.functions._
 object StatementSpec {
   case class W(file: String, page: Int, text: String, x0: Double, x1: Double,
                top: Double, bottom: Double)
-}
-
-class StatementSpec extends SparkSpec {
-  import spark.implicits._
-  import StatementSpec.W
 
   def headerWords(file: String, page: Int): Seq[W] = Seq(
     W(file, page, "Transaction", 50, 110, 180, 190),
@@ -60,6 +55,12 @@ class StatementSpec extends SparkSpec {
         W("stmt.pdf", 2, "Summary", 95, 140, 100, 110)) ++
       headerWords("other.pdf", 1) ++
       txnRow("other.pdf", 1, 250, "02/10", "1199ZZ", Seq("COFFEE", "SHOP"), "4.75", 568)
+
+}
+
+class StatementSpec extends SparkSpec {
+  import spark.implicits._
+  import StatementSpec.{words, W}
 
   lazy val out = Statement.parse(words.toDF()).collect()
     .map(r => (r.getAs[String]("date"), r.getAs[String]("vendor"),
