@@ -82,6 +82,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(est === est2)
   }
 
+  test("TypedImperativeAggregate KMV agrees exactly with the typed Aggregator") {
+    val ds = graft.Tables.orders(spark, sf0001)
+      .select(col("o_custkey").cast("string").as("ck"))
+    val catalyst = ds
+      .select(KmvCatalyst.approx_distinct_kmv(col("ck")).as("est"))
+      .collect().head.getDouble(0)
+    val typed = ds.as[String]
+      .select(udaf(KmvSketch.KmvAgg(256)).apply(col("ck"))).as[Double].collect().head
+    assert(catalyst === typed) // same hash, same estimator, two surfaces
+    // and survives shuffles (partial/final with binary serde)
+    val repart = ds.repartition(11)
+      .select(KmvCatalyst.approx_distinct_kmv(col("ck")).as("est"))
+      .collect().head.getDouble(0)
+    assert(repart === catalyst)
+    // SQL registration path
+    KmvCatalyst.register(spark)
+    ds.createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql("SELECT approx_distinct_kmv(ck) FROM kmv_in")
+      .collect().head.getDouble(0)
+    assert(viaSql === catalyst)
+  }
+
   test("typed Aggregator: BoundingBox over word boxes") {
     import org.apache.spark.sql.functions.udaf
     val words = Seq((10.0, 100.0), (50.0, 90.0), (30.0, 200.0)).toDS()

@@ -81,6 +81,31 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() === batch1.length)
   }
 
+  test("file-stream source: the same transform runs over a parquet directory stream") {
+    // prod shape: readStream over a landing directory; here the sf0.001
+    // events parquet replayed as one micro-batch
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    graft.Tables.events(spark, sf0001).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.tumblingCounts(stream, "6 hours", "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("filestream").start()
+    q.processAllAvailable()
+    q.stop()
+    // append mode only emits watermark-closed windows; every emitted row
+    // must match the batch aggregation exactly
+    val streamed = spark.table("filestream")
+      .select("window_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, n) => assert(batch(k) === n, s"window $k") }
+  }
+
   test("flatMapGroupsWithState maintains running per-user totals across batches") {
     val stream = MemoryStream[StreamOps.UserEvent]
     val out = runBatches(stream,
