@@ -80,7 +80,52 @@ object Analytics {
          |                    WHERE c_mktsegment = 'BUILDING')
          |ORDER BY o_orderkey""".stripMargin)
 
+  /** Exact per-group median via the rank formulation (portable across
+    * engines, unlike interpolating percentile implementations): average the
+    * middle one or two values — a fixed two-operand double expression. */
+  def exactMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus").orderBy(dec(col("o_totalprice")), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+      .filter(col("rn") === (col("n") + 1) / 2 || col("rn") === (col("n") + 2) / 2)
+      .groupBy("o_orderstatus")
+      .agg((min(col("o_totalprice")) / 2 + max(col("o_totalprice")) / 2).as("median_price"),
+        first(col("n")).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** String-function suite: case, pad, repeat/reverse, translate,
+    * split_part, position, left/right, ascii/chr. */
+  def scalarStrings(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("u"),
+        lpad(col("p_brand"), 10, ".").as("padded"),
+        reverse(col("p_type")).as("rev"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+        split_part(col("p_brand"), lit("#"), lit(2)).as("brand_num"),
+        instr(col("p_name"), " ").as("space_at"),
+        substring(col("p_name"), 2, 3).as("mid"),
+        ascii(col("p_type")).as("first_code"),
+        concat(col("p_brand"), lit("/"), repeat(lit("x"), 2)).as("tagged"))
+      .orderBy("p_partkey")
+
+  /** Boolean aggregates: bool_and / bool_or / count_if per group. */
+  def boolAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        bool_and(col("l_discount") > 0).as("all_discounted"),
+        bool_or(col("l_quantity") >= 50).as("any_bulk"),
+        count_if(col("l_tax") > 0.05).as("n_high_tax"))
+      .orderBy("l_returnflag")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "exact_median" -> (exactMedian _),
+    "scalar_strings" -> (scalarStrings _),
+    "bool_aggs" -> (boolAggs _),
     "sql_frontend" -> (sqlFrontend _),
     "a06_rollup" -> (a06Rollup _),
     "pivot_status" -> (pivotStatus _),
@@ -89,6 +134,36 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "exact_median" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  MIN(o_totalprice) / 2 + MAX(o_totalprice) / 2 AS median_price,
+        |  MIN(n) AS n
+        |FROM r WHERE rn = (n + 1) / 2 OR rn = (n + 2) / 2
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "scalar_strings" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS u,
+        |  lpad(p_brand, 10, '.') AS padded,
+        |  reverse(p_type) AS rev,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+        |  split_part(p_brand, '#', 2) AS brand_num,
+        |  instr(p_name, ' ') AS space_at,
+        |  substr(p_name, 2, 3) AS mid,
+        |  ascii(p_type) AS first_code,
+        |  p_brand || '/' || repeat('x', 2) AS tagged
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "bool_aggs" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_discount > 0) AS all_discounted,
+        |  bool_or(l_quantity >= 50) AS any_bulk,
+        |  COUNT(*) FILTER (l_tax > 0.05) AS n_high_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "sql_frontend" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
