@@ -122,7 +122,19 @@ object Analytics {
         count_if(col("l_tax") > 0.05).as("n_high_tax"))
       .orderBy("l_returnflag")
 
+  /** CUBE over (year, status): all grouping-set combinations. */
+  def a06Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+      .cube(col("order_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("order_year")).cast("int").as("g_year"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"))
+      .orderBy(col("order_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first,
+        col("g_year"), col("g_status"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a06b_cube" -> (a06Cube _),
     "exact_median" -> (exactMedian _),
     "scalar_strings" -> (scalarStrings _),
     "bool_aggs" -> (boolAggs _),
@@ -134,6 +146,14 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "a06b_cube" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+        |  COUNT(*) AS n,
+        |  CAST(grouping(CAST(year(o_orderdate) AS INT)) AS INT) AS g_year,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status
+        |FROM orders
+        |GROUP BY CUBE(CAST(year(o_orderdate) AS INT), o_orderstatus)
+        |ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST, g_year, g_status""".stripMargin,
     "exact_median" ->
       """WITH r AS (
         |  SELECT o_orderstatus, o_totalprice,

@@ -100,7 +100,28 @@ object SetOpsWindows {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** §2.6 ranking-function breadth: dense_rank, ntile, percent_rank,
+    * cume_dist, first/nth value over one window spec. All derived values
+    * are exact rationals of row positions — engine-identical doubles. */
+  def winRanking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(dec(col("o_totalprice")).asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("prk", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("cheapest_key", first(col("o_orderkey")).over(w))
+      .withColumn("second_key",
+        nth_value(col("o_orderkey"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("drk"), col("quartile"),
+        col("prk"), col("cd"), col("cheapest_key"), col("second_key"))
+      .orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ranking" -> (winRanking _),
     "stream_sliding" -> (slidingWindow _),
     "o1_topk_sort" -> (o1TopkSort _),
     "o4_topk_per_group" -> (o4TopkPerGroup _),
@@ -111,6 +132,21 @@ object SetOpsWindows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_ranking" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  dense_rank() OVER w AS drk,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS prk,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(o_orderkey) OVER w AS cheapest_key,
+        |  nth_value(o_orderkey, 2) OVER
+        |    (PARTITION BY o_orderstatus
+        |     ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "stream_sliding" ->
       """WITH hits AS (
         |  SELECT event_type, value,
