@@ -182,8 +182,8 @@ object Aggregates {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts, value,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -200,7 +200,7 @@ object Aggregates {
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signups
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a05_group_counts" ->
-      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "a07_coa_classify" ->
       """WITH coa AS (

@@ -89,7 +89,7 @@ object Analytics {
     Tables.orders(spark, dir)
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
-      .filter(col("rn") === (col("n") + 1) / 2 || col("rn") === (col("n") + 2) / 2)
+      .filter(expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
       .groupBy("o_orderstatus")
       .agg((min(col("o_totalprice")) / 2 + max(col("o_totalprice")) / 2).as("median_price"),
         first(col("n")).as("n"))
@@ -164,7 +164,7 @@ object Analytics {
         |SELECT o_orderstatus,
         |  MIN(o_totalprice) / 2 + MAX(o_totalprice) / 2 AS median_price,
         |  MIN(n) AS n
-        |FROM r WHERE rn = (n + 1) / 2 OR rn = (n + 2) / 2
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "scalar_strings" ->
       """SELECT p_partkey,

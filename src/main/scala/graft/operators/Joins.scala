@@ -104,7 +104,7 @@ object Joins {
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
     AsOf.joinAsOf(purchases, clicks, Seq("user_id"), "ts", "ts",
-        payload = Seq("click_id"), prefix = "last_")
+        payload = Seq("click_id"), prefix = "last_", tieBreak = Some("click_id"))
       .select(col("event_id"), col("user_id"),
         col("last_click_id"),
         (unix_micros(col("ts")) - unix_micros(col("last_ts"))).as("gap_us"))
@@ -125,7 +125,9 @@ object Joins {
       """SELECT p.event_id, p.user_id, c.event_id AS last_click_id,
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |  SELECT * FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
     "j01_exact_enrich" ->

@@ -55,6 +55,14 @@ def main(sf_dir, out_dir):
         if len(sdf) != len(odf):
             failures.append((name, f"row count: spark={len(sdf)} oracle={len(odf)}"))
             continue
+        # Driver hashes stringified values, so dtype KIND drift (e.g. DuckDB
+        # HUGEINT -> float64 "123.0" vs Spark BIGINT "123") fails there even
+        # when == passes here. Flag kind mismatches; int width drift is fine.
+        kindneq = [f"col {c} dtype kind: spark={sdf[c].dtype} oracle={odf[c].dtype}"
+                   for c in scols if sdf[c].dtype.kind != odf[c].dtype.kind]
+        if kindneq:
+            failures.append((name, "; ".join(kindneq)))
+            continue
         ssort = sdf.sort_values(scols, ignore_index=True)
         osort = odf.sort_values(ocols, ignore_index=True)
         neq = []
