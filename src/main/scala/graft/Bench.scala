@@ -13,16 +13,21 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // A throwing query must surface as a failure, not masquerade as its
+    // wall time: failed queries report -1 in `queries`, are excluded from
+    // `value`, and are listed by name under `failed`.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       graft.util.Caches.releaseAll()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed}""")
     spark.stop()
   }
 }

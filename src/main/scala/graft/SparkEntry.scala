@@ -12,7 +12,8 @@ object SparkEntry {
       SetOpsWindows.queries ++ Analytics.queries ++
       graft.text.TextAnalysis.queries ++
       graft.dedup.Dedup.queries ++ graft.dedup.CleanCorpus.queries ++
-      graft.similarity.Knn.queries ++ graft.multimodal.MultimodalQueries.queries
+      graft.similarity.Knn.queries ++ graft.similarity.Ivf.queries ++
+      graft.multimodal.MultimodalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

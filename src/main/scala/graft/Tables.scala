@@ -38,9 +38,16 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.withColumn("ts", timestamp_micros(nsToMicrosFloor("ts")))
     else raw
   }
+
+  /** Floor division ns→µs. `ts div 1000` truncates toward zero, which for
+    * pre-1970 nanos lands one µs late vs DuckDB's floor conversion; the
+    * modular form floors without a double-precision detour (nanos since
+    * epoch exceed 2^53, so `floor(ts / 1000)` would round). */
+  def nsToMicrosFloor(colName: String): org.apache.spark.sql.Column =
+    expr(s"($colName - (($colName % 1000) + 1000) % 1000) div 1000")
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -28,7 +28,9 @@ object CleanCorpus {
       .withColumn("ttr",
         size(array_distinct(tokens(col("text")))).cast("double") / col("n_tokens"))
 
-    val nearDupB = Dedup.ngramJaccardPairs(docs, jaccardThreshold)
+    // prefix-filtered variant: identical pairs (DedupSpec proves equivalence)
+    // but candidate generation stays bounded on zipf corpora — the scale path.
+    val nearDupB = Dedup.ngramJaccardPairsPrefix(docs, jaccardThreshold)
       .select(col("b_id").as("doc_id")).distinct()
 
     staged

@@ -173,11 +173,37 @@ object Dedup {
       .select(col("doc_id"), code.as("simhash"))
   }
 
-  /** D4 pairs: Hamming distance ≤ maxHamming over all doc pairs. */
+  /** D4 pairs: Hamming distance ≤ maxHamming, found by **pigeonhole block
+    * banding** instead of an all-pairs join: split the 60-bit code into
+    * `maxHamming + 1` disjoint blocks — any pair within `maxHamming`
+    * differing bits must agree *exactly* on at least one block — equi-join
+    * per block, dedupe candidates, then exact-Hamming verify. Candidates ∝
+    * block-value collisions (n²/2^blockBits per block in the uniform case),
+    * never the n²/2 of the old theta join. Block width here is
+    * ⌊60/11⌋ = 5–6 bits because the demo threshold (10 of 60) is loose;
+    * production near-dup thresholds (≤3 of 64) give 16-bit blocks and
+    * proportionally sparser buckets. */
   def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val codes = simHash(docs)
-    codes.toDF("a_id", "ha")
-      .join(codes.toDF("b_id", "hb"), col("a_id") < col("b_id"))
+    val codes = graft.util.Caches.scoped(simHash(docs))
+    val nBlocks = maxHamming + 1
+    val bounds = (0 until nBlocks).scanLeft(0) { (acc, b) =>
+      acc + simHashBits / nBlocks + (if (b < simHashBits % nBlocks) 1 else 0)
+    }
+    val blockStructs = (0 until nBlocks).map { b =>
+      val start = bounds(b)
+      val width = bounds(b + 1) - start
+      struct(lit(b).as("blk"),
+        expr(s"(simhash >> $start) & ${(1L << width) - 1}").as("bv"))
+    }
+    val blocks = codes
+      .select(col("doc_id"), explode(array(blockStructs: _*)).as("s"))
+      .select(col("doc_id"), col("s.blk").as("blk"), col("s.bv").as("bv"))
+    val cand = blocks.toDF("a_id", "blk", "bv")
+      .join(blocks.toDF("b_id", "blk", "bv"), Seq("blk", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand.join(codes.toDF("a_id", "ha"), "a_id")
+      .join(codes.toDF("b_id", "hb"), "b_id")
       .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("bigint"))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")

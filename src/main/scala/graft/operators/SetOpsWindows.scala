@@ -100,6 +100,22 @@ object SetOpsWindows {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** §2.9 session windows, batch form: per-user sessions closed by a
+    * 10-minute gap via Spark's native `session_window` — the same operator
+    * graft.streaming.StreamOps.sessionCounts runs under a watermark, here
+    * driver-visible and oracle-checked (the gap-island SQL twin). A new
+    * session starts when the gap is ≥ the 10-minute gap duration
+    * (session windows are half-open: end = last event + gap), matching
+    * Aggregates.a01Sessionize's `>=` convention. */
+  def sessionWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   /** §2.6 ranking-function breadth: dense_rank, ntile, percent_rank,
     * cume_dist, first/nth value over one window spec. All derived values
     * are exact rationals of row positions — engine-identical doubles. */
@@ -128,7 +144,8 @@ object SetOpsWindows {
     "set_ops" -> (setOps _),
     "k2_upsert_merge" -> (k2UpsertMerge _),
     "win_running" -> (winRunning _),
-    "stream_tumbling" -> (tumblingWindow _)
+    "stream_tumbling" -> (tumblingWindow _),
+    "stream_session" -> (sessionWindowBatch _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -209,6 +226,25 @@ object SetOpsWindows {
         |    AS window_start,
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_session" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+        |  user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

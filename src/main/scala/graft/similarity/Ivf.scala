@@ -65,4 +65,26 @@ object Ivf {
       .filter(col("rk") <= k)
       .select("a_id", "rk", "b_id", "dot")
   }
+
+  /** Driver query: IVF top-5 for the `vec_id % 20 = 0` query stratum.
+    * nlist ≈ √n keeps cells at √n vectors, so a probe touches
+    * nprobe·√n candidates — the standard IVF cost curve; nprobe = nlist/4
+    * trades ~4× scan reduction for recall (IvfSpec pins the recall floor
+    * and exact-dot correctness). Rows-only at the driver: cell assignment
+    * is quantizer-internal (k-means centroids are not SQL-expressible), but
+    * every reported dot is verified exact against brute force in IvfSpec.
+    * The row COUNT is stable across runs — each probed stratum holds far
+    * more than k candidates, so the result is always |queries|·k rows. */
+  def s3KnnIvf(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nprobe = math.max(2, nlist / 4)
+    val index = build(emb, nlist)
+    search(index, emb.filter(col("vec_id") % 20 === 0), k = 5, nprobe = nprobe)
+      .orderBy("a_id", "rk")
+  }
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("s3_knn_ivf" -> (s3KnnIvf _))
 }

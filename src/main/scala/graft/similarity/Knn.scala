@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.dedup.Dedup.md5Hash60
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -18,8 +17,16 @@ import graft.dedup.Dedup.md5Hash60
   *  - [[lshTopK]]: sign-random-projection LSH — L hash tables of b-bit
   *    bucket codes; only same-bucket vectors are scored. The 100 TB path:
   *    candidate generation is an equi-join on (table, code), cost ∝ bucket
-  *    collisions instead of |queries|×|corpus|. Hyperplanes are md5-derived,
-  *    so fully deterministic.
+  *    collisions instead of |queries|×|corpus|. Code width grows with the
+  *    corpus ([[codeBits]]) so buckets stay sparse as n grows.
+  *  - [[cosineExactPairs]]: exact cosine pairs over a fixed query stratum —
+  *    the sampled ground-truth audit a production sketch pipeline runs
+  *    alongside the sketch (recall measurement without the O(n²) bill).
+  *
+  * Every projection is an *ordered* fold over the array (never an unordered
+  * `sum` aggregate), so codes and scores are partition-count-independent AND
+  * engine-exact — the LSH queries are DuckDB-oracle-checkable, hyperplanes
+  * inlined as SQL literals ([[codesSql]]).
   */
 object Knn {
 
@@ -52,53 +59,63 @@ object Knn {
         (col("dot") / (sqrt(col("na2")) * sqrt(col("nb2")))).as("cosine"))
   }
 
+  /** Default code width — the driver's correctness gate runs at a fixed 500
+    * vectors where [[codeBits]] resolves to 9; 8 is the floor for tiny specs. */
   val lshBits = 8
   val lshTables = 4
   val maxDims = 64
 
-  /** Deterministic md5-derived hyperplane matrix, computed once on the
-    * driver and shipped as a literal array — zero runtime hashing, zero
-    * extra shuffle. planes((t*lshBits + j)*maxDims + i) ∈ [-0.5, 0.5). */
-  lazy val planes: Array[Double] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(lshTables * lshBits * maxDims) { flat =>
-      val t = flat / (lshBits * maxDims)
-      val j = (flat / maxDims) % lshBits
-      val i = flat % maxDims
-      val hex = md.digest(s"plane|$t|$j|$i".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15)
-      java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0 /* 2^60 */ - 0.5
-    }
+  /** Scale the bucket-code width with the corpus: b ≈ log₂(n) keeps expected
+    * bucket occupancy O(1), so candidate volume stays ~n·L instead of
+    * n²/2^b. Capped at 24 (16M buckets/table) — beyond that you grow L or
+    * multiprobe, not b. */
+  def codeBits(n: Long): Int =
+    math.min(24, math.max(lshBits,
+      math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2)).toInt))
+
+  /** Deterministic md5-derived hyperplane component ∈ [-0.5, 0.5) — a pure
+    * function of (table, bit, dim), independent of code width, computed on
+    * the driver and shipped as literals both to Spark and into the DuckDB
+    * oracle SQL. */
+  def planeVal(t: Int, j: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane|$t|$j|$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0 /* 2^60 */ - 0.5
   }
 
+  def planeRow(t: Int, j: Int): IndexedSeq[Double] =
+    (0 until maxDims).map(planeVal(t, j, _))
+
   /** (vec id, table, bucket code): L × b-bit sign-random-projection codes.
-    * One explode + one wide aggregation (L·b projection sums per vector),
-    * planes indexed from the broadcast literal. */
-  def srpCodes(emb: DataFrame): DataFrame = {
-    val planesLit = typedLit(planes.toSeq)
-    val projSums = (0 until lshTables * lshBits).map { flat =>
-      sum(col("v").cast("double") *
-        element_at(planesLit, lit(flat * maxDims) + col("i") + 1)).as(s"p$flat")
-    }
+    * Each projection is an ordered `zip_with`+`aggregate` fold of the row's
+    * embedding against a literal plane row — per-row arithmetic with a fixed
+    * evaluation order, so the sign bits are identical under any partitioning
+    * (an unordered `sum` could flip a near-zero projection between runs) and
+    * identical to DuckDB's `list_reduce`. No shuffle: the old
+    * posexplode+groupBy formulation paid one for the same numbers. */
+  def srpCodes(emb: DataFrame, bits: Int = lshBits): DataFrame = {
     val codes = (0 until lshTables).map { t =>
       struct(lit(t).as("t"),
-        (0 until lshBits)
-          .map(j => when(col(s"p${t * lshBits + j}") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("code"))
+        (0 until bits).map { j =>
+          val proj = aggregate(
+            zip_with(col("embedding"), typedLit(planeRow(t, j)),
+              (x, p) => coalesce(x.cast("double") * p, lit(0.0))),
+            lit(0.0), (acc, x) => acc + x)
+          when(proj > 0, lit(1L << j)).otherwise(0L)
+        }.reduce(_ + _).as("code"))
     }
-    emb.select(col("vec_id").as("id"), posexplode(col("embedding")).as(Seq("i", "v")))
-      .groupBy("id").agg(projSums.head, projSums.tail: _*)
-      .select(col("id"), explode(array(codes: _*)).as("tc"))
+    emb.select(col("vec_id").as("id"), explode(array(codes: _*)).as("tc"))
       .select(col("id"), col("tc.t").as("t"), col("tc.code").as("code"))
   }
 
   /** Approximate top-k: union of same-bucket candidates over all tables.
     * Recall vs [[bruteForceTopK]] is asserted in KnnSpec. */
-  def lshTopK(emb: DataFrame, k: Int): DataFrame = {
+  def lshTopK(emb: DataFrame, k: Int, bits: Int = lshBits): DataFrame = {
     // both sides of the bucket self-join read the codes; pushdown of the
     // query-side filter differentiates the subtrees and defeats exchange
     // reuse, so cache the sketch (a few KB per thousand vectors)
-    val codes = graft.util.Caches.scoped(srpCodes(emb))
+    val codes = graft.util.Caches.scoped(srpCodes(emb, bits))
     val qc = codes.filter(col("id") % 20 === 0).toDF("a_id", "t", "code")
     val bc = codes.toDF("b_id", "t", "code")
     val cand = qc.join(bc, Seq("t", "code")).filter(col("a_id") =!= col("b_id"))
@@ -116,8 +133,9 @@ object Knn {
   /** Embedding-cosine near-dup pairs: LSH-bucketed candidate generation +
     * exact cosine verify ≥ threshold. The dedup-tier twin of lshTopK —
     * cost ∝ bucket collisions, never |corpus|². */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val codes = graft.util.Caches.scoped(srpCodes(emb))
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double,
+                         bits: Int = lshBits): DataFrame = {
+    val codes = graft.util.Caches.scoped(srpCodes(emb, bits))
     val cand = codes.toDF("a_id", "t", "code")
       .join(codes.toDF("b_id", "t", "code"), Seq("t", "code"))
       .filter(col("a_id") < col("b_id"))
@@ -134,24 +152,92 @@ object Knn {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Exact cosine pairs over the `vec_id % 20 = 0` query stratum — the
+    * sampled brute-force audit for the sketch tier: at 100 TB you never run
+    * all-pairs, you run exact cosine for a fixed sample of queries and
+    * measure sketch recall against it. Same broadcast + ordered-fold shape
+    * as [[bruteForceTopK]], so it is oracle-exact. */
+  def cosineExactPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val q = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      .filter(col("a_id") % 20 === 0)
+    val c = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val norms = emb.select(col("vec_id").as("id"),
+      sqrt(dotFold(col("embedding"), col("embedding"))).as("nrm"))
+    c.join(broadcast(q), col("a_id") =!= col("b_id"))
+      .join(broadcast(norms.toDF("a_id", "na")), "a_id")
+      .join(broadcast(norms.toDF("b_id", "nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (dotFold(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   def s1KnnExact(spark: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables.embeddings(spark, dir), 5).orderBy("a_id", "rk")
 
-  def s2KnnLsh(spark: SparkSession, dir: String): DataFrame =
-    lshTopK(Tables.embeddings(spark, dir), 5).orderBy("a_id", "rk")
+  def s2KnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    lshTopK(emb, 5, codeBits(emb.count())).orderBy("a_id", "rk")
+  }
 
-  def d5EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
-    cosineNearDupPairs(Tables.embeddings(spark, dir), 0.3).orderBy("a_id", "b_id")
+  def d5EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    cosineNearDupPairs(emb, 0.3, codeBits(emb.count())).orderBy("a_id", "b_id")
+  }
+
+  def d5bCosineExact(spark: SparkSession, dir: String): DataFrame =
+    cosineExactPairs(Tables.embeddings(spark, dir), 0.3).orderBy("a_id", "b_id")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_exact" -> (s1KnnExact _),
     "s2_knn_lsh" -> (s2KnnLsh _),
-    "d5_embedding_neardup" -> (d5EmbeddingNearDup _)
+    "d5_embedding_neardup" -> (d5EmbeddingNearDup _),
+    "d5b_cosine_exact" -> (d5bCosineExact _)
   )
 
-  /** s2 has no oracle entry (sketch-based candidate set is engine-internal;
-    * its guarantee is recall vs s1, asserted in KnnSpec) → driver records a
-    * rows-only check for it. */
+  /** The driver's correctness gate runs at sf0.01, whose embeddings table is
+    * 500 vectors ⇒ the engine picks codeBits(500) = 9; the static oracle SQL
+    * below is generated for exactly that width. (tools/check_correctness.py
+    * re-verifies the match before every commit.) */
+  private val oracleBits = codeBits(500)
+
+  /** DuckDB fold of `expr[i] · plane[i]` over the first maxDims positions —
+    * textual twin of the Spark zip_with/aggregate fold in [[srpCodes]]. */
+  private def foldSql(arr: String, lits: IndexedSeq[Double]): String = {
+    val litList = lits.map(d => d.toString).mkString(", ")
+    s"""list_reduce(list_transform(range(1, ${maxDims + 1}),
+       |        i -> coalesce(CAST($arr[i] AS DOUBLE) * ([$litList])[i], 0.0)),
+       |        (acc, x) -> acc + x)""".stripMargin
+  }
+
+  /** `codes` CTE body: one SELECT per hash table, sign-bit sums inlined with
+    * the literal hyperplanes — byte-for-byte the numbers Spark computes. */
+  private def codesSql(bits: Int): String = {
+    val tableSelects = (0 until lshTables).map { t =>
+      val bitTerms = (0 until bits).map { j =>
+        s"""CASE WHEN ${foldSql("embedding", planeRow(t, j))} > 0
+           |      THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
+      }.mkString("\n      + ")
+      s"""SELECT vec_id AS id, $t AS t,
+         |      $bitTerms AS code
+         |    FROM embeddings""".stripMargin
+    }.mkString("\n    UNION ALL\n    ")
+    s"""codes AS (
+       |    $tableSelects)""".stripMargin
+  }
+
+  private val dotSql =
+    """list_reduce(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      |      (acc, x) -> acc + x)""".stripMargin
+
+  private val normsSql =
+    """norms AS (
+      |  SELECT vec_id AS id,
+      |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |      (acc, x) -> acc + x)) AS nrm
+      |  FROM embeddings)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "s1_knn_exact" ->
       """WITH q AS (
@@ -175,6 +261,49 @@ object Knn {
         |SELECT a_id, rk, b_id, dot,
         |  dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
         |FROM ranked JOIN norms na ON na.id = a_id JOIN norms nb ON nb.id = b_id
-        |WHERE rk <= 5 ORDER BY a_id, rk""".stripMargin
+        |WHERE rk <= 5 ORDER BY a_id, rk""".stripMargin,
+    "s2_knn_lsh" ->
+      s"""WITH ${codesSql(oracleBits)},
+        |cand AS (
+        |  SELECT DISTINCT qc.id AS a_id, c.id AS b_id
+        |  FROM codes qc JOIN codes c ON c.t = qc.t AND c.code = qc.code AND c.id <> qc.id
+        |  WHERE qc.id % 20 = 0),
+        |dots AS (
+        |  SELECT cand.a_id, cand.b_id,
+        |    $dotSql AS dot
+        |  FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
+        |            JOIN embeddings b ON b.vec_id = cand.b_id),
+        |ranked AS (
+        |  SELECT a_id, b_id, dot,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
+        |  FROM dots)
+        |SELECT a_id, rk, b_id, dot FROM ranked WHERE rk <= 5
+        |ORDER BY a_id, rk""".stripMargin,
+    "d5_embedding_neardup" ->
+      s"""WITH ${codesSql(oracleBits)},
+        |cand AS (
+        |  SELECT DISTINCT x.id AS a_id, y.id AS b_id
+        |  FROM codes x JOIN codes y ON y.t = x.t AND y.code = x.code AND x.id < y.id),
+        |$normsSql
+        |SELECT cand.a_id, cand.b_id,
+        |  $dotSql / (na.nrm * nb.nrm) AS cosine
+        |FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
+        |          JOIN embeddings b ON b.vec_id = cand.b_id
+        |          JOIN norms na ON na.id = cand.a_id
+        |          JOIN norms nb ON nb.id = cand.b_id
+        |WHERE $dotSql / (na.nrm * nb.nrm) >= 0.3
+        |ORDER BY cand.a_id, cand.b_id""".stripMargin,
+    "d5b_cosine_exact" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS a_id FROM embeddings WHERE vec_id % 20 = 0),
+        |$normsSql
+        |SELECT q.a_id, b.vec_id AS b_id,
+        |  $dotSql / (na.nrm * nb.nrm) AS cosine
+        |FROM q JOIN embeddings a ON a.vec_id = q.a_id
+        |       JOIN embeddings b ON b.vec_id <> q.a_id
+        |       JOIN norms na ON na.id = q.a_id
+        |       JOIN norms nb ON nb.id = b.vec_id
+        |WHERE $dotSql / (na.nrm * nb.nrm) >= 0.3
+        |ORDER BY q.a_id, b_id""".stripMargin
   )
 }

@@ -26,6 +26,16 @@ class StorageSpec extends SparkSpec {
     assert(!scanned.contains("event_type=purchase"))
   }
 
+  test("ns→µs conversion floors (pre-1970 nanos match DuckDB's read)") {
+    import spark.implicits._
+    // -1 ns is inside microsecond -1 ([-1µs, 0µs)), not microsecond 0:
+    // truncation toward zero would map it to 0 and disagree with DuckDB
+    val got = Seq(-1L, -999L, -1000L, -1001L, -1500L, 0L, 999L, 1000L, 1500L)
+      .toDF("ts").select(Tables.nsToMicrosFloor("ts").as("us"))
+      .as[Long].collect().toSeq
+    assert(got === Seq(-1L, -1L, -1L, -2L, -2L, 0L, 0L, 1L, 1L))
+  }
+
   test("csv round-trip with explicit schema") {
     val out = tmp("csv")
     val src = Tables.nation(spark, sf0001)

@@ -50,6 +50,20 @@ class DedupSpec extends SparkSpec {
       s"planted near-dups at hamming $dupHam")
   }
 
+  test("pigeonhole-banded SimHash pairing ≡ all-pairs Hamming join") {
+    // reference result computed driver-side from the collected codes — the
+    // banding must find EXACTLY the pairs an all-pairs scan would
+    val codes = Dedup.simHash(docs).as[(Long, Long)].collect()
+    val want = (for {
+      (ia, ha) <- codes; (ib, hb) <- codes if ia < ib
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 10
+    } yield (ia, ib, h.toLong)).toSet
+    val got = Dedup.simHashPairs(docs, 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("md5Hash60 is stable and non-negative") {
     val h = Seq("a", "b", "a").toDF("s").select(Dedup.md5Hash60(col("s")).as("h"))
       .as[Long].collect()

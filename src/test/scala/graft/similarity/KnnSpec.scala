@@ -74,4 +74,76 @@ class KnnSpec extends SparkSpec {
       assert(r.getAs[Int]("t") >= 0 && r.getAs[Int]("t") < Knn.lshTables)
     }
   }
+
+  test("srp codes are identical under any partitioning (ordered folds)") {
+    def codesAt(parts: Int): Seq[(Long, Int, Long)] =
+      Knn.srpCodes(emb.repartition(parts), 12)
+        .select("id", "t", "code").as[(Long, Int, Long)]
+        .collect().sorted.toSeq
+    assert(codesAt(1) === codesAt(64))
+  }
+
+  test("codeBits grows with the corpus and pins the oracle width") {
+    assert(Knn.codeBits(500) === 9,
+      "driver gate runs at 500 vectors; Knn.oracle SQL is generated for 9 bits")
+    assert(Knn.codeBits(50) === Knn.lshBits)
+    assert(Knn.codeBits(5000) === 13)
+    assert(Knn.codeBits(100000000000L) === 24)
+  }
+
+  test("driver embeddings tables hold exactly 500 vectors (oracle-width assumption)") {
+    assert(Tables.embeddings(spark, sf001).count() === 500L)
+    assert(emb.count() === 500L)
+  }
+
+  test("cosineExactPairs matches a driver-side exact computation") {
+    val got = Knn.cosineExactPairs(emb, 0.3).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("cosine")).toMap
+    val e = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = (for {
+      (ia, va) <- e if ia % 20 == 0
+      (ib, vb) <- e if ib != ia
+      c = cos(va, vb) if c >= 0.3
+    } yield (ia, ib) -> c).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9) }
+  }
+
+  test("10× corpus with wider codes: planted-dup recall holds, candidates shrink") {
+    // deterministic synthetic corpus: 5000 gaussian vectors, the last 50 of
+    // which are small perturbations of vectors 0..49 (cosine ≈ 0.999)
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(5000, 64)(rnd.nextGaussian())
+    for (i <- 0 until 50; d <- 0 until 64)
+      base(4950 + i)(d) = base(i)(d) + 0.03 * rnd.nextGaussian()
+    val synth = base.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+      .toSeq.toDF("vec_id", "embedding")
+    val bits = Knn.codeBits(5000)
+    assert(bits > Knn.lshBits, "10× corpus must widen the codes")
+
+    def candidates(b: Int): Long = {
+      val codes = Knn.srpCodes(synth, b).cache()
+      val n = codes.toDF("a", "t", "c")
+        .join(codes.toDF("b", "t", "c"), Seq("t", "c"))
+        .filter(col("a") < col("b")).select("a", "b").distinct().count()
+      codes.unpersist(blocking = false)
+      n
+    }
+    // wider codes are the scale fix: bucket collisions collapse
+    val wide = candidates(bits)
+    val narrow = candidates(Knn.lshBits)
+    assert(wide * 5 < narrow, s"wide=$wide narrow=$narrow")
+
+    val found = Knn.cosineNearDupPairs(synth, 0.9, bits)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val planted = (0 until 50).map(i => (i.toLong, (4950 + i).toLong)).toSet
+    val recall = (found & planted).size.toDouble / planted.size
+    assert(recall >= 0.9, s"recall=$recall with $bits-bit codes")
+  }
 }

@@ -60,12 +60,12 @@ def main(sf_dir, out_dir):
         # when == passes here. Flag kind mismatches; int width drift is fine.
         kindneq = [f"col {c} dtype kind: spark={sdf[c].dtype} oracle={odf[c].dtype}"
                    for c in scols if sdf[c].dtype.kind != odf[c].dtype.kind]
-        if kindneq:
-            failures.append((name, "; ".join(kindneq)))
-            continue
+        # Kind drift is a failure (driver hashes stringified values), but fall
+        # through to the value compare so the report also shows any actual
+        # cell differences instead of hiding them behind the dtype note.
         ssort = sdf.sort_values(scols, ignore_index=True)
         osort = odf.sort_values(ocols, ignore_index=True)
-        neq = []
+        neq = list(kindneq)
         for c in scols:
             a, b = ssort[c], osort[c]
             eq = (a == b) | (a.isna() & b.isna())
