@@ -37,6 +37,11 @@ object Profile {
     t("d3 bands")(graft.dedup.Dedup.minHashBands(
       graft.text.TextAnalysis.shingleRows(docs)))
     t("d3 full")(graft.dedup.Dedup.minHashLshPairs(docs, 0.5))
+    val simCodes = graft.dedup.Dedup.simHash(docs)
+    t("d4 codes")(simCodes)
+    t("d4 banded candidates (vs n(n-1)/2 all-pairs)")(
+      graft.dedup.Dedup.simHashCandidates(simCodes, 10))
+    t("d4 full")(graft.dedup.Dedup.simHashPairs(docs, 10))
     t("s2 codes")(graft.similarity.Knn.srpCodes(Tables.embeddings(spark, dir)))
     t("s2 full")(graft.similarity.Knn.lshTopK(Tables.embeddings(spark, dir), 5))
     t("d5 neardup")(graft.similarity.Knn.cosineNearDupPairs(Tables.embeddings(spark, dir), 0.3))

@@ -10,7 +10,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Aggregates.queries ++ FiltersProjections.queries ++ Joins.queries ++
       SetOpsWindows.queries ++ Analytics.queries ++
-      graft.text.TextAnalysis.queries ++
+      graft.text.TextAnalysis.queries ++ graft.text.CorpusOps.queries ++
       graft.dedup.Dedup.queries ++ graft.dedup.CleanCorpus.queries ++
       graft.similarity.Knn.queries ++ graft.similarity.Ivf.queries ++
       graft.multimodal.MultimodalQueries.queries
@@ -19,7 +19,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Aggregates.oracle ++ FiltersProjections.oracle ++ Joins.oracle ++
       SetOpsWindows.oracle ++ Analytics.oracle ++
-      graft.text.TextAnalysis.oracle ++
+      graft.text.TextAnalysis.oracle ++ graft.text.CorpusOps.oracle ++
       graft.dedup.Dedup.oracle ++ graft.dedup.CleanCorpus.oracle ++
       graft.similarity.Knn.oracle
 }

@@ -185,6 +185,17 @@ object Dedup {
     * proportionally sparser buckets. */
   def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val codes = graft.util.Caches.scoped(simHash(docs))
+    val cand = simHashCandidates(codes, maxHamming)
+    cand.join(codes.toDF("a_id", "ha"), "a_id")
+      .join(codes.toDF("b_id", "hb"), "b_id")
+      .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** The pigeonhole candidate stage of [[simHashPairs]], exposed so Profile
+    * can report candidate volume vs n²/2. `codes` = (doc_id, simhash). */
+  def simHashCandidates(codes: DataFrame, maxHamming: Int): DataFrame = {
     val nBlocks = maxHamming + 1
     val bounds = (0 until nBlocks).scanLeft(0) { (acc, b) =>
       acc + simHashBits / nBlocks + (if (b < simHashBits % nBlocks) 1 else 0)
@@ -198,15 +209,10 @@ object Dedup {
     val blocks = codes
       .select(col("doc_id"), explode(array(blockStructs: _*)).as("s"))
       .select(col("doc_id"), col("s.blk").as("blk"), col("s.bv").as("bv"))
-    val cand = blocks.toDF("a_id", "blk", "bv")
+    blocks.toDF("a_id", "blk", "bv")
       .join(blocks.toDF("b_id", "blk", "bv"), Seq("blk", "bv"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    cand.join(codes.toDF("a_id", "ha"), "a_id")
-      .join(codes.toDF("b_id", "hb"), "b_id")
-      .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("bigint"))
-      .filter(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
   }
 
   // ---- oracle-checked queries --------------------------------------------
@@ -231,7 +237,7 @@ object Dedup {
     "d4_simhash" -> (d4Simhash _)
   )
 
-  private val shingleSqlCtes =
+  private[graft] val shingleSqlCtes =
     """toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
       |sh AS (

@@ -130,6 +130,31 @@ object Knn {
       .select(col("a_id"), col("rk"), col("b_id"), col("dot"))
   }
 
+  /** Multiprobe variant of [[lshTopK]]: each query additionally probes every
+    * Hamming-1 neighbor bucket (flip one code bit). Multiprobe is how LSH
+    * keeps recall while [[codeBits]] widens codes for scale: b+1 probes per
+    * table recover most of the candidates a 1-bit-narrower code would see,
+    * at probe cost ∝ b instead of bucket-size cost ∝ n/2^b — the standard
+    * width/recall escape hatch (Lv et al., VLDB'07). Candidate generation
+    * stays a pure equi-join on (table, code); only the probe side fans out. */
+  def lshTopKMultiprobe(emb: DataFrame, k: Int, bits: Int = lshBits): DataFrame = {
+    val codes = graft.util.Caches.scoped(srpCodes(emb, bits))
+    val probes = (0 until bits).map(j => col("code").bitwiseXOR(lit(1L << j))) :+ col("code")
+    val qc = codes.filter(col("id") % 20 === 0)
+      .select(col("id").as("a_id"), col("t"), explode(array(probes: _*)).as("code"))
+    val bc = codes.toDF("b_id", "t", "code")
+    val cand = qc.join(bc, Seq("t", "code")).filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val q = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val c = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val dots = cand.join(c, "b_id").join(broadcast(q), "a_id")
+      .select(col("a_id"), col("b_id"), dotFold(col("ea"), col("eb")).as("dot"))
+    val rk = Window.partitionBy("a_id").orderBy(col("dot").desc, col("b_id").asc)
+    dots.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= k)
+      .select(col("a_id"), col("rk"), col("b_id"), col("dot"))
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucketed candidate generation +
     * exact cosine verify ≥ threshold. The dedup-tier twin of lshTopK —
     * cost ∝ bucket collisions, never |corpus|². */
@@ -179,6 +204,11 @@ object Knn {
     lshTopK(emb, 5, codeBits(emb.count())).orderBy("a_id", "rk")
   }
 
+  def s2bKnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    lshTopKMultiprobe(emb, 5, codeBits(emb.count())).orderBy("a_id", "rk")
+  }
+
   def d5EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     cosineNearDupPairs(emb, 0.3, codeBits(emb.count())).orderBy("a_id", "b_id")
@@ -190,6 +220,7 @@ object Knn {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_exact" -> (s1KnnExact _),
     "s2_knn_lsh" -> (s2KnnLsh _),
+    "s2b_knn_multiprobe" -> (s2bKnnMultiprobe _),
     "d5_embedding_neardup" -> (d5EmbeddingNearDup _),
     "d5b_cosine_exact" -> (d5bCosineExact _)
   )
@@ -268,6 +299,28 @@ object Knn {
         |  SELECT DISTINCT qc.id AS a_id, c.id AS b_id
         |  FROM codes qc JOIN codes c ON c.t = qc.t AND c.code = qc.code AND c.id <> qc.id
         |  WHERE qc.id % 20 = 0),
+        |dots AS (
+        |  SELECT cand.a_id, cand.b_id,
+        |    $dotSql AS dot
+        |  FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
+        |            JOIN embeddings b ON b.vec_id = cand.b_id),
+        |ranked AS (
+        |  SELECT a_id, b_id, dot,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
+        |  FROM dots)
+        |SELECT a_id, rk, b_id, dot FROM ranked WHERE rk <= 5
+        |ORDER BY a_id, rk""".stripMargin,
+    "s2b_knn_multiprobe" ->
+      s"""WITH ${codesSql(oracleBits)},
+        |qp AS (
+        |  SELECT c.id AS a_id, c.t,
+        |    CASE WHEN p.k = $oracleBits THEN c.code
+        |         ELSE xor(c.code, CAST(1 AS BIGINT) << p.k) END AS code
+        |  FROM codes c CROSS JOIN (SELECT unnest(range(0, ${oracleBits + 1})) AS k) p
+        |  WHERE c.id % 20 = 0),
+        |cand AS (
+        |  SELECT DISTINCT qp.a_id, b.id AS b_id
+        |  FROM qp JOIN codes b ON b.t = qp.t AND b.code = qp.code AND b.id <> qp.a_id),
         |dots AS (
         |  SELECT cand.a_id, cand.b_id,
         |    $dotSql AS dot

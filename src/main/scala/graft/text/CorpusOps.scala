@@ -1,0 +1,125 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.TextAnalysis.tokens
+
+/** Corpus-curation operators a large-scale training-data pipeline runs after
+  * dedup/quality: deterministic stratified sampling, benchmark
+  * decontamination, and sequence packing. All three are pure relational
+  * dataflow (windows + joins over md5-derived keys), so they are
+  * DuckDB-oracle-checked like the rest of the engine.
+  *
+  * Scale notes:
+  *  - sampling: one shuffle on the stratum key; the sample key is a hash of
+  *    the row id (not `rand()`), so the sample is reproducible across runs,
+  *    engines, and cluster sizes — the property a training run needs to be
+  *    re-creatable.
+  *  - decontamination: shingle inverted-index semi-join — cost ∝ postings of
+  *    the benchmark shingles only (the benchmark side is tiny by
+  *    construction; at 100 TB it broadcasts).
+  *  - packing: per-stratum running token offsets; one shuffle, no collect.
+  */
+object CorpusOps {
+
+  /** Deterministic stratified sample: keep ⌈frac·|stratum|⌉ docs per
+    * stratum, chosen by md5 rank — reproducible "uniform" sampling with
+    * exact per-stratum quotas (rand()-based sampling gives neither). */
+  def stratifiedSample(docs: DataFrame, strataCol: String, frac: Double): DataFrame = {
+    val key = Dedup.md5Hash60(concat(lit("sample|"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(strataCol).orderBy(key.asc, col("doc_id").asc)
+    docs
+      .withColumn("smp_rank", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(strataCol)))
+      .filter(col("smp_rank") <= ceil(lit(frac) * col("__cnt")))
+      .select(col("doc_id"), col(strataCol), col("smp_rank"))
+  }
+
+  /** Benchmark decontamination: training docs sharing ≥1 3-gram shingle
+    * with any benchmark doc (here the `doc_id % 100 = 0` stratum plays the
+    * held-out eval set). Returns the contamination audit — per doc, how many
+    * benchmark docs and distinct shingles it collides with — which is what
+    * you act on (drop or flag) before a training run. */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val sh = graft.util.Caches.scoped(TextAnalysis.shingleRows(docs))
+    val bench = sh.filter(col("doc_id") % 100 === 0).toDF("bench_id", "s2")
+    sh.filter(col("doc_id") % 100 =!= 0)
+      .join(bench, col("s") === col("s2"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_benchmarks"),
+        countDistinct(col("s")).as("n_shingles"))
+  }
+
+  /** Sequence packing (concat-and-chunk): within each stratum, documents are
+    * laid end-to-end in id order and cut into fixed token-budget sequences;
+    * a doc's sequence is the budget-bucket its start offset lands in. The
+    * standard pretraining batch-assembly shape, as a window cumsum — no
+    * driver-side loop, one shuffle on the stratum. */
+  def packSequences(docs: DataFrame, budget: Int): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
+      .withColumn("strt", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"strt div $budget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("seq_id"))
+  }
+
+  def t5SampleStratified(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, dir), "lang", 0.1)
+      .orderBy("lang", "smp_rank")
+
+  def t6Decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  def t7PackSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir), 4096).orderBy("lang", "doc_id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t5_sample_stratified" -> (t5SampleStratified _),
+    "t6_decontaminate" -> (t6Decontaminate _),
+    "t7_pack_sequences" -> (t7PackSequences _)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "t5_sample_stratified" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS smp_rank,
+        |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM keyed)
+        |SELECT doc_id, lang, smp_rank FROM r
+        |WHERE smp_rank <= CEIL(0.1 * cnt)
+        |ORDER BY lang, smp_rank""".stripMargin,
+    "t6_decontaminate" ->
+      s"""WITH ${Dedup.shingleSqlCtes},
+        |hits AS (
+        |  SELECT a.doc_id, b.doc_id AS bench_id, a.s
+        |  FROM sh a JOIN sh b ON b.s = a.s
+        |  WHERE b.doc_id % 100 = 0 AND a.doc_id % 100 <> 0)
+        |SELECT doc_id, COUNT(DISTINCT bench_id) AS n_benchmarks,
+        |  COUNT(DISTINCT s) AS n_shingles
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t7_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS strt
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, strt // 4096 AS seq_id
+        |FROM c ORDER BY lang, doc_id""".stripMargin
+  )
+}

@@ -114,6 +114,23 @@ class KnnSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9) }
   }
 
+  test("multiprobe recovers at least single-probe recall (width escape hatch)") {
+    val exact = Knn.bruteForceTopK(emb, 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val single = recall(Knn.lshTopK(emb, 5, 12))
+    val multi = recall(Knn.lshTopKMultiprobe(emb, 5, 12))
+    assert(multi >= single, s"multi=$multi single=$single")
+    assert(multi > 0.0)
+    // probing Hamming-1 neighbors must strictly widen the candidate pool
+    // at a width where single-probe buckets are sparse (12 bits, 500 vecs)
+    assert(Knn.lshTopKMultiprobe(emb, 5, 12).count() >=
+      Knn.lshTopK(emb, 5, 12).count())
+  }
+
   test("10× corpus with wider codes: planted-dup recall holds, candidates shrink") {
     // deterministic synthetic corpus: 5000 gaussian vectors, the last 50 of
     // which are small perturbations of vectors 0..49 (cosine ≈ 0.999)

@@ -1,0 +1,64 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf0001)
+
+  test("stratified sample fills exact per-stratum quotas, deterministically") {
+    val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sample = CorpusOps.stratifiedSample(docs, "lang", 0.1)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    val perLang = sample.groupBy(_._1).view.mapValues(_.length).toMap
+    counts.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0) === math.ceil(0.1 * n).toInt,
+        s"stratum $lang quota")
+    }
+    // hash-keyed, not rand(): the same call selects the same docs
+    val again = CorpusOps.stratifiedSample(docs, "lang", 0.1)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    assert(sample.sorted.toSeq === again.sorted.toSeq)
+  }
+
+  test("decontamination matches a driver-side shingle scan") {
+    val sh = TextAnalysis.shingleRows(docs).as[(Long, String)].collect()
+    val bench = sh.filter(_._1 % 100 == 0)
+    val train = sh.filter(_._1 % 100 != 0)
+    val benchByShingle = bench.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val want = train
+      .flatMap { case (id, s) => benchByShingle.get(s).map(bs => (id, s, bs)) }
+      .groupBy(_._1)
+      .map { case (id, hits) =>
+        id -> (hits.flatMap(_._3).distinct.length.toLong, hits.map(_._2).distinct.length.toLong)
+      }
+    val got = CorpusOps.decontaminate(docs)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, nb, ns) => id -> (nb, ns) }.toMap
+    assert(got === want)
+    assert(got.nonEmpty, "benchmark stratum should collide with some training docs")
+  }
+
+  test("sequence packing assigns budget-bucket of the running start offset") {
+    val budget = 64 // small budget so sf0.001 yields many sequences
+    val got = CorpusOps.packSequences(docs, budget)
+      .select("lang", "doc_id", "n_tokens", "seq_id")
+      .as[(String, Long, Long, Long)].collect()
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      var start = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n, seqId) =>
+        assert(seqId === start / budget)
+        start += n
+      }
+    }
+    // seq ids are non-decreasing in doc order (docs longer than the budget
+    // may skip buckets — that's correct: they span them)
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val ids = rows.sortBy(_._2).map(_._4)
+      assert(ids.zip(ids.drop(1)).forall { case (a, b) => a <= b },
+        s"non-monotonic sequences in $lang")
+    }
+  }
+}
