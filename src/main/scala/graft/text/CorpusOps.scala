@@ -48,7 +48,7 @@ object CorpusOps {
     val sh = graft.util.Caches.scoped(TextAnalysis.shingleRows(docs))
     val bench = sh.filter(col("doc_id") % 100 === 0).toDF("bench_id", "s2")
     sh.filter(col("doc_id") % 100 =!= 0)
-      .join(bench, col("s") === col("s2"))
+      .join(broadcast(bench), col("s") === col("s2"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("bench_id")).as("n_benchmarks"),
         countDistinct(col("s")).as("n_shingles"))

@@ -76,4 +76,37 @@ class PlanSpec extends SparkSpec {
     assert(aggExprs.contains("sum(cast("), aggExprs)
     assert(aggExprs.toLowerCase.contains("decimal"), aggExprs)
   }
+
+  test("batch session windows shuffle once on the user key (MergingSessions)") {
+    val p = planOf("stream_session")
+    assert(p.contains("MergingSessions"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("exact-cosine audit broadcasts the sampled query side, never the corpus") {
+    val p = planOf("d5b_cosine_exact")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("stratified sample and sequence packing share one stratum shuffle") {
+    for (n <- Seq("t5_sample_stratified", "t7_pack_sequences")) {
+      val p = planOf(n)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, s"$n:\n$p")
+    }
+  }
+
+  test("decontamination broadcasts the benchmark shingles (inverted probe)") {
+    val p = planOf("t6_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("multiprobe LSH stays equi-join + windowed top-k pushdown") {
+    val p = planOf("s2b_knn_multiprobe")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
