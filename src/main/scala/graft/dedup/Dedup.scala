@@ -230,11 +230,19 @@ object Dedup {
   def d4Simhash(spark: SparkSession, dir: String): DataFrame =
     simHashPairs(Tables.documents(spark, dir), 10).orderBy("a_id", "b_id")
 
+  /** The production regime: a tight Hamming threshold (3 of 60) gives 4
+    * pigeonhole blocks of 15 bits — 2^15 values per block, so bucket
+    * collisions are ~n²/32768 per block instead of the demo threshold's
+    * n²/32. This is the variant you actually run at 100 TB. */
+  def d4bSimhashTight(spark: SparkSession, dir: String): DataFrame =
+    simHashPairs(Tables.documents(spark, dir), 3).orderBy("a_id", "b_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
-    "d4_simhash" -> (d4Simhash _)
+    "d4_simhash" -> (d4Simhash _),
+    "d4b_simhash_tight" -> (d4bSimhashTight _)
   )
 
   private[graft] val shingleSqlCtes =
@@ -301,32 +309,38 @@ object Dedup {
         |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin
     },
-    "d4_simhash" -> {
-      val bitSums = (0 until simHashBits)
-        .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN cnt ELSE -cnt END) AS s$j")
-        .mkString(",\n    ")
-      val code = (0 until simHashBits)
-        .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
-        |  FROM documents),
-        |tc AS (
-        |  SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok),
-        |th AS (
-        |  SELECT doc_id, cnt, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tc),
-        |bits AS (
-        |  SELECT doc_id,
-        |    $bitSums
-        |  FROM th GROUP BY doc_id),
-        |codes AS (
-        |  SELECT doc_id, $code AS simhash FROM bits)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |FROM codes a JOIN codes b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
-        |ORDER BY a_id, b_id""".stripMargin
-    }
+    "d4_simhash" -> simHashSql(10),
+    "d4b_simhash_tight" -> simHashSql(3)
   )
+
+  /** d4 oracle, parameterized by the Hamming threshold. The SQL states the
+    * all-pairs semantics; the engine's pigeonhole banding is proven
+    * output-identical in DedupSpec, so one oracle text serves both. */
+  private def simHashSql(maxHamming: Int): String = {
+    val bitSums = (0 until simHashBits)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN cnt ELSE -cnt END) AS s$j")
+      .mkString(",\n    ")
+    val code = (0 until simHashBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      |  FROM documents),
+      |tc AS (
+      |  SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok),
+      |th AS (
+      |  SELECT doc_id, cnt, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tc),
+      |bits AS (
+      |  SELECT doc_id,
+      |    $bitSums
+      |  FROM th GROUP BY doc_id),
+      |codes AS (
+      |  SELECT doc_id, $code AS simhash FROM bits)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+      |ORDER BY a_id, b_id""".stripMargin
+  }
 }

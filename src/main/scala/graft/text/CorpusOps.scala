@@ -39,6 +39,19 @@ object CorpusOps {
       .select(col("doc_id"), col(strataCol), col("smp_rank"))
   }
 
+  /** Scale path for sampling: hash-threshold — keep docs whose md5 key
+    * falls in the bottom `frac` of the key space. Zero shuffles and no
+    * global rank (the exact-quota variant must sort inside each stratum,
+    * which at 100 TB makes a hot language one giant task); the tradeoff is
+    * a binomial(n, frac) sample size instead of an exact quota. Same
+    * deterministic key family as [[stratifiedSample]], so the two are
+    * consistent audits of each other. */
+  def hashSample(docs: DataFrame, frac: Double): DataFrame =
+    docs
+      .filter(Dedup.md5Hash60(concat(lit("sample|"), col("doc_id").cast("string")))
+        < lit((frac * (1L << 60).toDouble).toLong))
+      .select("doc_id", "lang")
+
   /** Benchmark decontamination: training docs sharing ≥1 3-gram shingle
     * with any benchmark doc (here the `doc_id % 100 = 0` stratum plays the
     * held-out eval set). Returns the contamination audit — per doc, how many
@@ -58,7 +71,11 @@ object CorpusOps {
     * laid end-to-end in id order and cut into fixed token-budget sequences;
     * a doc's sequence is the budget-bucket its start offset lands in. The
     * standard pretraining batch-assembly shape, as a window cumsum — no
-    * driver-side loop, one shuffle on the stratum. */
+    * driver-side loop, one shuffle on the stratum. The cumsum is inherently
+    * sequential per stratum; at 100 TB you sub-shard the stratum key
+    * (e.g. partition by (lang, doc_id div shardSize)) so each window task
+    * stays bounded — the per-shard result is identical because offsets
+    * restart per shard by construction. */
   def packSequences(docs: DataFrame, budget: Int): DataFrame = {
     val w = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -73,6 +90,9 @@ object CorpusOps {
     stratifiedSample(Tables.documents(spark, dir), "lang", 0.1)
       .orderBy("lang", "smp_rank")
 
+  def t5bSampleHash(spark: SparkSession, dir: String): DataFrame =
+    hashSample(Tables.documents(spark, dir), 0.1).orderBy("doc_id")
+
   def t6Decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(spark, dir)).orderBy("doc_id")
 
@@ -81,6 +101,7 @@ object CorpusOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t5_sample_stratified" -> (t5SampleStratified _),
+    "t5b_sample_hash" -> (t5bSampleHash _),
     "t6_decontaminate" -> (t6Decontaminate _),
     "t7_pack_sequences" -> (t7PackSequences _)
   )
@@ -100,6 +121,11 @@ object CorpusOps {
         |SELECT doc_id, lang, smp_rank FROM r
         |WHERE smp_rank <= CEIL(0.1 * cnt)
         |ORDER BY lang, smp_rank""".stripMargin,
+    "t5b_sample_hash" ->
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) < ${(0.1 * (1L << 60).toDouble).toLong}
+        |ORDER BY doc_id""".stripMargin,
     "t6_decontaminate" ->
       s"""WITH ${Dedup.shingleSqlCtes},
         |hits AS (

@@ -54,14 +54,15 @@ class DedupSpec extends SparkSpec {
     // reference result computed driver-side from the collected codes — the
     // banding must find EXACTLY the pairs an all-pairs scan would
     val codes = Dedup.simHash(docs).as[(Long, Long)].collect()
-    val want = (for {
-      (ia, ha) <- codes; (ib, hb) <- codes if ia < ib
-      h = java.lang.Long.bitCount(ha ^ hb) if h <= 10
-    } yield (ia, ib, h.toLong)).toSet
-    val got = Dedup.simHashPairs(docs, 10)
-      .as[(Long, Long, Long)].collect().toSet
-    assert(want.nonEmpty)
-    assert(got === want)
+    for (maxHamming <- Seq(3, 10)) {
+      val want = (for {
+        (ia, ha) <- codes; (ib, hb) <- codes if ia < ib
+        h = java.lang.Long.bitCount(ha ^ hb) if h <= maxHamming
+      } yield (ia, ib, h.toLong)).toSet
+      val got = Dedup.simHashPairs(docs, maxHamming)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === want, s"maxHamming=$maxHamming")
+    }
   }
 
   test("md5Hash60 is stable and non-negative") {

@@ -23,6 +23,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sample.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("hash-threshold sample is deterministic and near the target fraction") {
+    val n = docs.count()
+    val s1 = CorpusOps.hashSample(docs, 0.1).select("doc_id").as[Long].collect().toSet
+    val s2 = CorpusOps.hashSample(docs.repartition(16), 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2, "hash sampling must not depend on partitioning")
+    val frac = s1.size.toDouble / n
+    assert(frac > 0.02 && frac < 0.25, s"binomial(n, 0.1) sample way off: $frac")
+  }
+
   test("decontamination matches a driver-side shingle scan") {
     val sh = TextAnalysis.shingleRows(docs).as[(Long, String)].collect()
     val bench = sh.filter(_._1 % 100 == 0)
