@@ -111,16 +111,96 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Q5-shape deep multi-join: revenue by nation for one region-year where
+    * the supplier is in the customer's nation. Exercises Catalyst's join
+    * ordering over a 6-table chain: the ONLY non-broadcast join is
+    * lineitem⋈orders (two facts — at 100 TB a co-partitioned shuffle join on
+    * the order key); customer/supplier/nation/region all broadcast, and the
+    * date filter prunes the orders side before the fact join. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Aggregates.sumMoney(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q3-shape: top-10 unshipped-revenue orders for one market segment —
+    * fact⋈fact⋈broadcast with a grouped TakeOrdered tail. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1996-06-01").cast("timestamp")
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(Aggregates.sumMoney(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j06_asof_join" -> (j06AsOfJoin _),
     "j01_exact_enrich" -> (j01ExactEnrich _),
     "j02_twophase_enrich" -> (j02TwoPhaseEnrich _),
     "j03_group_scalar_attach" -> (j03GroupScalarAttach _),
     "j04_band_join" -> (j04BandJoin _),
-    "j05_exists_probe" -> (j05ExistsProbe _)
+    "j05_exists_probe" -> (j05ExistsProbe _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q3_shipping_priority" -> (q3ShippingPriority _)
   )
 
   def oracle: Map[String, String] = Map(
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                 CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                 CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-01'
+        |  AND l_shipdate > TIMESTAMP '1996-06-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
     "j06_asof_join" ->
       """SELECT p.event_id, p.user_id, c.event_id AS last_click_id,
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us

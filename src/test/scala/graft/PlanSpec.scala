@@ -103,6 +103,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q5 deep multi-join: dims broadcast, no cartesian anywhere") {
+    val p = planOf("q5_local_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("multiprobe LSH stays equi-join + windowed top-k pushdown") {
     val p = planOf("s2b_knn_multiprobe")
     assert(!p.contains("CartesianProduct"), p)
