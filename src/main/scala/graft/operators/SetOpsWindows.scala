@@ -136,7 +136,22 @@ object SetOpsWindows {
       .orderBy("o_orderkey")
   }
 
+  /** §2.6 RANGE frame: trailing-hour event count per user — a *value*-based
+    * frame (all rows within 1h of the current row's timestamp), not a row
+    * count. Ordered by epoch micros so Spark's long-offset `rangeBetween`
+    * and SQL's `RANGE BETWEEN n PRECEDING` agree exactly; ties are frame
+    * peers in both engines. */
+  def winRange1h(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(spark, dir)
+      .withColumn("n_trailing_1h", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("n_trailing_1h"))
+      .orderBy("event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_range_1h" -> (winRange1h _),
     "win_ranking" -> (winRanking _),
     "stream_sliding" -> (slidingWindow _),
     "o1_topk_sort" -> (o1TopkSort _),
@@ -149,6 +164,12 @@ object SetOpsWindows {
   )
 
   def oracle: Map[String, String] = Map(
+    "win_range_1h" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |    AS n_trailing_1h
+        |FROM events ORDER BY event_id""".stripMargin,
     "win_ranking" ->
       """SELECT o_orderkey, o_orderstatus,
         |  dense_rank() OVER w AS drk,
