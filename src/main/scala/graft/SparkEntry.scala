@@ -9,7 +9,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Aggregates.queries ++ FiltersProjections.queries ++ Joins.queries ++
-      SetOpsWindows.queries ++ Analytics.queries ++
+      SetOpsWindows.queries ++ Analytics.queries ++ Skew.queries ++
       graft.text.TextAnalysis.queries ++ graft.text.CorpusOps.queries ++
       graft.dedup.Dedup.queries ++ graft.dedup.CleanCorpus.queries ++
       graft.similarity.Knn.queries ++ graft.similarity.Ivf.queries ++
@@ -18,7 +18,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Aggregates.oracle ++ FiltersProjections.oracle ++ Joins.oracle ++
-      SetOpsWindows.oracle ++ Analytics.oracle ++
+      SetOpsWindows.oracle ++ Analytics.oracle ++ Skew.oracle ++
       graft.text.TextAnalysis.oracle ++ graft.text.CorpusOps.oracle ++
       graft.dedup.Dedup.oracle ++ graft.dedup.CleanCorpus.oracle ++
       graft.similarity.Knn.oracle

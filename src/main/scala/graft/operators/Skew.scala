@@ -52,4 +52,34 @@ object Skew {
     val merged = aggs.zipWithIndex.map { case ((out, a), i) => mergeOf(a, col(s"__p_$i")).as(out) }
     partial.groupBy(keys.map(col): _*).agg(merged.head, merged.tail: _*)
   }
+
+  /** Driver query: the hot-key shape salting exists for — `l_returnflag`
+    * has 3 values over the whole fact table, so a direct groupBy lands each
+    * value on one reducer; the salted plan spreads each over 16. The oracle
+    * is the PLAIN `GROUP BY` — identical output is the whole point (decimal
+    * sums make the two-phase merge bit-equal, SkewBucketSpec proves it). */
+  def skewSaltedAgg(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.operators.Aggregates.dec
+    saltedAgg(graft.Tables.lineitem(spark, dir),
+        keys = Seq("l_returnflag"), saltSource = "l_orderkey", saltFactor = 16,
+        aggs = Seq(
+          ("sum_qty", SaltedSum("l_quantity", dec)),
+          ("n_rows", SaltedCount("l_orderkey")),
+          ("max_price", SaltedMax("l_extendedprice", dec))))
+      .select(col("l_returnflag"),
+        col("sum_qty").cast("double").as("sum_qty"), col("n_rows"),
+        col("max_price").cast("double").as("max_price"))
+      .orderBy("l_returnflag")
+  }
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("skew_salted_agg" -> (skewSaltedAgg _))
+
+  def oracle: Map[String, String] = Map(
+    "skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(l_orderkey) AS n_rows,
+        |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }
