@@ -133,7 +133,23 @@ object Analytics {
       .orderBy(col("order_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first,
         col("g_year"), col("g_status"))
 
+  /** KMV approximate-distinct as a driver query — and, unusually for a
+    * sketch, oracle-EXACT: the hash is md5-derived (engine-portable) and the
+    * estimator `(k-1)/(kth_min/2^60)` is two IEEE double divisions, so
+    * DuckDB can replay the sketch bit-for-bit with a windowed rank. The
+    * 'F'/'O' groups exceed k=256 distinct customers (estimator branch); 'P'
+    * stays under it (exact branch) — both paths gated. Exercises the raw
+    * TypedImperativeAggregate surface (graft.functions.KmvCatalyst) from
+    * the driver, not just from specs. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(graft.functions.KmvCatalyst.approx_distinct_kmv(col("o_custkey"))
+        .as("approx_nd"))
+      .orderBy("o_orderstatus")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmv_distinct" -> (kmvDistinct _),
     "a06b_cube" -> (a06Cube _),
     "exact_median" -> (exactMedian _),
     "scalar_strings" -> (scalarStrings _),
@@ -146,6 +162,22 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderstatus,
+        |    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderstatus, h,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS nd
+        |  FROM h)
+        |SELECT o_orderstatus,
+        |  CASE WHEN MAX(nd) < 256 THEN CAST(MAX(nd) AS DOUBLE)
+        |       ELSE 255 / (CAST(MAX(CASE WHEN rn = 256 THEN h END) AS DOUBLE)
+        |                   / 1152921504606846976.0) END AS approx_nd
+        |FROM r WHERE rn <= 256 GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "a06b_cube" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
         |  COUNT(*) AS n,
