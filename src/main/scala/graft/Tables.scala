@@ -23,6 +23,16 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  private val countMemo = scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  /** Row count of a driver table, memoized per (dir, table) — queries that
+    * size themselves from the corpus (LSH code width, IVF nlist) would
+    * otherwise pay a counting job on every invocation in a long-lived
+    * Verify/Bench session. The test tables are immutable, so the memo is
+    * safe for the JVM's lifetime. */
+  def cachedCount(spark: SparkSession, dir: String, name: String): Long =
+    countMemo.getOrElseUpdate((dir, name), load(spark, dir, name).count())
+
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
@@ -38,16 +48,18 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(nsToMicrosFloor("ts")))
+      raw.withColumn("ts", timestamp_micros(nsToMicrosTrunc("ts")))
     else raw
   }
 
-  /** Floor division ns→µs. `ts div 1000` truncates toward zero, which for
-    * pre-1970 nanos lands one µs late vs DuckDB's floor conversion; the
-    * modular form floors without a double-precision detour (nanos since
-    * epoch exceed 2^53, so `floor(ts / 1000)` would round). */
-  def nsToMicrosFloor(colName: String): org.apache.spark.sql.Column =
-    expr(s"($colName - (($colName % 1000) + 1000) % 1000) div 1000")
+  /** ns→µs the way DuckDB does it: **truncation toward zero**. Verified
+    * empirically against DuckDB 1.0.0 reading TIMESTAMP(NANOS) parquet
+    * (-1 ns → 0 µs, -1500 ns → -1 µs, +1500 ns → 1 µs), which is exactly
+    * SQL `div` semantics. Do NOT "fix" this to floor division — floor lands
+    * pre-1970 sub-µs instants one µs earlier than the oracle engine and
+    * desyncs every events-based oracle query. */
+  def nsToMicrosTrunc(colName: String): org.apache.spark.sql.Column =
+    expr(s"$colName div 1000")
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -77,7 +77,7 @@ object Ivf {
     * more than k candidates, so the result is always |queries|·k rows. */
   def s3KnnIvf(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val emb = graft.Tables.embeddings(spark, dir)
-    val n = emb.count()
+    val n = graft.Tables.cachedCount(spark, dir, "embeddings")
     val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
     val nprobe = math.max(2, nlist / 4)
     val index = build(emb, nlist)

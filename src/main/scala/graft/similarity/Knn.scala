@@ -109,6 +109,21 @@ object Knn {
       .select(col("id"), col("tc.t").as("t"), col("tc.code").as("code"))
   }
 
+  /** Shared scoring tail of the LSH variants: exact dots for an explicit
+    * (a_id, b_id) candidate set, then per-query top-k. One definition so the
+    * tie-break order (`dot desc, b_id asc`), the broadcast placement, and
+    * the fold arithmetic cannot drift between probe strategies. */
+  private def scoredTopK(emb: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    val q = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val c = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val dots = cand.join(c, "b_id").join(broadcast(q), "a_id")
+      .select(col("a_id"), col("b_id"), dotFold(col("ea"), col("eb")).as("dot"))
+    val rk = Window.partitionBy("a_id").orderBy(col("dot").desc, col("b_id").asc)
+    dots.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= k)
+      .select(col("a_id"), col("rk"), col("b_id"), col("dot"))
+  }
+
   /** Approximate top-k: union of same-bucket candidates over all tables.
     * Recall vs [[bruteForceTopK]] is asserted in KnnSpec. */
   def lshTopK(emb: DataFrame, k: Int, bits: Int = lshBits): DataFrame = {
@@ -120,14 +135,7 @@ object Knn {
     val bc = codes.toDF("b_id", "t", "code")
     val cand = qc.join(bc, Seq("t", "code")).filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
-    val q = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val c = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
-    val dots = cand.join(c, "b_id").join(broadcast(q), "a_id")
-      .select(col("a_id"), col("b_id"), dotFold(col("ea"), col("eb")).as("dot"))
-    val rk = Window.partitionBy("a_id").orderBy(col("dot").desc, col("b_id").asc)
-    dots.withColumn("rk", row_number().over(rk))
-      .filter(col("rk") <= k)
-      .select(col("a_id"), col("rk"), col("b_id"), col("dot"))
+    scoredTopK(emb, cand, k)
   }
 
   /** Multiprobe variant of [[lshTopK]]: each query additionally probes every
@@ -145,14 +153,7 @@ object Knn {
     val bc = codes.toDF("b_id", "t", "code")
     val cand = qc.join(bc, Seq("t", "code")).filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
-    val q = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val c = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
-    val dots = cand.join(c, "b_id").join(broadcast(q), "a_id")
-      .select(col("a_id"), col("b_id"), dotFold(col("ea"), col("eb")).as("dot"))
-    val rk = Window.partitionBy("a_id").orderBy(col("dot").desc, col("b_id").asc)
-    dots.withColumn("rk", row_number().over(rk))
-      .filter(col("rk") <= k)
-      .select(col("a_id"), col("rk"), col("b_id"), col("dot"))
+    scoredTopK(emb, cand, k)
   }
 
   /** Embedding-cosine near-dup pairs: LSH-bucketed candidate generation +
@@ -199,20 +200,22 @@ object Knn {
   def s1KnnExact(spark: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables.embeddings(spark, dir), 5).orderBy("a_id", "rk")
 
-  def s2KnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    lshTopK(emb, 5, codeBits(emb.count())).orderBy("a_id", "rk")
-  }
+  /** Auto code width for a driver table — the count comes from
+    * Tables.cachedCount (memoized; no per-invocation counting job). */
+  private def dirBits(spark: SparkSession, dir: String): Int =
+    codeBits(Tables.cachedCount(spark, dir, "embeddings"))
 
-  def s2bKnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    lshTopKMultiprobe(emb, 5, codeBits(emb.count())).orderBy("a_id", "rk")
-  }
+  def s2KnnLsh(spark: SparkSession, dir: String): DataFrame =
+    lshTopK(Tables.embeddings(spark, dir), 5, dirBits(spark, dir))
+      .orderBy("a_id", "rk")
 
-  def d5EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    cosineNearDupPairs(emb, 0.3, codeBits(emb.count())).orderBy("a_id", "b_id")
-  }
+  def s2bKnnMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    lshTopKMultiprobe(Tables.embeddings(spark, dir), 5, dirBits(spark, dir))
+      .orderBy("a_id", "rk")
+
+  def d5EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDupPairs(Tables.embeddings(spark, dir), 0.3, dirBits(spark, dir))
+      .orderBy("a_id", "b_id")
 
   def d5bCosineExact(spark: SparkSession, dir: String): DataFrame =
     cosineExactPairs(Tables.embeddings(spark, dir), 0.3).orderBy("a_id", "b_id")
@@ -243,6 +246,11 @@ object Knn {
   /** `codes` CTE body: one SELECT per hash table, sign-bit sums inlined with
     * the literal hyperplanes — byte-for-byte the numbers Spark computes. */
   private def codesSql(bits: Int): String = {
+    val header =
+      s"""-- generated for $bits-bit codes = codeBits(500): the driver gate's
+         |-- embeddings table must hold exactly 500 vectors, or the engine's
+         |-- auto width diverges from this SQL (KnnSpec pins the count).
+         |""".stripMargin
     val tableSelects = (0 until lshTables).map { t =>
       val bitTerms = (0 until bits).map { j =>
         s"""CASE WHEN ${foldSql("embedding", planeRow(t, j))} > 0
@@ -252,7 +260,7 @@ object Knn {
          |      $bitTerms AS code
          |    FROM embeddings""".stripMargin
     }.mkString("\n    UNION ALL\n    ")
-    s"""codes AS (
+    s"""${header}codes AS (
        |    $tableSelects)""".stripMargin
   }
 

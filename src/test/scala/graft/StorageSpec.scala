@@ -26,14 +26,16 @@ class StorageSpec extends SparkSpec {
     assert(!scanned.contains("event_type=purchase"))
   }
 
-  test("ns→µs conversion floors (pre-1970 nanos match DuckDB's read)") {
+  test("ns→µs conversion truncates toward zero (pre-1970 parity with DuckDB)") {
     import spark.implicits._
-    // -1 ns is inside microsecond -1 ([-1µs, 0µs)), not microsecond 0:
-    // truncation toward zero would map it to 0 and disagree with DuckDB
+    // Pinned against DuckDB 1.0.0's empirically-verified TIMESTAMP(NANOS)
+    // read: -1 ns → 0 µs, -1500 ns → -1 µs (truncation, NOT floor). A floor
+    // implementation would return -1 and -2 here and break oracle parity
+    // for any pre-1970 event timestamp.
     val got = Seq(-1L, -999L, -1000L, -1001L, -1500L, 0L, 999L, 1000L, 1500L)
-      .toDF("ts").select(Tables.nsToMicrosFloor("ts").as("us"))
+      .toDF("ts").select(Tables.nsToMicrosTrunc("ts").as("us"))
       .as[Long].collect().toSeq
-    assert(got === Seq(-1L, -1L, -1L, -2L, -2L, 0L, 0L, 1L, 1L))
+    assert(got === Seq(0L, 0L, -1L, -1L, -1L, 0L, 0L, 1L, 1L))
   }
 
   test("csv round-trip with explicit schema") {

@@ -60,9 +60,17 @@ def main(sf_dir, out_dir):
         # when == passes here. Flag kind mismatches; int width drift is fine.
         kindneq = [f"col {c} dtype kind: spark={sdf[c].dtype} oracle={odf[c].dtype}"
                    for c in scols if sdf[c].dtype.kind != odf[c].dtype.kind]
-        # Kind drift is a failure (driver hashes stringified values), but fall
-        # through to the value compare so the report also shows any actual
-        # cell differences instead of hiding them behind the dtype note.
+        # Kind drift is a failure (driver hashes stringified values), but for
+        # numeric-only drift (e.g. int64 vs float64) fall through to the value
+        # compare so the report also shows any actual cell differences. If a
+        # non-numeric kind is involved (object vs int), the two frames sort in
+        # different orders (lexicographic vs numeric) and a row-aligned value
+        # diff would report phantom differences — stop at the kind note.
+        numeric = "iufb"
+        if any(sdf[c].dtype.kind not in numeric or odf[c].dtype.kind not in numeric
+               for c in scols if sdf[c].dtype.kind != odf[c].dtype.kind):
+            failures.append((name, "; ".join(kindneq)))
+            continue
         ssort = sdf.sort_values(scols, ignore_index=True)
         osort = odf.sort_values(ocols, ignore_index=True)
         neq = list(kindneq)
