@@ -45,6 +45,39 @@ object PureProperties extends Properties("pure") {
       !(x > 0 && y > 0) || z > 0
     }
 
+  /** The completeness argument behind Dedup.simHashCandidates: with
+    * maxHamming+1 disjoint blocks covering 60 bits, any pair within
+    * maxHamming differing bits matches exactly on ≥1 block — so the banded
+    * equi-join can never miss a pair the all-pairs scan would find. Uses
+    * the same block-bounds formula as the Spark implementation. */
+  property("pigeonhole banding is complete for hamming <= maxHamming") =
+    forAll(Gen.chooseNum(1, 12), Gen.long, Gen.listOf(Gen.chooseNum(0, 59))) {
+      (maxHamming, seed, flipBits) =>
+        val bits = 60
+        val a = seed & ((1L << bits) - 1)
+        val flips = flipBits.distinct.take(maxHamming)
+        val b = flips.foldLeft(a)((c, j) => c ^ (1L << j))
+        val nBlocks = maxHamming + 1
+        val bounds = (0 until nBlocks).scanLeft(0) { (acc, blk) =>
+          acc + bits / nBlocks + (if (blk < bits % nBlocks) 1 else 0)
+        }
+        val someBlockMatches = (0 until nBlocks).exists { blk =>
+          val start = bounds(blk)
+          val mask = (1L << (bounds(blk + 1) - start)) - 1
+          ((a >> start) & mask) == ((b >> start) & mask)
+        }
+        someBlockMatches
+    }
+
+  property("codeBits is monotone, bounded, and covers the corpus") =
+    forAll(Gen.chooseNum(1L, 1L << 50), Gen.chooseNum(1L, 1L << 50)) { (n, m) =>
+      import graft.similarity.Knn.codeBits
+      val (lo, hi) = (math.min(n, m), math.max(n, m))
+      codeBits(lo) <= codeBits(hi) &&
+        codeBits(n) >= 8 && codeBits(n) <= 24 &&
+        (n <= 256 || n > (1L << 24) || (1L << codeBits(n)) >= n)
+    }
+
   property("version_cmp treats missing components as zero") = forAll(version) { v =>
     VersionCmp.compare(v + ".0", v) == 0 && VersionCmp.compare("v" + v, v) == 0
   }
