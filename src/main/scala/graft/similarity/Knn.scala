@@ -65,13 +65,16 @@ object Knn {
   val lshTables = 4
   val maxDims = 64
 
-  /** Scale the bucket-code width with the corpus: b ≈ log₂(n) keeps expected
-    * bucket occupancy O(1), so candidate volume stays ~n·L instead of
-    * n²/2^b. Capped at 24 (16M buckets/table) — beyond that you grow L or
-    * multiprobe, not b. */
-  def codeBits(n: Long): Int =
-    math.min(24, math.max(lshBits,
-      math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2)).toInt))
+  /** Scale the bucket-code width with the corpus: b = ⌈log₂(n)⌉ keeps
+    * expected bucket occupancy O(1), so candidate volume stays ~n·L instead
+    * of n²/2^b. Capped at 24 (16M buckets/table) — beyond that you grow L
+    * or multiprobe, not b. Exact integer log (leading-zeros), because the
+    * float formula `ceil(ln n / ln 2)` is off-by-one at 2^29, 2^31, 2^39,
+    * 2^47 — a width flip right at a power-of-two corpus size. */
+  def codeBits(n: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 2) - 1)
+    math.min(24, math.max(lshBits, ceilLog2))
+  }
 
   /** Deterministic md5-derived hyperplane component ∈ [-0.5, 0.5) — a pure
     * function of (table, bit, dim), independent of code width, computed on

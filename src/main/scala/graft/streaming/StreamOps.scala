@@ -49,6 +49,31 @@ object StreamOps {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the trailing 10 minutes — the streaming twin of the J4
+    * band join (operators.Joins.j04BandJoin's shape). Both sides carry
+    * watermarks and the join condition bounds event time in BOTH
+    * directions, which is what lets Structured Streaming GC join state:
+    * a click older than purchase-watermark − 10 min can never match again.
+    * The transform is batch/stream agnostic — StreamingSpec asserts the
+    * replayed-stream result equals the batch execution of this same
+    * function. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** Exactly-once landing dedup: drop duplicate event_ids arriving within
     * the watermark horizon (state is GC'd beyond it). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =

@@ -78,6 +78,16 @@ object PureProperties extends Properties("pure") {
         (n <= 256 || n > (1L << 24) || (1L << codeBits(n)) >= n)
     }
 
+  property("codeBits is exactly ceil(log2) at and around powers of two") =
+    forAll(Gen.chooseNum(8, 24)) { k =>
+      import graft.similarity.Knn.codeBits
+      // float-log formulations are off-by-one at 2^29/2^31/2^39/2^47;
+      // the leading-zeros form must be exact: 2^k needs k bits, 2^k+1 needs k+1
+      codeBits(1L << k) == math.min(24, k) &&
+        codeBits((1L << k) + 1) == math.min(24, k + 1) &&
+        codeBits((1L << k) - 1) == math.min(24, math.max(8, k))
+    }
+
   property("version_cmp treats missing components as zero") = forAll(version) { v =>
     VersionCmp.compare(v + ".0", v) == 0 && VersionCmp.compare("v" + v, v) == 0
   }

@@ -81,6 +81,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() === batch1.length)
   }
 
+  test("stream-stream interval join matches its own batch execution") {
+    val data = mkEvents(
+      (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      (2, "2024-01-01 10:05:00", 1, "purchase", 9.0),  // joins click 1 (5 min)
+      (3, "2024-01-01 10:20:00", 1, "purchase", 9.0),  // no click in window
+      (4, "2024-01-01 10:18:00", 2, "click", 1.0),
+      (5, "2024-01-01 10:19:00", 2, "click", 1.0),
+      (6, "2024-01-01 10:25:00", 2, "purchase", 9.0))  // joins clicks 4 AND 5
+    val stream = MemoryStream[StreamOps.UserEvent]
+    val out = runBatches(stream,
+      StreamOps.clickPurchaseJoin(stream.toDF()), "append", "ssjoin",
+      // late tick advances both watermarks so all join state flushes
+      Seq(data, mkEvents((99, "2024-01-01 12:00:00", 9, "view", 0.0))))
+    val got = out.select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 1L), (6L, 4L), (6L, 5L)))
+    // batch execution of the identical transform agrees
+    val batch = StreamOps.clickPurchaseJoin(data.toDF())
+      .select("p_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(batch === got)
+  }
+
   test("file-stream source: the same transform runs over a parquet directory stream") {
     // prod shape: readStream over a landing directory; here the sf0.001
     // events parquet replayed as one micro-batch
