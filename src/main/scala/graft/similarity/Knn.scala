@@ -231,11 +231,9 @@ object Knn {
     "d5b_cosine_exact" -> (d5bCosineExact _)
   )
 
-  /** The driver's correctness gate runs at sf0.01, whose embeddings table is
-    * 500 vectors ⇒ the engine picks codeBits(500) = 9; the static oracle SQL
-    * below is generated for exactly that width. (tools/check_correctness.py
-    * re-verifies the match before every commit.) */
-  private val oracleBits = codeBits(500)
+  /** Max code width the oracle SQL is generated for; terms above the
+    * runtime width are gated off by the `w` CTE. */
+  private val maxOracleBits = 24
 
   /** DuckDB fold of `expr[i] · plane[i]` over the first maxDims positions —
     * textual twin of the Spark zip_with/aggregate fold in [[srpCodes]]. */
@@ -246,24 +244,33 @@ object Knn {
        |        (acc, x) -> acc + x)""".stripMargin
   }
 
+  /** Exact integer ceil-log2 width in SQL: `length(bin(n-1))` is
+    * floor(log2(n-1))+1 = ⌈log₂ n⌉ with no float detour — the same value as
+    * the engine's leading-zeros [[codeBits]] at EVERY corpus size, so the
+    * oracle tracks the engine's auto width at any scale factor. */
+  private val widthSql =
+    """w AS (
+      |  SELECT GREATEST(8, LEAST(24, length(bin(GREATEST(COUNT(*), 2) - 1)))) AS width
+      |  FROM embeddings)""".stripMargin
+
   /** `codes` CTE body: one SELECT per hash table, sign-bit sums inlined with
-    * the literal hyperplanes — byte-for-byte the numbers Spark computes. */
-  private def codesSql(bits: Int): String = {
-    val header =
-      s"""-- generated for $bits-bit codes = codeBits(500): the driver gate's
-         |-- embeddings table must hold exactly 500 vectors, or the engine's
-         |-- auto width diverges from this SQL (KnnSpec pins the count).
-         |""".stripMargin
+    * the literal hyperplanes — byte-for-byte the numbers Spark computes.
+    * All 24 bit terms are emitted, each gated on `j < w.width`; CASE
+    * branches evaluate lazily, so unused widths cost nothing. */
+  private def codesSql: String = {
     val tableSelects = (0 until lshTables).map { t =>
-      val bitTerms = (0 until bits).map { j =>
-        s"""CASE WHEN ${foldSql("embedding", planeRow(t, j))} > 0
-           |      THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
+      val bitTerms = (0 until maxOracleBits).map { j =>
+        s"""CASE WHEN $j < w.width THEN
+           |      (CASE WHEN ${foldSql("embedding", planeRow(t, j))} > 0
+           |       THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+           |      ELSE CAST(0 AS BIGINT) END""".stripMargin
       }.mkString("\n      + ")
       s"""SELECT vec_id AS id, $t AS t,
          |      $bitTerms AS code
-         |    FROM embeddings""".stripMargin
+         |    FROM embeddings CROSS JOIN w""".stripMargin
     }.mkString("\n    UNION ALL\n    ")
-    s"""${header}codes AS (
+    s"""$widthSql,
+       |codes AS (
        |    $tableSelects)""".stripMargin
   }
 
@@ -305,7 +312,7 @@ object Knn {
         |FROM ranked JOIN norms na ON na.id = a_id JOIN norms nb ON nb.id = b_id
         |WHERE rk <= 5 ORDER BY a_id, rk""".stripMargin,
     "s2_knn_lsh" ->
-      s"""WITH ${codesSql(oracleBits)},
+      s"""WITH $codesSql,
         |cand AS (
         |  SELECT DISTINCT qc.id AS a_id, c.id AS b_id
         |  FROM codes qc JOIN codes c ON c.t = qc.t AND c.code = qc.code AND c.id <> qc.id
@@ -322,13 +329,14 @@ object Knn {
         |SELECT a_id, rk, b_id, dot FROM ranked WHERE rk <= 5
         |ORDER BY a_id, rk""".stripMargin,
     "s2b_knn_multiprobe" ->
-      s"""WITH ${codesSql(oracleBits)},
+      s"""WITH $codesSql,
         |qp AS (
         |  SELECT c.id AS a_id, c.t,
-        |    CASE WHEN p.k = $oracleBits THEN c.code
+        |    CASE WHEN p.k = w.width THEN c.code
         |         ELSE xor(c.code, CAST(1 AS BIGINT) << p.k) END AS code
-        |  FROM codes c CROSS JOIN (SELECT unnest(range(0, ${oracleBits + 1})) AS k) p
-        |  WHERE c.id % 20 = 0),
+        |  FROM codes c CROSS JOIN (SELECT unnest(range(0, ${maxOracleBits + 1})) AS k) p
+        |       CROSS JOIN w
+        |  WHERE c.id % 20 = 0 AND p.k <= w.width),
         |cand AS (
         |  SELECT DISTINCT qp.a_id, b.id AS b_id
         |  FROM qp JOIN codes b ON b.t = qp.t AND b.code = qp.code AND b.id <> qp.a_id),
@@ -344,7 +352,7 @@ object Knn {
         |SELECT a_id, rk, b_id, dot FROM ranked WHERE rk <= 5
         |ORDER BY a_id, rk""".stripMargin,
     "d5_embedding_neardup" ->
-      s"""WITH ${codesSql(oracleBits)},
+      s"""WITH $codesSql,
         |cand AS (
         |  SELECT DISTINCT x.id AS a_id, y.id AS b_id
         |  FROM codes x JOIN codes y ON y.t = x.t AND y.code = x.code AND x.id < y.id),

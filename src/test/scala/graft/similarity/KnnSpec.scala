@@ -83,17 +83,13 @@ class KnnSpec extends SparkSpec {
     assert(codesAt(1) === codesAt(64))
   }
 
-  test("codeBits grows with the corpus and pins the oracle width") {
-    assert(Knn.codeBits(500) === 9,
-      "driver gate runs at 500 vectors; Knn.oracle SQL is generated for 9 bits")
+  test("codeBits grows with the corpus") {
+    // the oracle SQL tracks this via length(bin(n-1)) — same exact integer
+    // ceil-log2, so these are the widths BOTH engines pick at each size
+    assert(Knn.codeBits(500) === 9)
     assert(Knn.codeBits(50) === Knn.lshBits)
     assert(Knn.codeBits(5000) === 13)
     assert(Knn.codeBits(100000000000L) === 24)
-  }
-
-  test("driver embeddings tables hold exactly 500 vectors (oracle-width assumption)") {
-    assert(Tables.embeddings(spark, sf001).count() === 500L)
-    assert(emb.count() === 500L)
   }
 
   test("cosineExactPairs matches a driver-side exact computation") {
