@@ -21,5 +21,5 @@ object SparkEntry {
       SetOpsWindows.oracle ++ Analytics.oracle ++ Skew.oracle ++
       graft.text.TextAnalysis.oracle ++ graft.text.CorpusOps.oracle ++
       graft.dedup.Dedup.oracle ++ graft.dedup.CleanCorpus.oracle ++
-      graft.similarity.Knn.oracle
+      graft.similarity.Knn.oracle ++ graft.multimodal.MultimodalQueries.oracle
 }
