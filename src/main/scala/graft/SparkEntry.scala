@@ -11,6 +11,7 @@ object SparkEntry {
     Aggregates.queries ++ FiltersProjections.queries ++ Joins.queries ++
       SetOpsWindows.queries ++ Analytics.queries ++ Skew.queries ++
       graft.text.TextAnalysis.queries ++ graft.text.CorpusOps.queries ++
+      graft.text.Repetition.queries ++
       graft.dedup.Dedup.queries ++ graft.dedup.CleanCorpus.queries ++
       graft.similarity.Knn.queries ++ graft.similarity.Ivf.queries ++
       graft.multimodal.MultimodalQueries.queries
@@ -20,6 +21,7 @@ object SparkEntry {
     Aggregates.oracle ++ FiltersProjections.oracle ++ Joins.oracle ++
       SetOpsWindows.oracle ++ Analytics.oracle ++ Skew.oracle ++
       graft.text.TextAnalysis.oracle ++ graft.text.CorpusOps.oracle ++
+      graft.text.Repetition.oracle ++
       graft.dedup.Dedup.oracle ++ graft.dedup.CleanCorpus.oracle ++
       graft.similarity.Knn.oracle ++ graft.multimodal.MultimodalQueries.oracle
 }

@@ -61,10 +61,13 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
-  /** J4 band self-join: error→click pairs by the same user within 60s.
+  /** J4 band self-join: error→click pairs by the same user within 2 hours.
     * Equi-join on `user_id` carries the heavy lifting (sort-merge/shuffle on
-    * the key); the band predicate filters pairs. Ref: pdf_parser.py:195-203
-    * (same-line |Δtop|<2 header pair). */
+    * the key); the band predicate filters pairs. The band is 2h (not the
+    * reference's seconds-scale pairing) so the driver gate at sf0.01 yields
+    * a non-empty result — two engines agreeing on empty would prove nothing
+    * about the predicate. Ref: pdf_parser.py:195-203 (same-line |Δtop|<2
+    * header pair). */
   def j04BandJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val a = e.filter(col("event_type") === "error")
@@ -73,14 +76,16 @@ object Joins {
       .select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
     a.join(b, a("user_id") === b("b_user") &&
         col("b_ts") >= col("a_ts") &&
-        col("b_ts") < col("a_ts") + expr("INTERVAL 60 SECONDS"))
+        col("b_ts") < col("a_ts") + expr("INTERVAL 2 HOURS"))
       .select(col("user_id"), col("a_id"), col("b_id"),
         (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
       .orderBy("a_id", "b_id")
   }
 
   /** J5 neighborhood-exists probe: errors with a click by the same user
-    * within ±30s — left semi join (EXISTS). Ref: pdf_parser.py:220-226. */
+    * within ±1 hour — left semi join (EXISTS). ±1h (vs the reference's
+    * seconds-scale window) keeps the sf0.01 gate non-vacuous, same
+    * reasoning as [[j04BandJoin]]. Ref: pdf_parser.py:220-226. */
   def j05ExistsProbe(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val errors = e.filter(col("event_type") === "error")
@@ -88,7 +93,7 @@ object Joins {
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
     errors.join(clicks,
         errors("user_id") === col("c_user") &&
-        abs(unix_micros(col("c_ts")) - unix_micros(errors("ts"))) <= 30000000L,
+        abs(unix_micros(col("c_ts")) - unix_micros(errors("ts"))) <= 3600000000L,
         "left_semi")
       .select(col("event_id"), col("user_id"))
       .orderBy("event_id")
@@ -255,14 +260,14 @@ object Joins {
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'error' AND b.event_type = 'click'
-        | AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 60 SECOND
+        | AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 2 HOUR
         |ORDER BY a_id, b_id""".stripMargin,
     "j05_exists_probe" ->
       """SELECT e.event_id, e.user_id FROM events e
         |WHERE e.event_type = 'error' AND EXISTS (
         |  SELECT 1 FROM events c
         |  WHERE c.event_type = 'click' AND c.user_id = e.user_id
-        |    AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 30000000)
+        |    AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 3600000000)
         |ORDER BY e.event_id""".stripMargin
   )
 }

@@ -150,6 +150,15 @@ object SetOpsWindows {
       .orderBy("event_id")
   }
 
+  /** §2.9 stream-stream interval join, batch form: each purchase joins the
+    * same user's clicks from the trailing 10 minutes — the EXACT transform
+    * graft.streaming.StreamOps.clickPurchaseJoin runs under watermarks
+    * (StreamingSpec asserts replayed-stream ≡ this batch execution), here
+    * driver-visible and oracle-checked. */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.clickPurchaseJoin(Tables.events(spark, dir))
+      .orderBy("p_id", "c_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_range_1h" -> (winRange1h _),
     "win_ranking" -> (winRanking _),
@@ -160,10 +169,19 @@ object SetOpsWindows {
     "k2_upsert_merge" -> (k2UpsertMerge _),
     "win_running" -> (winRunning _),
     "stream_tumbling" -> (tumblingWindow _),
-    "stream_session" -> (sessionWindowBatch _)
+    "stream_session" -> (sessionWindowBatch _),
+    "stream_interval_join" -> (streamIntervalJoin _)
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_interval_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |ORDER BY p_id, c_id""".stripMargin,
     "win_range_1h" ->
       """SELECT event_id, user_id,
         |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)

@@ -21,16 +21,28 @@ object Ivf {
   case class IvfIndex(assignments: DataFrame /* (vec_id, cell, embedding) */ ,
                       centroids: Array[(Int, Array[Double])])
 
-  /** Build: fit the coarse quantizer and assign every vector to a cell. */
-  def build(emb: DataFrame, nlist: Int, seed: Long = 42L): IvfIndex = {
+  /** Build: fit the coarse quantizer on a deterministic hash-sample of the
+    * corpus (`fitFrac`), then assign EVERY vector to a cell. The split is
+    * the 100 TB shape: each k-means iteration touches only the sample
+    * (~50·nlist rows suffices for a coarse quantizer), while the single
+    * assignment pass streams the full corpus once. The sample key is the
+    * same md5 family as [[graft.text.CorpusOps.hashSample]] — reproducible
+    * across runs, engines, and cluster sizes, never `rand()`. */
+  def build(emb: DataFrame, nlist: Int, seed: Long = 42L,
+            fitFrac: Double = 1.0): IvfIndex = {
     val spark = emb.sparkSession
     import spark.implicits._
     val withVec = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble)), e) }
       .toDF("vec_id", "features", "embedding")
+    val fitSet =
+      if (fitFrac >= 1.0) withVec
+      else withVec.filter(
+        graft.dedup.Dedup.md5Hash60(concat(lit("ivffit|"), col("vec_id").cast("string")))
+          < lit((fitFrac * (1L << 60).toDouble).toLong))
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
-      .fit(withVec)
+      .fit(fitSet)
     val assigned = model.transform(withVec)
       .select(col("vec_id"), col("prediction").as("cell"), col("embedding"))
     IvfIndex(assigned, model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
@@ -54,11 +66,14 @@ object Ivf {
       }.toDF("a_id", "cells")
     val probes = probeCells.select(col("a_id"), explode(col("cells")).as("cell"))
 
+    // probes (|queries|·nprobe rows) and q (the query stratum) both scale
+    // with the corpus: plain shuffle equi-joins, no broadcast hints — AQE
+    // broadcasts them at runtime only when they are actually small.
     val q = queries.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
     val cand = index.assignments.toDF("b_id", "cell", "eb")
-      .join(broadcast(probes), "cell")
+      .join(probes, "cell")
       .filter(col("a_id") =!= col("b_id"))
-      .join(broadcast(q), "a_id")
+      .join(q, "a_id")
       .select(col("a_id"), col("b_id"), Knn.dotFold(col("ea"), col("eb")).as("dot"))
     val rk = Window.partitionBy("a_id").orderBy(col("dot").desc, col("b_id").asc)
     cand.withColumn("rk", row_number().over(rk))
@@ -80,7 +95,12 @@ object Ivf {
     val n = graft.Tables.cachedCount(spark, dir, "embeddings")
     val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
     val nprobe = math.max(2, nlist / 4)
-    val index = build(emb, nlist)
+    // quantizer fit sample: ~50 points per centroid is plenty for a coarse
+    // quantizer; below 50·nlist rows the sample is the whole corpus (so the
+    // driver gate at sf0.01 fits on all 500 vectors, unchanged), above it
+    // the fit cost stays O(nlist) while assignment stays one full pass
+    val fitFrac = math.min(1.0, 50.0 * nlist / n.toDouble)
+    val index = build(emb, nlist, fitFrac = fitFrac)
     search(index, emb.filter(col("vec_id") % 20 === 0), k = 5, nprobe = nprobe)
       .orderBy("a_id", "rk")
   }

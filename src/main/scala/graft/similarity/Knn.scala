@@ -51,10 +51,13 @@ object Knn {
     val scored = c.join(broadcast(q), col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), dotFold(col("ea"), col("eb")).as("dot"))
     val rk = Window.partitionBy("a_id").orderBy(col("dot").desc, col("b_id").asc)
+    // norms is corpus-sized: NO broadcast hint — the top-k frame it joins is
+    // |queries|·k rows, so AQE broadcasts that (small) side at runtime; a
+    // hint here would materialize the whole corpus on the driver at scale.
     scored.withColumn("rk", row_number().over(rk))
       .filter(col("rk") <= k)
-      .join(broadcast(norms.toDF("a_id", "na2")), "a_id")
-      .join(broadcast(norms.toDF("b_id", "nb2")), "b_id")
+      .join(norms.toDF("a_id", "na2"), "a_id")
+      .join(norms.toDF("b_id", "nb2"), "b_id")
       .select(col("a_id"), col("rk"), col("b_id"), col("dot"),
         (col("dot") / (sqrt(col("na2")) * sqrt(col("nb2")))).as("cosine"))
   }
@@ -114,12 +117,15 @@ object Knn {
 
   /** Shared scoring tail of the LSH variants: exact dots for an explicit
     * (a_id, b_id) candidate set, then per-query top-k. One definition so the
-    * tie-break order (`dot desc, b_id asc`), the broadcast placement, and
-    * the fold arithmetic cannot drift between probe strategies. */
+    * tie-break order (`dot desc, b_id asc`) and the fold arithmetic cannot
+    * drift between probe strategies. Both embedding lookups are plain
+    * shuffle equi-joins — every frame here scales with the corpus (even the
+    * query stratum is n/20), so no side carries a broadcast hint; AQE still
+    * broadcasts whichever side is genuinely small at runtime. */
   private def scoredTopK(emb: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val q = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
     val c = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
-    val dots = cand.join(c, "b_id").join(broadcast(q), "a_id")
+    val dots = cand.join(c, "b_id").join(q, "a_id")
       .select(col("a_id"), col("b_id"), dotFold(col("ea"), col("eb")).as("dot"))
     val rk = Window.partitionBy("a_id").orderBy(col("dot").desc, col("b_id").asc)
     dots.withColumn("rk", row_number().over(rk))
@@ -173,9 +179,12 @@ object Knn {
     val vb = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     val norms = emb.select(col("vec_id").as("id"),
       sqrt(dotFold(col("embedding"), col("embedding"))).as("nrm"))
-    cand.join(broadcast(va), "a_id").join(broadcast(vb), "b_id")
-      .join(broadcast(norms.toDF("a_id", "na")), "a_id")
-      .join(broadcast(norms.toDF("b_id", "nb")), "b_id")
+    // va/vb/norms are all corpus-sized — shuffle equi-joins only (a
+    // broadcast hint on any of them is a driver-side copy of the whole
+    // embedding table at scale); cand is already collision-bounded.
+    cand.join(va, "a_id").join(vb, "b_id")
+      .join(norms.toDF("a_id", "na"), "a_id")
+      .join(norms.toDF("b_id", "nb"), "b_id")
       .select(col("a_id"), col("b_id"),
         (dotFold(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
@@ -192,9 +201,12 @@ object Knn {
     val c = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     val norms = emb.select(col("vec_id").as("id"),
       sqrt(dotFold(col("embedding"), col("embedding"))).as("nrm"))
+    // q broadcasts BY DESIGN: the non-equi pairing needs one side resident,
+    // and the sampled stratum is the audit's cost knob. norms is corpus-
+    // sized, so its joins are plain shuffle equi-joins — no hint.
     c.join(broadcast(q), col("a_id") =!= col("b_id"))
-      .join(broadcast(norms.toDF("a_id", "na")), "a_id")
-      .join(broadcast(norms.toDF("b_id", "nb")), "b_id")
+      .join(norms.toDF("a_id", "na"), "a_id")
+      .join(norms.toDF("b_id", "nb"), "b_id")
       .select(col("a_id"), col("b_id"),
         (dotFold(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -71,19 +71,30 @@ object CorpusOps {
     * laid end-to-end in id order and cut into fixed token-budget sequences;
     * a doc's sequence is the budget-bucket its start offset lands in. The
     * standard pretraining batch-assembly shape, as a window cumsum — no
-    * driver-side loop, one shuffle on the stratum. The cumsum is inherently
-    * sequential per stratum; at 100 TB you sub-shard the stratum key
-    * (e.g. partition by (lang, doc_id div shardSize)) so each window task
-    * stays bounded — the per-shard result is identical because offsets
-    * restart per shard by construction. */
-  def packSequences(docs: DataFrame, budget: Int): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    docs
+    * driver-side loop, one shuffle on the stratum.
+    *
+    * The cumsum is inherently sequential per window partition, so a hot
+    * stratum (one dominant language) is one giant task under the global
+    * key. `shardSize > 0` is the 100 TB fix: the partition key becomes
+    * `(lang, doc_id div shardSize)` and token offsets RESTART at every
+    * shard boundary — each window task is bounded by shardSize docs, and
+    * the result is deterministic because the restart points are a pure
+    * function of doc_id, not of partitioning. Sharded output carries the
+    * `shard` column, since (shard, seq_id) is the sequence identity there.
+    * `shardSize = 0` (default) keeps the exact global packing. */
+  def packSequences(docs: DataFrame, budget: Int, shardSize: Long = 0L): DataFrame = {
+    val sharded = shardSize > 0
+    val base = if (sharded) docs.withColumn("shard", expr(s"doc_id div $shardSize")) else docs
+    val w = (if (sharded) Window.partitionBy("lang", "shard") else Window.partitionBy("lang"))
+      .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    val packed = base
       .withColumn("n_tokens", size(tokens(col("text"))).cast("bigint"))
       .withColumn("strt", sum("n_tokens").over(w) - col("n_tokens"))
       .withColumn("seq_id", expr(s"strt div $budget"))
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("seq_id"))
+    if (sharded)
+      packed.select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"), col("seq_id"))
+    else
+      packed.select(col("doc_id"), col("lang"), col("n_tokens"), col("seq_id"))
   }
 
   def t5SampleStratified(spark: SparkSession, dir: String): DataFrame =
@@ -99,11 +110,18 @@ object CorpusOps {
   def t7PackSequences(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(spark, dir), 4096).orderBy("lang", "doc_id")
 
+  /** t7b: the bounded-task scale path — shards of 40 docs, 512-token budget
+    * so shard-internal sequence boundaries actually occur at sf0.01. */
+  def t7bPackSharded(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir), 512, shardSize = 40L)
+      .orderBy("lang", "doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t5_sample_stratified" -> (t5SampleStratified _),
     "t5b_sample_hash" -> (t5bSampleHash _),
     "t6_decontaminate" -> (t6Decontaminate _),
-    "t7_pack_sequences" -> (t7PackSequences _)
+    "t7_pack_sequences" -> (t7PackSequences _),
+    "t7b_pack_sharded" -> (t7bPackSharded _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -135,6 +153,18 @@ object CorpusOps {
         |SELECT doc_id, COUNT(DISTINCT bench_id) AS n_benchmarks,
         |  COUNT(DISTINCT s) AS n_shingles
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t7b_pack_sharded" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, doc_id // 40 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, shard, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS strt
+        |  FROM t)
+        |SELECT doc_id, lang, shard, n_tokens, strt // 512 AS seq_id
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
     "t7_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -116,4 +116,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  /** Build plans with stats-based auto-broadcast disabled: any
+    * BroadcastExchange that remains can only come from an explicit
+    * `broadcast()` hint — exactly the thing that OOMs the driver when the
+    * hinted frame scales with the corpus. (At test scale the tiny parquet
+    * stats would otherwise broadcast everything and hide a stray hint.) */
+  def planNoAutoBroadcast(name: String): String = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try planOf(name) finally spark.conf.set(key, prev)
+  }
+
+  test("similarity tier never hints a corpus-scaled broadcast (100 TB safety)") {
+    // equi-join-only ANN paths: candidate gen, scoring, and verify must all
+    // shuffle — zero hints allowed anywhere in the plan
+    for (n <- Seq("s2_knn_lsh", "s2b_knn_multiprobe", "d5_embedding_neardup",
+                  "s3_knn_ivf")) {
+      val p = planNoAutoBroadcast(n)
+      assert(!p.contains("BroadcastExchange"),
+        s"$n: corpus-scaled broadcast hint crept back in:\n$p")
+    }
+    // exact baselines: the ONLY hint is the by-design query-stratum side of
+    // the non-equi BNLJ; the norms joins must shuffle
+    for (n <- Seq("s1_knn_exact", "d5b_cosine_exact")) {
+      val p = planNoAutoBroadcast(n)
+      assert("BroadcastExchange".r.findAllIn(p).size === 1,
+        s"$n: expected exactly the query-stratum broadcast:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+    }
+  }
+
+  test("dedup candidate/verify joins stay shuffle joins (no corpus-side hint)") {
+    for (n <- Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
+                  "d4b_simhash_tight", "d6_clean_corpus")) {
+      val p = planNoAutoBroadcast(n)
+      assert(!p.contains("BroadcastExchange"),
+        s"$n: corpus-scaled broadcast hint crept back in:\n$p")
+    }
+  }
 }

@@ -8,9 +8,11 @@ package graft
 class QueriesSmokeSpec extends SparkSpec {
 
   // pair-finding queries can legitimately find nothing in ~1k-row samples
+  // (j04/j05 are NOT here: their bands are sized so even sf0.001 has pairs —
+  // an empty result would mean a vacuous driver gate)
   val mayBeEmptyAtTinyScale =
     Set("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
-      "d5_embedding_neardup", "j04_band_join", "j05_exists_probe")
+      "d5_embedding_neardup")
 
   test("all queries run at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -25,6 +25,22 @@ class IvfSpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("sampled quantizer fit keeps full-corpus assignment and recall floor") {
+    // the 100 TB path: k-means sees only the hash-sample, assignment and
+    // search still cover every vector
+    val sampled = Ivf.build(emb, nlist = 8, fitFrac = 0.5)
+    assert(sampled.assignments.count() === emb.count())
+    val exact = Knn.bruteForceTopK(emb, 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val approx = Ivf.search(sampled, queries, k = 5, nprobe = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // all-cells probe over a sampled-fit index is still exhaustive search
+    assert(approx === exact)
+    // and the sample itself is deterministic: same frac -> same centroids
+    val again = Ivf.build(emb, nlist = 8, fitFrac = 0.5)
+    assert(sampled.centroids.map(_._2.toSeq).toSeq === again.centroids.map(_._2.toSeq).toSeq)
+  }
+
   test("nprobe trades recall for cost, stays above a sane floor") {
     val exact = Knn.bruteForceTopK(emb, 5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet

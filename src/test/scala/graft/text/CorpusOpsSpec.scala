@@ -71,4 +71,27 @@ class CorpusOpsSpec extends SparkSpec {
         s"non-monotonic sequences in $lang")
     }
   }
+
+  test("sharded packing equals independent global packing of each shard") {
+    val budget = 64
+    val shardSize = 16L
+    val sharded = CorpusOps.packSequences(docs, budget, shardSize)
+      .select("doc_id", "lang", "shard", "n_tokens", "seq_id")
+      .as[(Long, String, Long, Long, Long)].collect().sorted.toSeq
+    // offsets restart per shard by construction, so packing each shard's
+    // docs through the GLOBAL code path must reproduce the sharded result
+    val shards = docs.select((col("doc_id") / shardSize).cast("long")).distinct()
+      .as[Long].collect()
+    val want = shards.toSeq.flatMap { s =>
+      CorpusOps.packSequences(
+          docs.filter(col("doc_id") >= s * shardSize &&
+            col("doc_id") < (s + 1) * shardSize), budget)
+        .select("doc_id", "lang", "n_tokens", "seq_id")
+        .as[(Long, String, Long, Long)].collect()
+        .map { case (id, lang, n, seq) => (id, lang, s, n, seq) }
+    }.sorted
+    assert(sharded === want)
+    // and the default is unchanged: shardSize = 0 has no shard column
+    assert(!CorpusOps.packSequences(docs, budget).columns.contains("shard"))
+  }
 }
