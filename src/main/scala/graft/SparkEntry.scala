@@ -11,8 +11,9 @@ object SparkEntry {
     Aggregates.queries ++ FiltersProjections.queries ++ Joins.queries ++
       SetOpsWindows.queries ++ Analytics.queries ++ Skew.queries ++
       graft.text.TextAnalysis.queries ++ graft.text.CorpusOps.queries ++
-      graft.text.Repetition.queries ++
+      graft.text.Repetition.queries ++ graft.text.Scrub.queries ++
       graft.dedup.Dedup.queries ++ graft.dedup.CleanCorpus.queries ++
+      graft.dedup.Clusters.queries ++
       graft.similarity.Knn.queries ++ graft.similarity.Ivf.queries ++
       graft.multimodal.MultimodalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -21,7 +22,8 @@ object SparkEntry {
     Aggregates.oracle ++ FiltersProjections.oracle ++ Joins.oracle ++
       SetOpsWindows.oracle ++ Analytics.oracle ++ Skew.oracle ++
       graft.text.TextAnalysis.oracle ++ graft.text.CorpusOps.oracle ++
-      graft.text.Repetition.oracle ++
+      graft.text.Repetition.oracle ++ graft.text.Scrub.oracle ++
       graft.dedup.Dedup.oracle ++ graft.dedup.CleanCorpus.oracle ++
+      graft.dedup.Clusters.oracle ++
       graft.similarity.Knn.oracle ++ graft.multimodal.MultimodalQueries.oracle
 }

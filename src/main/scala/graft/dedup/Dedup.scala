@@ -276,42 +276,49 @@ object Dedup {
         |             JOIN sizes sb ON p.b_id = sb.doc_id
         |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
-    "d3_minhash_lsh" -> {
-      val minExprs = seedConstants.zipWithIndex
-        .map { case (c, i) => s"MIN(xor(h, $c)) AS mh$i" }.mkString(",\n    ")
-      val bandSelects = (0 until numHashes / bandSize).map { b =>
-        val sig = (0 until bandSize).map(k => s"CAST(mh${b * bandSize + k} AS VARCHAR)")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $b AS band, $sig AS band_sig FROM mh"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH $shingleSqlCtes,
-        |hashes AS (
-        |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh),
-        |mh AS (
-        |  SELECT doc_id,
-        |    $minExprs
-        |  FROM hashes GROUP BY doc_id),
-        |bands AS (
-        |  $bandSelects),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-        |common AS (
-        |  SELECT c.a_id, c.b_id, COUNT(*) AS common
-        |  FROM cand c JOIN sh x ON x.doc_id = c.a_id
-        |              JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
-        |  GROUP BY 1, 2)
-        |SELECT a_id, b_id,
-        |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
-        |FROM common p JOIN sizes sa ON p.a_id = sa.doc_id
-        |              JOIN sizes sb ON p.b_id = sb.doc_id
-        |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin
-    },
+    "d3_minhash_lsh" ->
+      s"""WITH $minhashPairsSqlCtes
+        |SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id""".stripMargin,
     "d4_simhash" -> simHashSql(10),
     "d4b_simhash_tight" -> simHashSql(3)
   )
+
+  /** CTE chain ending in `pairs(a_id, b_id, jaccard)` — d3's verified
+    * MinHash-LSH pair set. Shared by the d3 oracle and d7's cluster oracle
+    * (Clusters.scala) so the edge definition cannot drift between them. */
+  private[graft] def minhashPairsSqlCtes: String = {
+    val minExprs = seedConstants.zipWithIndex
+      .map { case (c, i) => s"MIN(xor(h, $c)) AS mh$i" }.mkString(",\n    ")
+    val bandSelects = (0 until numHashes / bandSize).map { b =>
+      val sig = (0 until bandSize).map(k => s"CAST(mh${b * bandSize + k} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $sig AS band_sig FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""$shingleSqlCtes,
+      |hashes AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh),
+      |mh AS (
+      |  SELECT doc_id,
+      |    $minExprs
+      |  FROM hashes GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+      |common AS (
+      |  SELECT c.a_id, c.b_id, COUNT(*) AS common
+      |  FROM cand c JOIN sh x ON x.doc_id = c.a_id
+      |              JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a_id, b_id,
+      |    CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+      |  FROM common p JOIN sizes sa ON p.a_id = sa.doc_id
+      |                JOIN sizes sb ON p.b_id = sb.doc_id
+      |  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5)""".stripMargin
+  }
 
   /** d4 oracle, parameterized by the Hamming threshold. The SQL states the
     * all-pairs semantics; the engine's pigeonhole banding is proven

@@ -97,12 +97,32 @@ object CorpusOps {
       packed.select(col("doc_id"), col("lang"), col("n_tokens"), col("seq_id"))
   }
 
+  /** Deterministic train/val/test split: the md5 key space is cut at exact
+    * integer thresholds (80% / 10% / 10% of 2^60) — the assignment is a
+    * pure per-row projection (zero shuffles), reproducible across runs,
+    * engines, and cluster sizes, and adding documents never reassigns
+    * existing ones (the property `rand()`-splits and modulo-splits lack
+    * when the corpus grows). Distinct key salt from [[hashSample]] so
+    * sampling and splitting stay independent events. */
+  val splitTrainMax: Long = (1L << 60) / 10 * 8
+  val splitValMax: Long = (1L << 60) / 10 * 9
+  def splitAssign(docs: DataFrame): DataFrame = {
+    val key = Dedup.md5Hash60(concat(lit("split|"), col("doc_id").cast("string")))
+    docs.select(col("doc_id"), col("lang"),
+      when(key < splitTrainMax, "train")
+        .when(key < splitValMax, "val")
+        .otherwise("test").as("split"))
+  }
+
   def t5SampleStratified(spark: SparkSession, dir: String): DataFrame =
     stratifiedSample(Tables.documents(spark, dir), "lang", 0.1)
       .orderBy("lang", "smp_rank")
 
   def t5bSampleHash(spark: SparkSession, dir: String): DataFrame =
     hashSample(Tables.documents(spark, dir), 0.1).orderBy("doc_id")
+
+  def t5cSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(Tables.documents(spark, dir)).orderBy("doc_id")
 
   def t6Decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(spark, dir)).orderBy("doc_id")
@@ -119,6 +139,7 @@ object CorpusOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t5_sample_stratified" -> (t5SampleStratified _),
     "t5b_sample_hash" -> (t5bSampleHash _),
+    "t5c_split_assign" -> (t5cSplitAssign _),
     "t6_decontaminate" -> (t6Decontaminate _),
     "t7_pack_sequences" -> (t7PackSequences _),
     "t7b_pack_sharded" -> (t7bPackSharded _)
@@ -144,6 +165,14 @@ object CorpusOps {
         |WHERE CAST('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 15)
         |      AS BIGINT) < ${(0.1 * (1L << 60).toDouble).toLong}
         |ORDER BY doc_id""".stripMargin,
+    "t5c_split_assign" ->
+      s"""SELECT doc_id, lang,
+        |  CASE WHEN CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |            AS BIGINT) < $splitTrainMax THEN 'train'
+        |       WHEN CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |            AS BIGINT) < $splitValMax THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t6_decontaminate" ->
       s"""WITH ${Dedup.shingleSqlCtes},
         |hits AS (

@@ -12,7 +12,7 @@ class QueriesSmokeSpec extends SparkSpec {
   // an empty result would mean a vacuous driver gate)
   val mayBeEmptyAtTinyScale =
     Set("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
-      "d5_embedding_neardup")
+      "d5_embedding_neardup", "d7_dup_clusters")
 
   test("all queries run at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

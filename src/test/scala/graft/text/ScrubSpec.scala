@@ -1,0 +1,65 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class ScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf0001)
+
+  test("every doc has exactly one email, phone, and ip redacted") {
+    val r = Scrub.redactPii(docs)
+    assert(r.filter(col("n_emails") =!= 1L || col("n_phones") =!= 1L ||
+      col("n_ips") =!= 1L).count() === 0L)
+    // the redacted text carries every placeholder and no residual PII shape
+    assert(r.filter(!col("redacted").contains("<EMAIL>") ||
+      !col("redacted").contains("<PHONE>") ||
+      !col("redacted").contains("<IP>")).count() === 0L)
+    assert(r.filter(col("redacted").contains("@")).count() === 0L)
+  }
+
+  test("redaction is idempotent (placeholders match no pattern)") {
+    val once = Scrub.redactPii(docs).select("doc_id", "redacted")
+    val again = once
+      .withColumn("r2",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("redacted"), Scrub.emailRe, "<EMAIL>"),
+            Scrub.phoneRe, "<PHONE>"),
+          Scrub.ipRe, "<IP>"))
+    assert(again.filter(col("r2") =!= col("redacted")).count() === 0L)
+  }
+
+  test("url extraction yields two urls per doc minus blocklisted domains") {
+    val urls = Scrub.extractUrls(docs)
+    val n = docs.count()
+    // each doc contributes site(doc_id%7).example.org + cdn(doc_id%3).example.net;
+    // blocked: site0/site4 (2 of 7 residues) and cdn1 (1 of 3 residues)
+    val expected = docs.select(
+      (when(col("doc_id") % 7 === 0 || col("doc_id") % 7 === 4, 0).otherwise(1) +
+        when(col("doc_id") % 3 === 1, 0).otherwise(1)).as("k"))
+      .agg(sum("k")).head().getLong(0)
+    assert(urls.count() === expected)
+    assert(urls.filter(col("domain").isin(Scrub.blockedDomains: _*)).count() === 0L)
+    // domain parse is exact on the synthetic shape
+    assert(urls.filter(!col("url").startsWith("http")).count() === 0L)
+  }
+
+  test("split assignment is total, deterministic, and train-dominant") {
+    val s = CorpusOps.splitAssign(docs)
+    assert(s.count() === docs.count())
+    assert(s.select("split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "val", "test")))
+    val trainN = s.filter(col("split") === "train").count()
+    assert(trainN > docs.count() * 6 / 10, s"train split too small: $trainN")
+    // pure projection of doc_id: invariant under repartition
+    val a = s.orderBy("doc_id").collect().toSeq
+    val b = CorpusOps.splitAssign(docs.repartition(11)).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // growing the corpus never reassigns existing docs
+    val subset = CorpusOps.splitAssign(docs.filter(col("doc_id") % 2 === 0))
+      .orderBy("doc_id").collect().toSeq
+    assert(subset === a.filter(_.getLong(0) % 2 == 0))
+  }
+}
