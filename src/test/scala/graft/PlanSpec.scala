@@ -138,9 +138,10 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastExchange"),
         s"$n: corpus-scaled broadcast hint crept back in:\n$p")
     }
-    // exact baselines: the ONLY hint is the by-design query-stratum side of
-    // the non-equi BNLJ; the norms joins must shuffle
-    for (n <- Seq("s1_knn_exact", "d5b_cosine_exact")) {
+    // exact/scan baselines: the ONLY hint is the by-design query-stratum
+    // side of the non-equi BNLJ; every other join must shuffle (for s4 that
+    // means both full-precision rerank lookups)
+    for (n <- Seq("s1_knn_exact", "d5b_cosine_exact", "s4_knn_quantized")) {
       val p = planNoAutoBroadcast(n)
       assert("BroadcastExchange".r.findAllIn(p).size === 1,
         s"$n: expected exactly the query-stratum broadcast:\n$p")

@@ -127,6 +127,40 @@ class KnnSpec extends SparkSpec {
       Knn.lshTopK(emb, 5, 12).count())
   }
 
+  test("quantized kNN: int8 stage-1 + exact rerank recovers the exact top-k") {
+    val exact = Knn.bruteForceTopK(emb, 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val quant = Knn.quantizedTopK(emb, 5)
+    val got = quant.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // int8 on unit-norm 64-dim vectors with 4× rerank headroom is
+    // near-lossless; anything under 0.9 means the quantizer is broken
+    assert(recall >= 0.9, s"quantized recall=$recall")
+    // reranked dots are the TRUE dots (full precision, not dequantized)
+    val exactDots = Knn.bruteForceTopK(emb, emb.count().toInt).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("dot")).toMap
+    quant.collect().foreach { r =>
+      val key = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      exactDots.get(key).foreach(d => assert(math.abs(d - r.getAs[Double]("dot")) < 1e-12))
+      // and the quantized score is within the analytic error envelope:
+      // |127²·dot − qdot| ≤ Σᵢ(127|aᵢ| + 127|bᵢ| + 1) < 2·127·√64 + 64
+      val qd = r.getAs[Long]("qdot").toDouble
+      val d = r.getAs[Double]("dot")
+      assert(math.abs(d * 127 * 127 - qd) < 2 * 127 * 8 + 64,
+        s"qdot $qd too far from scaled dot ${d * 127 * 127}")
+    }
+  }
+
+  test("quantization is partition-invariant and floor-exact") {
+    def q(parts: Int) = emb.repartition(parts)
+      .select(col("vec_id"), Knn.quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val a = q(1)
+    assert(a === q(32))
+    // every component within int8 range for unit-norm inputs
+    assert(a.forall(_._2.forall(v => v >= -128 && v <= 127)))
+  }
+
   test("10× corpus with wider codes: planted-dup recall holds, candidates shrink") {
     // deterministic synthetic corpus: 5000 gaussian vectors, the last 50 of
     // which are small perturbations of vectors 0..49 (cosine ≈ 0.999)
