@@ -80,6 +80,27 @@ object Analytics {
          |                    WHERE c_mktsegment = 'BUILDING')
          |ORDER BY o_orderkey""".stripMargin)
 
+  /** SQL-frontend breadth #2: CTE + window ranking + correlated EXISTS in
+    * one statement — the decorrelation/rewrite surface (Catalyst turns the
+    * EXISTS into a left-semi join and plans the CTE window once) rather
+    * than the expression surface sql_frontend covers. Path-addressed
+    * relations keep it catalog-pure like [[sqlFrontend]]. */
+  def sqlFrontend2(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""WITH cust_orders AS (
+         |  SELECT o_custkey, o_orderkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC, o_orderkey) AS rk
+         |  FROM parquet.`$dir/orders.parquet`)
+         |SELECT c.c_custkey, co.o_orderkey, co.o_totalprice,
+         |  CAST(co.rk AS BIGINT) AS rk
+         |FROM parquet.`$dir/customer.parquet` c
+         |JOIN cust_orders co ON co.o_custkey = c.c_custkey
+         |WHERE co.rk <= 2
+         |  AND EXISTS (SELECT 1 FROM parquet.`$dir/lineitem.parquet` l
+         |              WHERE l.l_orderkey = co.o_orderkey AND l.l_returnflag = 'R')
+         |ORDER BY c.c_custkey, co.o_orderkey""".stripMargin)
+
   /** Exact per-group median via the rank formulation (portable across
     * engines, unlike interpolating percentile implementations): average the
     * middle one or two values — a fixed two-operand double expression. */
@@ -155,6 +176,7 @@ object Analytics {
     "scalar_strings" -> (scalarStrings _),
     "bool_aggs" -> (boolAggs _),
     "sql_frontend" -> (sqlFrontend _),
+    "sql_frontend2" -> (sqlFrontend2 _),
     "a06_rollup" -> (a06Rollup _),
     "pivot_status" -> (pivotStatus _),
     "set_ops_all" -> (setOpsAll _),
@@ -216,6 +238,20 @@ object Analytics {
         |  bool_or(l_quantity >= 50) AS any_bulk,
         |  COUNT(*) FILTER (l_tax > 0.05) AS n_high_tax
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sql_frontend2" ->
+      """WITH cust_orders AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT c.c_custkey, co.o_orderkey, co.o_totalprice,
+        |  CAST(co.rk AS BIGINT) AS rk
+        |FROM customer c
+        |JOIN cust_orders co ON co.o_custkey = c.c_custkey
+        |WHERE co.rk <= 2
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = co.o_orderkey AND l.l_returnflag = 'R')
+        |ORDER BY c.c_custkey, co.o_orderkey""".stripMargin,
     "sql_frontend" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders

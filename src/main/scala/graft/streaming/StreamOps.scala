@@ -80,6 +80,35 @@ object StreamOps {
     events.withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Idempotent `foreachBatch` upsert sink: merge each micro-batch into a
+    * parquet target, last-wins per key by (batch id, tie-break columns) —
+    * the K2 upsert semantics (database.py's INSERT OR REPLACE) as a
+    * streaming sink. Replay-safe: reprocessing the same rows under any
+    * batch id converges to the same target state, which is exactly the
+    * guarantee foreachBatch needs under at-least-once delivery.
+    *
+    * The merged frame is `localCheckpoint`ed (materialized) BEFORE the
+    * overwrite so the job never reads the directory it is rewriting. At
+    * 100 TB this read-merge-rewrite becomes a partitioned merge into a
+    * transactional table format; the per-batch dataflow (union + keyed
+    * last-wins window) is identical — only the commit protocol changes. */
+  def upsertBatch(targetDir: String, key: String, tieBreak: Seq[String])
+                 (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val incoming = batch.toDF().withColumn("__batch", lit(batchId))
+    val merged =
+      if (new java.io.File(targetDir).exists())
+        spark.read.parquet(targetDir).unionByName(incoming)
+      else incoming
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+      .orderBy(col("__batch").desc +: tieBreak.map(col(_).desc): _*)
+    merged.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(targetDir)
+  }
+
   case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                        event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

@@ -127,6 +127,29 @@ class StreamingSpec extends SparkSpec {
     streamed.foreach { case (k, n) => assert(batch(k) === n, s"window $k") }
   }
 
+  test("foreachBatch upsert sink: last-wins merge, replay-convergent") {
+    val target = java.nio.file.Files.createTempDirectory("upsink").toString + "/t"
+    val stream = MemoryStream[StreamOps.UserEvent]
+    val q = stream.toDF().writeStream
+      .foreachBatch(StreamOps.upsertBatch(target, "event_id", Seq("ts")) _)
+      .outputMode("append").start()
+    stream.addData(batch1); q.processAllAvailable()
+    // batch 2 updates event 1 and adds event 10
+    val updates = mkEvents(
+      (1, "2024-01-01 10:00:00", 1, "click", 99.0),
+      (10, "2024-01-01 11:00:00", 5, "view", 5.0))
+    stream.addData(updates); q.processAllAvailable()
+    // replay of batch 2 (at-least-once delivery) must not change the state
+    stream.addData(updates); q.processAllAvailable()
+    q.stop()
+    val state = spark.read.parquet(target)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(state.keySet === Set(1L, 2L, 3L, 4L, 10L))
+    assert(state(1L) === 99.0, "update must win over the original row")
+    assert(state(10L) === 5.0)
+    assert(state(2L) === 2.0)
+  }
+
   test("flatMapGroupsWithState maintains running per-user totals across batches") {
     val stream = MemoryStream[StreamOps.UserEvent]
     val out = runBatches(stream,
