@@ -87,6 +87,38 @@ object Aggregates {
       .orderBy("user_id", "session_id")
   }
 
+  /** Time-series resample + forward fill: per user, an hourly grid from
+    * first to last event — hours are integer µs-bucket divisions, so there
+    * is no engine timestamp-truncation parity risk — with hourly
+    * counts/sums gap-filled by 0 / the last observed value
+    * (`last(_, ignoreNulls)` ≡ DuckDB `last_value(... IGNORE NULLS)`).
+    * The standard resample-then-ffill shape feature pipelines run before
+    * training.
+    *
+    * Scale: the grid is generated WHERE each user's bounds row lives
+    * (`sequence` + explode — no driver loop, rows ∝ users × span-hours);
+    * the left join and both windows share one (user_id) shuffle family.
+    * The first grid hour of every user contains that user's first event,
+    * so `filled_value` is never null. */
+  def a09ResampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("h", expr("unix_micros(ts) div 3600000000"))
+    val hourly = e.groupBy("user_id", "h")
+      .agg(count(lit(1)).as("n"),
+        cast_double(sum(dec(col("value")))).as("sum_value"))
+    val bounds = e.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = bounds.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("is_gap", col("n") === 0L)
+      .withColumn("filled_value", last("sum_value", ignoreNulls = true).over(w))
+      .select("user_id", "h", "n", "is_gap", "filled_value")
+      .orderBy("user_id", "h")
+  }
+
   /** A2 ordered concatenation (pdf_parser.py:366 `' '.join(words)`): each
     * user's event-type journey in time order. Spark side: sort_array over
     * collected structs (the shuffle carries unordered lists; ordering is
@@ -167,11 +199,29 @@ object Aggregates {
     "a04_conditional_min" -> (a04ConditionalMin _),
     "a05_group_counts" -> (a05GroupCounts _),
     "a07_coa_classify" -> (coaClassify _),
+    "a09_resample_ffill" -> (a09ResampleFfill _),
     "w1_argmax" -> (w1Argmax _)
   )
 
   def oracle: Map[String, String] = Map(
     "q1_agg" -> q1PricingSummarySql,
+    "a09_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS h, value FROM events),
+        |hourly AS (
+        |  SELECT user_id, h, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM ev GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.h, COALESCE(hh.n, 0) AS n, hh.sum_value
+        |  FROM grid g LEFT JOIN hourly hh
+        |    ON hh.user_id = g.user_id AND hh.h = g.h)
+        |SELECT user_id, h, n, n = 0 AS is_gap,
+        |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |    ROWS UNBOUNDED PRECEDING) AS filled_value
+        |FROM j ORDER BY user_id, h""".stripMargin,
     "a01_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,
