@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -117,6 +117,33 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  /** Exact per-group quantiles (p25/p50/p75) via the two-order-statistic
+    * rank formulation [[exactMedian]] uses for the median: the quantile
+    * indices `lo = ⌊(n-1)·p⌋+1`, `hi = ⌈(n-1)·p⌉+1` are pure integer
+    * arithmetic, and the only float op is the same `x/2 + y/2` averaging —
+    * engine-exact, unlike interpolating `percentile_cont` implementations
+    * which disagree across engines at ulp level. One ranked window feeds
+    * all three quantiles in a single grouped aggregation (no per-quantile
+    * filter passes). Same inherent-sort tradeoff as exact_median; the
+    * sketch path is kmv/approx_percentile. */
+  def exactQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(dec(col("o_totalprice")), col("o_orderkey"))
+    def q(num: Int): Column = {
+      val lo = expr(s"((n - 1) * $num) div 4 + 1")
+      val hi = expr(s"((n - 1) * $num + 3) div 4 + 1")
+      val hit = when(col("rn") === lo || col("rn") === hi, col("o_totalprice"))
+      min(hit) / 2 + max(hit) / 2
+    }
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+      .groupBy("o_orderstatus")
+      .agg(q(1).as("p25"), q(2).as("p50"), q(3).as("p75"), max(col("n")).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   /** String-function suite: case, pad, repeat/reverse, translate,
     * split_part, position, left/right, ascii/chr. */
   def scalarStrings(spark: SparkSession, dir: String): DataFrame =
@@ -173,6 +200,7 @@ object Analytics {
     "kmv_distinct" -> (kmvDistinct _),
     "a06b_cube" -> (a06Cube _),
     "exact_median" -> (exactMedian _),
+    "exact_quantiles" -> (exactQuantiles _),
     "scalar_strings" -> (scalarStrings _),
     "bool_aggs" -> (boolAggs _),
     "sql_frontend" -> (sqlFrontend _),
@@ -208,6 +236,28 @@ object Analytics {
         |FROM orders
         |GROUP BY CUBE(CAST(year(o_orderdate) AS INT), o_orderstatus)
         |ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST, g_year, g_status""".stripMargin,
+    "exact_quantiles" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  MIN(CASE WHEN rn = ((n - 1) * 1) // 4 + 1 OR rn = ((n - 1) * 1 + 3) // 4 + 1
+        |      THEN o_totalprice END) / 2
+        |  + MAX(CASE WHEN rn = ((n - 1) * 1) // 4 + 1 OR rn = ((n - 1) * 1 + 3) // 4 + 1
+        |      THEN o_totalprice END) / 2 AS p25,
+        |  MIN(CASE WHEN rn = ((n - 1) * 2) // 4 + 1 OR rn = ((n - 1) * 2 + 3) // 4 + 1
+        |      THEN o_totalprice END) / 2
+        |  + MAX(CASE WHEN rn = ((n - 1) * 2) // 4 + 1 OR rn = ((n - 1) * 2 + 3) // 4 + 1
+        |      THEN o_totalprice END) / 2 AS p50,
+        |  MIN(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 OR rn = ((n - 1) * 3 + 3) // 4 + 1
+        |      THEN o_totalprice END) / 2
+        |  + MAX(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 OR rn = ((n - 1) * 3 + 3) // 4 + 1
+        |      THEN o_totalprice END) / 2 AS p75,
+        |  MAX(n) AS n
+        |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "exact_median" ->
       """WITH r AS (
         |  SELECT o_orderstatus, o_totalprice,
