@@ -237,12 +237,34 @@ object Dedup {
   def d4bSimhashTight(spark: SparkSession, dir: String): DataFrame =
     simHashPairs(Tables.documents(spark, dir), 3).orderBy("a_id", "b_id")
 
+  /** Per-document duplicated-shingle coverage — the C4/RefinedWeb-style
+    * document-quality metric: what fraction of a doc's distinct 3-gram
+    * shingles also appear in at least one OTHER document. Unlike the pair
+    * queries (d2-d5) this never materializes pairs at all: one shuffle to
+    * count each shingle's document frequency, one join back (skewed hot
+    * shingles are AQE-split, and the per-doc agg is partial), so cost is
+    * O(|shingles|) — runnable over the full corpus at any scale as a
+    * filtering signal before the pairwise tiers. */
+  def dupNgramCoverage(docs: DataFrame): DataFrame = {
+    val sh = graft.util.Caches.scoped(shingleRows(docs))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_shingles"))
+  }
+
+  def d8DupNgramCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupNgramCoverage(Tables.documents(spark, dir)).orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash" -> (d4Simhash _),
-    "d4b_simhash_tight" -> (d4bSimhashTight _)
+    "d4b_simhash_tight" -> (d4bSimhashTight _),
+    "d8_dup_ngram_coverage" -> (d8DupNgramCoverage _)
   )
 
   private[graft] val shingleSqlCtes =
@@ -257,6 +279,15 @@ object Dedup {
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "d8_dup_ngram_coverage" ->
+      s"""WITH $shingleSqlCtes,
+        |dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+        |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS dup_frac
+        |FROM sh JOIN dfreq USING (s)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
     "d1_exact_dedup" ->
       """WITH f AS (
         |  SELECT doc_id, md5(lower(trim(text))) AS fp, lang, n_chars,

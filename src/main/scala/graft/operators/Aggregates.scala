@@ -119,6 +119,112 @@ object Aggregates {
       .orderBy("user_id", "h")
   }
 
+  /** Ordered conversion funnel: per user, the first `view`, the first
+    * `click` strictly after that view, and the first `purchase` strictly
+    * after that click. Three chained conditional-min windows over the SAME
+    * (user_id) partitioning — Spark plans them as one shuffle + three
+    * Window passes, and the final groupBy reuses the exchange. The
+    * sequential "after the previous stage" constraint is what plain
+    * conditional aggregation (a04) cannot express in one pass. */
+  def funnel(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+          col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+          col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(max("t_view").as("t_view"), max("t_click").as("t_click"),
+        max("t_purchase").as("t_purchase"))
+      .withColumn("converted", col("t_purchase").isNotNull)
+  }
+
+  def a10Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(spark, dir)).orderBy("user_id")
+
+  /** SCD2-style validity intervals from an event stream: collapse
+    * consecutive same-status events per user (change-point detection via
+    * `lag`), then each surviving row becomes a dimension version with
+    * `[valid_from, valid_to)` from its own ts and the next change's ts —
+    * the slowly-changing-dimension build every warehouse ETL runs. Both
+    * window families share the one (user_id) shuffle. */
+  def scd2(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(byUser))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead("ts", 1).over(byUser))
+      .select("user_id", "event_type", "version", "valid_from", "valid_to")
+  }
+
+  def a11Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2(Tables.events(spark, dir)).orderBy("user_id", "version")
+
+  /** Cohort retention matrix: cohort = integer epoch-day of each user's
+    * first `signup` (pure `div` on µs — no date_trunc, whose return type
+    * differs between engines), crossed with every day the user purchased,
+    * exact distinct-user counts per cell. Signup-day × purchase-day keeps
+    * the matrix sparse (every-event × every-week is degenerate: all users
+    * in one cohort, active every cell — a gate that can't discriminate).
+    * The per-user min and the activity join co-partition on user_id (one
+    * shuffle family); the final (cohort, day) agg is |days|² rows — tiny
+    * at any scale. */
+  def a12CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("d").as("cohort_day"))
+    ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy("cohort_day", "d")
+      .agg(countDistinct("user_id").as("n_users"))
+      .select(col("cohort_day"), col("d").as("purchase_day"),
+        col("n_users"), (col("d") - col("cohort_day")).as("days_since"))
+      .orderBy("cohort_day", "purchase_day")
+  }
+
+  /** Event-type transition matrix (first-order Markov counts): for each
+    * user's time-ordered event stream, count `type → next_type` bigrams and
+    * attach the per-source-state transition probability. One (user_id)
+    * shuffle for the lead window, then a tiny (|types|²) aggregation —
+    * partial aggregation makes the second shuffle |types|² rows per
+    * partition regardless of corpus size. The probability is an exact
+    * IEEE division of two exact longs — engine-identical. */
+  def a14Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+    pairs
+      .withColumn("p", col("n").cast("double") / sum("n").over(w))
+      .orderBy("event_type", "next_type")
+  }
+
+  /** Equi-width histogram per group: 20 fixed buckets of 25k over
+    * o_totalprice — `floor(v / width)` is one exact IEEE double op, so
+    * bucket ids are engine-identical; counts and decimal sums aggregate
+    * partially (|groups|·|buckets| rows per partition, any scale). */
+  def a15Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("bucket", floor(col("o_totalprice") / 25000.0).cast("bigint"))
+      .groupBy("o_orderstatus", "bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus", "bucket")
+
   /** A2 ordered concatenation (pdf_parser.py:366 `' '.join(words)`): each
     * user's event-type journey in time order. Spark side: sort_array over
     * collected structs (the shuffle carries unordered lists; ordering is
@@ -200,6 +306,11 @@ object Aggregates {
     "a05_group_counts" -> (a05GroupCounts _),
     "a07_coa_classify" -> (coaClassify _),
     "a09_resample_ffill" -> (a09ResampleFfill _),
+    "a10_funnel" -> (a10Funnel _),
+    "a11_scd2" -> (a11Scd2 _),
+    "a12_cohort_retention" -> (a12CohortRetention _),
+    "a14_transitions" -> (a14Transitions _),
+    "a15_histogram" -> (a15Histogram _),
     "w1_argmax" -> (w1Argmax _)
   )
 
@@ -222,6 +333,72 @@ object Aggregates {
         |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
         |    ROWS UNBOUNDED PRECEDING) AS filled_value
         |FROM j ORDER BY user_id, h""".stripMargin,
+    "a10_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_view
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t_click
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t_purchase
+        |  FROM s2)
+        |SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+        |  MAX(t_purchase) AS t_purchase,
+        |  MAX(t_purchase) IS NOT NULL AS converted
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a11_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, ts, event_id, event_type FROM c
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type,
+        |  row_number() OVER w AS version,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to
+        |FROM chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "a12_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS d FROM events),
+        |coh AS (
+        |  SELECT user_id, MIN(d) AS cohort_day FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT c.cohort_day, e.d AS purchase_day,
+        |  COUNT(DISTINCT e.user_id) AS n_users,
+        |  e.d - c.cohort_day AS days_since
+        |FROM ev e JOIN coh c USING (user_id)
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY c.cohort_day, e.d
+        |ORDER BY c.cohort_day, e.d""".stripMargin,
+    "a14_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, next_type, COUNT(*) AS n FROM p
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type) AS p
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
+    "a15_histogram" ->
+      """SELECT o_orderstatus,
+        |  CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY o_orderstatus, CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT)
+        |ORDER BY o_orderstatus, bucket""".stripMargin,
     "a01_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,

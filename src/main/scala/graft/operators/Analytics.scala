@@ -144,6 +144,37 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  /** Winsorized mean — the robust-statistics cleaning op feature pipelines
+    * run on heavy-tailed metrics: clip each group's values to its own
+    * [p10, p90] nearest-rank order statistics, then aggregate the clipped
+    * values. Thresholds are single order statistics (no averaging), so
+    * clipping stays DECIMAL-exact; the only doubles are the final casts.
+    * The threshold frame is |groups| rows — broadcast-joined back, no
+    * second fact shuffle beyond the rank window's. */
+  def winsorized(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(dec(col("o_totalprice")), col("o_orderkey"))
+    val r = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), dec(col("o_totalprice")).as("v"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+    val th = r.groupBy("o_orderstatus").agg(
+      min(when(col("rn") === expr("(n - 1) div 10 + 1"), col("v"))).as("lo"),
+      min(when(col("rn") === expr("((n - 1) * 9) div 10 + 1"), col("v"))).as("hi"))
+    r.join(broadcast(th), "o_orderstatus")
+      .groupBy(col("o_orderstatus"), col("lo"), col("hi"))
+      .agg(
+        sum(greatest(col("lo"), least(col("hi"), col("v")))).cast("double").as("w_sum"),
+        count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_hi"))
+      .select(col("o_orderstatus"),
+        col("lo").cast("double").as("lo_val"), col("hi").cast("double").as("hi_val"),
+        col("w_sum"), col("n"), col("n_lo"), col("n_hi"))
+      .orderBy("o_orderstatus")
+  }
+
   /** String-function suite: case, pad, repeat/reverse, translate,
     * split_part, position, left/right, ascii/chr. */
   def scalarStrings(spark: SparkSession, dir: String): DataFrame =
@@ -201,6 +232,7 @@ object Analytics {
     "a06b_cube" -> (a06Cube _),
     "exact_median" -> (exactMedian _),
     "exact_quantiles" -> (exactQuantiles _),
+    "a13_winsorized" -> (winsorized _),
     "scalar_strings" -> (scalarStrings _),
     "bool_aggs" -> (boolAggs _),
     "sql_frontend" -> (sqlFrontend _),
@@ -258,6 +290,27 @@ object Analytics {
         |      THEN o_totalprice END) / 2 AS p75,
         |  MAX(n) AS n
         |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a13_winsorized" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,4)) AS v,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders),
+        |th AS (
+        |  SELECT o_orderstatus,
+        |    MIN(CASE WHEN rn = (n - 1) // 10 + 1 THEN v END) AS lo,
+        |    MIN(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN v END) AS hi
+        |  FROM r GROUP BY o_orderstatus)
+        |SELECT r.o_orderstatus,
+        |  CAST(th.lo AS DOUBLE) AS lo_val, CAST(th.hi AS DOUBLE) AS hi_val,
+        |  CAST(SUM(GREATEST(th.lo, LEAST(th.hi, r.v))) AS DOUBLE) AS w_sum,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN r.v < th.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(SUM(CASE WHEN r.v > th.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        |FROM r JOIN th USING (o_orderstatus)
+        |GROUP BY r.o_orderstatus, th.lo, th.hi
+        |ORDER BY r.o_orderstatus""".stripMargin,
     "exact_median" ->
       """WITH r AS (
         |  SELECT o_orderstatus, o_totalprice,

@@ -116,6 +116,64 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Bloom filter geometry: 2^17 bits = 2048 longs = 16 KB shipped to every
+    * task; 2 md5-derived probes. At ~3k build keys the load is ~0.05 and the
+    * false-positive rate ~0.2% — and FPs only cost a little extra work, the
+    * exact semi join behind the filter removes them from the output. */
+  val bloomBits = 1 << 17
+  val bloomHashes = 2
+
+  private def bloomPositions(key: org.apache.spark.sql.Column) =
+    (0 until bloomHashes).map { i =>
+      pmod(graft.dedup.Dedup.md5Hash60(
+        concat(lit(s"bloom|$i|"), key.cast("string"))), lit(bloomBits.toLong))
+    }
+
+  /** Build a Bloom filter over the key column as 2048 longs. The collect is
+    * the point, not a shortcut: a runtime filter must ship to every task, so
+    * it is built small (one partial-aggregated groupBy over ≤2048 words) and
+    * pulled to the driver exactly like Spark's own InjectRuntimeFilter
+    * subquery — 16 KB regardless of corpus size. md5-derived positions keep
+    * it deterministic across engines and runs. */
+  def bloomBuild(keys: DataFrame, keyCol: String): Array[Long] = {
+    val words = keys
+      .select(explode(array(bloomPositions(col(keyCol)): _*)).as("p"))
+      .select((col("p") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), pmod(col("p"), lit(64)).cast("int")).as("m"))
+      .groupBy("w").agg(bit_or(col("m")).as("bits"))
+      .collect()
+    val arr = new Array[Long](bloomBits / 64)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Membership probe against a built filter — pure codegen arithmetic
+    * (element_at on a literal array + bit ops), no UDF. */
+  def bloomMightContain(words: Array[Long], key: org.apache.spark.sql.Column) =
+    bloomPositions(key).map { p =>
+      element_at(typedLit(words.toSeq), (p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), pmod(p, lit(64)).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+
+  /** J7 (extension): Bloom-prefiltered semi join — the explicit version of
+    * the runtime-filter pushdown pattern. The build side (high-value orders)
+    * condenses to a 16 KB bit array; the fact scan drops ~90% of its rows
+    * BEFORE the shuffle; the exact left-semi join then removes the Bloom's
+    * false positives, so the output is exactly the plain semi join (the
+    * oracle). At 100 TB this is the difference between shuffling the whole
+    * fact table and shuffling only probable matches. */
+  def j07BloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val hot = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"))
+    val bloom = bloomBuild(hot, "o_orderkey")
+    Tables.lineitem(spark, dir)
+      .filter(bloomMightContain(bloom, col("l_orderkey")))
+      .join(hot.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Q5-shape deep multi-join: revenue by nation for one region-year where
     * the supplier is in the customer's nation. Exercises Catalyst's join
     * ordering over a 6-table chain: the ONLY non-broadcast join is
@@ -174,6 +232,7 @@ object Joins {
     "j03_group_scalar_attach" -> (j03GroupScalarAttach _),
     "j04_band_join" -> (j04BandJoin _),
     "j05_exists_probe" -> (j05ExistsProbe _),
+    "j07_bloom_semi" -> (j07BloomSemi _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q3_shipping_priority" -> (q3ShippingPriority _)
   )
@@ -262,6 +321,12 @@ object Joins {
         | AND a.event_type = 'error' AND b.event_type = 'click'
         | AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 2 HOUR
         |ORDER BY a_id, b_id""".stripMargin,
+    "j07_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_totalprice > 450000.0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "j05_exists_probe" ->
       """SELECT e.event_id, e.user_id FROM events e
         |WHERE e.event_type = 'error' AND EXISTS (

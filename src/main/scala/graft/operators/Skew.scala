@@ -72,8 +72,39 @@ object Skew {
       .orderBy("l_returnflag")
   }
 
+  /** Two-sided salted join: exact same rows as `fact.join(dim, key)` (inner
+    * only — replication breaks outer semantics by construction), but the
+    * fact side shuffles on (key, salt) so one hot key spreads over
+    * `saltFactor` reducers, while the dim side is replicated `saltFactor`×
+    * (explode over the salt range) so every (key, salt) bucket still finds
+    * its dim row. This is the shape for a hot fact key against a dim too
+    * large to broadcast: replication costs saltFactor·|dim| shuffle rows —
+    * pay it only on skew AQE can't split (e.g. when the downstream op needs
+    * this exact partitioning). Deterministic salt (hash of a uniqueish
+    * column, never rand()) keeps the plan replayable. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltSource: String, saltFactor: Int): DataFrame = {
+    val f = fact.withColumn("__salt", pmod(hash(col(saltSource)), lit(saltFactor)))
+    val d = dim.withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    f.join(d, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Driver query: orders⋈customer through the salted path; the oracle is
+    * the PLAIN inner join — identical output is the point (SkewBucketSpec
+    * also proves frame equality against the unsalted join). */
+  def skewSaltedJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"), col("o_orderstatus"))
+    val cust = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    saltedJoin(orders, cust, "c_custkey", "o_orderkey", 8)
+      .select("o_orderkey", "c_custkey", "o_orderstatus", "c_name", "c_nationkey")
+      .orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("skew_salted_agg" -> (skewSaltedAgg _))
+    Map("skew_salted_agg" -> (skewSaltedAgg _),
+      "skew_salted_join" -> (skewSaltedJoin _))
 
   def oracle: Map[String, String] = Map(
     "skew_salted_agg" ->
@@ -81,5 +112,9 @@ object Skew {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  COUNT(l_orderkey) AS n_rows,
         |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS max_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT o_orderkey, o_custkey AS c_custkey, o_orderstatus, c_name, c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin)
 }

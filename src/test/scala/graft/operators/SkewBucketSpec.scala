@@ -33,6 +33,20 @@ class SkewBucketSpec extends SparkSpec {
     }
   }
 
+  test("salted join equals plain inner join exactly") {
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+    val cust = Tables.customer(spark, sf0001).select("c_custkey", "c_name")
+    val plain = orders.join(cust, "c_custkey")
+      .select("o_orderkey", "c_custkey", "c_name")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(orders, cust, "c_custkey", "o_orderkey", 8)
+      .select("o_orderkey", "c_custkey", "c_name")
+      .collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
