@@ -153,8 +153,7 @@ object Analytics {
     * second fact shuffle beyond the rank window's. */
   def winsorized(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("o_orderstatus")
-      .orderBy(dec(col("o_totalprice")), col("o_orderkey"))
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("v"), col("o_orderkey"))
     val r = Tables.orders(spark, dir)
       .select(col("o_orderstatus"), dec(col("o_totalprice")).as("v"), col("o_orderkey"))
       .withColumn("rn", row_number().over(w))
@@ -165,7 +164,12 @@ object Analytics {
     r.join(broadcast(th), "o_orderstatus")
       .groupBy(col("o_orderstatus"), col("lo"), col("hi"))
       .agg(
-        sum(greatest(col("lo"), least(col("hi"), col("v")))).cast("double").as("w_sum"),
+        // explicit CASE, not greatest/least: DuckDB's GREATEST/LEAST promote
+        // DECIMAL args to DOUBLE (float-accumulated sum, ulp drift); CASE
+        // keeps the branch type, so both engines sum exact decimals
+        sum(when(col("v") < col("lo"), col("lo"))
+          .when(col("v") > col("hi"), col("hi"))
+          .otherwise(col("v"))).cast("double").as("w_sum"),
         count(lit(1)).as("n"),
         sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
         sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_hi"))
@@ -304,7 +308,9 @@ object Analytics {
         |  FROM r GROUP BY o_orderstatus)
         |SELECT r.o_orderstatus,
         |  CAST(th.lo AS DOUBLE) AS lo_val, CAST(th.hi AS DOUBLE) AS hi_val,
-        |  CAST(SUM(GREATEST(th.lo, LEAST(th.hi, r.v))) AS DOUBLE) AS w_sum,
+        |  CAST(SUM(CASE WHEN r.v < th.lo THEN th.lo
+        |               WHEN r.v > th.hi THEN th.hi
+        |               ELSE r.v END) AS DOUBLE) AS w_sum,
         |  COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN r.v < th.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
         |  CAST(SUM(CASE WHEN r.v > th.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi

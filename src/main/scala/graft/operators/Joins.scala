@@ -116,6 +116,44 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Edit-distance similarity self-join: all distinct-name pairs with
+    * levenshtein ≤ maxDist. Candidate generation is a bigram inverted-index
+    * equi-join — the q-gram COUNT filter (Gravano et al., VLDB'01): k edits
+    * destroy at most k·q q-grams, so any pair with ed ≤ k and
+    * max(len) ≥ q·(k+1) shares at least one q-gram; names shorter than that
+    * bound take a broadcast all-pairs fallback (bounded by construction:
+    * there are at most |Σ|^(q·(k+1)) such strings). Exact `levenshtein`
+    * verify runs on candidates only — never |n|² at scale. */
+  def fuzzyNamePairs(names: DataFrame, maxDist: Int): DataFrame = {
+    val q = 2
+    val bound = q * (maxDist + 1)
+    val bigrams = array_distinct(
+      transform(sequence(lit(1), length(col("name")) - 1),
+        i => col("name").substr(i, lit(q))))
+    val n = names.select(col("name")).distinct()
+    val long = n.filter(length(col("name")) >= bound)
+    val shorts = n.filter(length(col("name")) < bound)
+    val grams = long.select(col("name"), explode(bigrams).as("g"))
+    val longCand = grams.toDF("a_name", "g")
+      .join(grams.toDF("b_name", "g2"),
+        col("g") === col("g2") && col("a_name") < col("b_name"))
+      .select("a_name", "b_name").distinct()
+    // short strings pair with EVERY name (either side) — tiny side broadcast
+    val shortCand = broadcast(shorts.toDF("s"))
+      .join(n.toDF("o"), col("s") =!= col("o"))
+      .select(least(col("s"), col("o")).as("a_name"),
+        greatest(col("s"), col("o")).as("b_name"))
+      .distinct()
+    longCand.unionByName(shortCand).distinct()
+      .filter(abs(length(col("a_name")) - length(col("b_name"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= maxDist)
+  }
+
+  def j09FuzzyPairs(spark: SparkSession, dir: String): DataFrame =
+    fuzzyNamePairs(Tables.part(spark, dir).select(col("p_name").as("name")), 2)
+      .orderBy("a_name", "b_name")
+
   /** Bloom filter geometry: 2^17 bits = 2048 longs = 16 KB shipped to every
     * task; 2 md5-derived probes. At ~3k build keys the load is ~0.05 and the
     * false-positive rate ~0.2% — and FPs only cost a little extra work, the
@@ -233,6 +271,7 @@ object Joins {
     "j04_band_join" -> (j04BandJoin _),
     "j05_exists_probe" -> (j05ExistsProbe _),
     "j07_bloom_semi" -> (j07BloomSemi _),
+    "j09_fuzzy_pairs" -> (j09FuzzyPairs _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q3_shipping_priority" -> (q3ShippingPriority _)
   )
@@ -327,6 +366,13 @@ object Joins {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_orderkey = l_orderkey AND o_totalprice > 450000.0)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "j09_fuzzy_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS a_name, b.name AS b_name,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY a_name, b_name""".stripMargin,
     "j05_exists_probe" ->
       """SELECT e.event_id, e.user_id FROM events e
         |WHERE e.event_type = 'error' AND EXISTS (

@@ -149,6 +149,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("funnel's three stage windows and final agg share one user shuffle") {
+    val p = planOf("a10_funnel")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected the chained windows + groupBy to share user_id partitioning:\n$p")
+  }
+
+  test("scd2 change-point windows share one user shuffle") {
+    val p = planOf("a11_scd2")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("bloom probe filters the fact scan before the semi join") {
+    val p = planOf("j07_bloom_semi")
+    assert(p.contains("element_at"), p) // the bit-array probe is in the plan
+    assert(p.contains("LeftSemi"), p)
+    // the probe must sit under the join (scan side), not above it: the
+    // Filter containing element_at appears after (deeper than) the join line
+    val joinAt = p.indexOf("LeftSemi")
+    val probeAt = p.indexOf("element_at")
+    assert(probeAt > joinAt, s"probe not pushed below the join:\n$p")
+  }
+
+  test("dup-shingle coverage never materializes pairs (no self-join)") {
+    val p = planOf("d8_dup_ngram_coverage")
+    assert(!p.contains("SortMergeJoin LeftOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly the df-count join back onto the shingle table
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("dedup candidate/verify joins stay shuffle joins (no corpus-side hint)") {
     for (n <- Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
                   "d4b_simhash_tight", "d6_clean_corpus")) {

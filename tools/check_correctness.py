@@ -30,6 +30,10 @@ def main(sf_dir, out_dir):
     failures, passed, skipped = [], [], []
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # A query that THREW in Verify leaves no output dir at all — without this
+    # check it would silently vanish from the report instead of failing.
+    for name in sorted(set(oracle) - set(names)):
+        failures.append((name, "declared oracle but no Verify output (query threw?)"))
     for name in names:
         spark_glob = os.path.join(out_dir, name, "*.parquet")
         if not glob.glob(spark_glob):
