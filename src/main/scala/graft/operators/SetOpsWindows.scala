@@ -22,6 +22,44 @@ object SetOpsWindows {
       .limit(100)
       .select(col("l_orderkey"), col("l_linenumber"), col("price_d").cast("double").as("price"))
 
+  /** O2 global total-order sort WITHOUT a limit — the other sort shape:
+    * Spark samples the sort key to build range bounds, shuffles each row to
+    * its range (Exchange rangepartitioning), and sorts within partitions.
+    * Every partition holds a disjoint key range, so writing the result
+    * yields globally sorted output with NO single-task bottleneck — this is
+    * the 100 TB sorted-export path (vs o1's TakeOrdered for top-k). The
+    * global rank attached afterward costs no second data shuffle: range
+    * partition i holds ids `(i << 33) + 0,1,2,…` (monotonically_increasing_
+    * id's documented layout: partition id in the upper bits, a consecutive
+    * in-partition counter below), so rank = partition offset + in-partition
+    * counter — offsets come from a ≤|partitions|-row aggregate, broadcast
+    * back. A global-ORDER window would serialize the table through ONE task;
+    * this stays fully parallel. The sort key (price, unique orderkey) is a
+    * total order, so ids are deterministic across the two passes. */
+  def o5GlobalSort(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sorted = graft.util.Caches.scoped(Tables.orders(spark, dir)
+      .select(col("o_orderkey"), dec(col("o_totalprice")).as("price_d"))
+      .repartitionByRange(col("price_d").desc, col("o_orderkey").asc)
+      .sortWithinPartitions(col("price_d").desc, col("o_orderkey").asc)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33)))
+    // per-partition row counts + first id: a partially-aggregated groupBy of
+    // ≤|partitions| rows — the only extra traffic the rank attach costs
+    val parts = sorted.groupBy("__pid")
+      .agg(count(lit(1)).as("n"), min("__mid").as("base"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = parts.scanLeft(0L) { case (acc, (_, n, _)) => acc + n }
+    val offsetDf = parts.zipWithIndex.map { case ((pid, _, base), i) =>
+      (pid, base, offsets(i))
+    }.toSeq.toDF("__pid", "__base", "__off")
+    sorted.join(broadcast(offsetDf), Seq("__pid"))
+      .select(col("o_orderkey"), col("price_d").cast("double").as("price"),
+        (col("__mid") - col("__base") + col("__off") + 1L).as("global_rank"))
+      .orderBy("global_rank")
+  }
+
   /** O3/O4 per-group top-k via ranking window (row_number ≤ 3). */
   def o4TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
@@ -164,6 +202,7 @@ object SetOpsWindows {
     "win_ranking" -> (winRanking _),
     "stream_sliding" -> (slidingWindow _),
     "o1_topk_sort" -> (o1TopkSort _),
+    "o5_global_sort" -> (o5GlobalSort _),
     "o4_topk_per_group" -> (o4TopkPerGroup _),
     "set_ops" -> (setOps _),
     "k2_upsert_merge" -> (k2UpsertMerge _),
@@ -213,6 +252,12 @@ object SetOpsWindows {
         |SELECT window_start, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM hits GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "o5_global_sort" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price,
+        |  row_number() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC,
+        |                     o_orderkey) AS global_rank
+        |FROM orders ORDER BY global_rank""".stripMargin,
     "o1_topk_sort" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DOUBLE) AS price

@@ -171,6 +171,13 @@ class PlanSpec extends SparkSpec {
     assert(probeAt > joinAt, s"probe not pushed below the join:\n$p")
   }
 
+  test("global sort ranks via range partitioning, never one task") {
+    val p = planOf("o5_global_sort")
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("Window"), // a global-ORDER window = one-task sort
+      s"global rank must come from the offset join, not a window:\n$p")
+  }
+
   test("dup-shingle coverage never materializes pairs (no self-join)") {
     val p = planOf("d8_dup_ngram_coverage")
     assert(!p.contains("SortMergeJoin LeftOuter"), p)
