@@ -192,6 +192,46 @@ object Aggregates {
       .orderBy("cohort_day", "purchase_day")
   }
 
+  /** Top-k most common session journeys: the a01 gap-sessionization feeds a
+    * per-session ordered event-type string, then a global count + top-20
+    * (TakeOrderedAndProject — per-partition top-k, never a full sort). The
+    * product-analytics "most common paths" query; everything shares the one
+    * (user_id) shuffle until the tiny journey-count agg. */
+  def a16TopJourneys(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser))
+    Tables.events(spark, dir)
+      .withColumn("new_session",
+        when(gapUs.isNull || gapUs >= 600000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")),
+        " ").as("journey"))
+      .groupBy("journey")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("journey"))
+      .limit(20)
+  }
+
+  /** Burst suppression (chain debounce): keep only the FIRST event of each
+    * burst, where a burst chains events of the same (user, type) separated
+    * by < 5 s — the telemetry dedup that runs before sessionization. Same
+    * gap-island machinery as a01 with keep-first instead of aggregate;
+    * the streaming twin is dropDuplicates-within-watermark. */
+  def f07DedupBursts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))
+    Tables.events(spark, dir)
+      .withColumn("burst_head", gapUs.isNull || gapUs >= 5000000L)
+      .filter(col("burst_head"))
+      .select("event_id", "user_id", "event_type", "ts")
+      .orderBy("event_id")
+  }
+
   /** Event-type transition matrix (first-order Markov counts): for each
     * user's time-ordered event stream, count `type → next_type` bigrams and
     * attach the per-source-state transition probability. One (user_id)
@@ -310,6 +350,8 @@ object Aggregates {
     "a11_scd2" -> (a11Scd2 _),
     "a12_cohort_retention" -> (a12CohortRetention _),
     "a14_transitions" -> (a14Transitions _),
+    "a16_top_journeys" -> (a16TopJourneys _),
+    "f07_dedup_bursts" -> (f07DedupBursts _),
     "a15_histogram" -> (a15Histogram _),
     "w1_argmax" -> (w1Argmax _)
   )
@@ -379,6 +421,35 @@ object Aggregates {
         |WHERE e.event_type = 'purchase'
         |GROUP BY c.cohort_day, e.d
         |ORDER BY c.cohort_day, e.d""".stripMargin,
+    "a16_top_journeys" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |j AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, ' ' ORDER BY ts, event_id) AS journey
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT journey, COUNT(*) AS n_sessions
+        |FROM j GROUP BY journey
+        |ORDER BY n_sessions DESC, journey LIMIT 20""".stripMargin,
+    "f07_dedup_bursts" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id, event_type
+        |                  ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, ts FROM g
+        |WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 5000000
+        |ORDER BY event_id""".stripMargin,
     "a14_transitions" ->
       """WITH p AS (
         |  SELECT event_type,
