@@ -25,5 +25,6 @@ object SparkEntry {
       graft.text.Repetition.oracle ++ graft.text.Scrub.oracle ++
       graft.dedup.Dedup.oracle ++ graft.dedup.CleanCorpus.oracle ++
       graft.dedup.Clusters.oracle ++
-      graft.similarity.Knn.oracle ++ graft.multimodal.MultimodalQueries.oracle
+      graft.similarity.Knn.oracle ++ graft.similarity.Ivf.oracle ++
+      graft.multimodal.MultimodalQueries.oracle
 }

@@ -105,6 +105,104 @@ object Ivf {
       .orderBy("a_id", "rk")
   }
 
+  /** Deterministic-anchor IVF ("IVF-flat with a hash-chosen coarse
+    * quantizer"): the nlist cells are anchored at the corpus vectors whose
+    * md5 key is smallest, instead of k-means centroids. The quantizer is a
+    * pure function of the data, so — unlike [[s3KnnIvf]], whose centroids
+    * are MLlib-internal — the WHOLE pipeline is SQL-expressible and
+    * DuckDB-oracle-gated. Same cost curve as k-means IVF: assignment is the
+    * standard O(n·nlist) scan against the broadcast anchor table (nlist ≈ √n
+    * ⇒ a few MB even at 10⁹ vectors, the one legitimately-broadcast side in
+    * this family), search touches nprobe cells. Recall sits below k-means
+    * IVF (anchors are corpus samples, not optimized centroids); trading
+    * centroid quality for end-to-end determinism is the point. */
+  def anchorIvfTopK(emb: DataFrame, nlist: Int, nprobe: Int, k: Int): DataFrame = {
+    val ak = graft.dedup.Dedup.md5Hash60(
+      concat(lit("ivfanchor|"), col("vec_id").cast("string")))
+    val anchors = emb
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"), ak.as("ak"))
+      .orderBy(col("ak"), col("cell")).limit(nlist)
+      .select("cell", "ce")
+    // one corpus pass scores every vector against the broadcast anchors;
+    // the embedding column is dropped BEFORE the window, so the cached frame
+    // is (id, cell, adot, ark) — never n·nlist copies of the vectors
+    val ranked = graft.util.Caches.scoped(
+      emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(anchors))
+        .select(col("vec_id"), col("cell"),
+          Knn.dotFold(col("embedding"), col("ce")).as("adot"))
+        .withColumn("ark", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("adot").desc, col("cell").asc))))
+    val assign = ranked.filter(col("ark") === 1)
+      .select(col("vec_id").as("b_id"), col("cell"))
+    val probes = ranked.filter(col("vec_id") % 20 === 0)
+      .filter(col("ark") <= nprobe)
+      .select(col("vec_id").as("a_id"), col("cell"))
+    // each b sits in exactly one cell and each (a, cell) probe is unique, so
+    // (a_id, b_id) is already distinct — no dedup stage before scoring
+    val cand = probes.join(assign, "cell")
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+    Knn.scoredTopK(emb, cand, k)
+  }
+
+  /** Driver query: anchor-IVF top-5 with the same nlist/nprobe curve as
+    * [[s3KnnIvf]] — but hash-exact against DuckDB (the oracle recomputes the
+    * anchor choice, assignment argmax, probe ranking, and exact rerank). */
+  def s3bKnnIvfAnchor(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val n = graft.Tables.cachedCount(spark, dir, "embeddings")
+    val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nprobe = math.max(2, nlist / 4)
+    anchorIvfTopK(emb, nlist, nprobe, k = 5).orderBy("a_id", "rk")
+  }
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("s3_knn_ivf" -> (s3KnnIvf _))
+    Map("s3_knn_ivf" -> (s3KnnIvf _),
+        "s3b_knn_ivf_anchor" -> (s3bKnnIvfAnchor _))
+
+  def oracle: Map[String, String] = Map(
+    "s3b_knn_ivf_anchor" ->
+      s"""WITH params AS (
+        |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist,
+        |         GREATEST(2, GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) // 4) AS nprobe
+        |  FROM embeddings),
+        |anchors AS (
+        |  SELECT cell, ce FROM (
+        |    SELECT vec_id AS cell, embedding AS ce,
+        |      row_number() OVER (ORDER BY
+        |        CAST('0x' || substr(md5('ivfanchor|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |        vec_id) AS r
+        |    FROM embeddings) CROSS JOIN params
+        |  WHERE r <= params.nlist),
+        |adots AS (
+        |  SELECT e.vec_id, a.cell,
+        |    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.ce[i] AS DOUBLE)),
+        |      (acc, x) -> acc + x) AS adot
+        |  FROM embeddings e CROSS JOIN anchors a),
+        |ranked AS (
+        |  SELECT vec_id, cell, adot,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY adot DESC, cell) AS ark
+        |  FROM adots),
+        |assign AS (SELECT vec_id AS b_id, cell FROM ranked WHERE ark = 1),
+        |probes AS (
+        |  SELECT r.vec_id AS a_id, r.cell
+        |  FROM ranked r CROSS JOIN params
+        |  WHERE r.vec_id % 20 = 0 AND r.ark <= params.nprobe),
+        |cand AS (
+        |  SELECT a_id, b_id FROM probes JOIN assign USING (cell)
+        |  WHERE a_id <> b_id),
+        |dots AS (
+        |  SELECT cand.a_id, cand.b_id,
+        |    ${Knn.dotSql} AS dot
+        |  FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
+        |            JOIN embeddings b ON b.vec_id = cand.b_id),
+        |final AS (
+        |  SELECT a_id, b_id, dot,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
+        |  FROM dots)
+        |SELECT a_id, rk, b_id, dot FROM final WHERE rk <= 5
+        |ORDER BY a_id, rk""".stripMargin
+  )
 }

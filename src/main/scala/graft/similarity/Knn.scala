@@ -122,7 +122,7 @@ object Knn {
     * shuffle equi-joins — every frame here scales with the corpus (even the
     * query stratum is n/20), so no side carries a broadcast hint; AQE still
     * broadcasts whichever side is genuinely small at runtime. */
-  private def scoredTopK(emb: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+  private[similarity] def scoredTopK(emb: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val q = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
     val c = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     val dots = cand.join(c, "b_id").join(q, "a_id")
@@ -332,7 +332,7 @@ object Knn {
        |    $tableSelects)""".stripMargin
   }
 
-  private val dotSql =
+  private[similarity] val dotSql =
     """list_reduce(list_transform(range(1, len(a.embedding) + 1),
       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
       |      (acc, x) -> acc + x)""".stripMargin

@@ -41,6 +41,31 @@ class IvfSpec extends SparkSpec {
     assert(sampled.centroids.map(_._2.toSeq).toSeq === again.centroids.map(_._2.toSeq).toSeq)
   }
 
+  test("anchor IVF: probing all cells reproduces exact brute-force top-k") {
+    // with nprobe = nlist every cell is probed, so the deterministic-anchor
+    // quantizer must not change the answer — only prune it at lower nprobe
+    val full = Ivf.anchorIvfTopK(emb, nlist = 8, nprobe = 8, k = 5)
+      .select("a_id", "rk", "b_id").as[(Long, Int, Long)].collect().toSet
+    val exact = Knn.bruteForceTopK(emb, 5)
+      .select("a_id", "rk", "b_id").as[(Long, Int, Long)].collect().toSet
+    assert(full === exact)
+  }
+
+  test("anchor IVF: pruned probe keeps a recall floor and exact dots") {
+    val exact = Knn.bruteForceTopK(emb, 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val approx = Ivf.anchorIvfTopK(emb, nlist = 8, nprobe = 3, k = 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(approx.nonEmpty && recall >= 0.3, s"recall=$recall")
+    val truth = Knn.bruteForceTopK(emb, emb.count().toInt).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("dot")).toMap
+    Ivf.anchorIvfTopK(emb, nlist = 8, nprobe = 3, k = 5).collect().foreach { r =>
+      val key = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      truth.get(key).foreach(d => assert(math.abs(d - r.getAs[Double]("dot")) < 1e-12))
+    }
+  }
+
   test("nprobe trades recall for cost, stays above a sane floor") {
     val exact = Knn.bruteForceTopK(emb, 5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
