@@ -147,6 +147,19 @@ class PlanSpec extends SparkSpec {
         s"$n: expected exactly the query-stratum broadcast:\n$p")
       assert(p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
     }
+    // anchor IVF: the ONLY hint is the nlist-row anchor table feeding the
+    // assignment cross join (whose cached subtree prints once per consumer);
+    // probe/assign/rerank joins must all shuffle — so every BroadcastExchange
+    // in the text pairs 1:1 with a printed anchor cross join, and no
+    // BroadcastHashJoin exists anywhere
+    locally {
+      val p = planNoAutoBroadcast("s3b_knn_ivf_anchor")
+      val bx = "BroadcastExchange".r.findAllIn(p).size
+      val cross = "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size
+      assert(bx === cross && cross >= 1,
+        s"s3b_knn_ivf_anchor: broadcast beyond the anchor cross join ($bx vs $cross):\n$p")
+      assert(!p.contains("BroadcastHashJoin"), s"s3b_knn_ivf_anchor:\n$p")
+    }
   }
 
   test("funnel's three stage windows and final agg share one user shuffle") {
