@@ -199,6 +199,14 @@ class PlanSpec extends SparkSpec {
     assert("SortMergeJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("profiler melts once: two-level exact distinct, no per-column Expand") {
+    val p = planOf("dq_profile")
+    assert(!p.contains("Expand"),
+      s"per-column COUNT(DISTINCT) Expand crept into the profiler:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"expected exactly the (column,value) and (column) shuffles:\n$p")
+  }
+
   test("dedup candidate/verify joins stay shuffle joins (no corpus-side hint)") {
     for (n <- Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
                   "d4b_simhash_tight", "d6_clean_corpus")) {
