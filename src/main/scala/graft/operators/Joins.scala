@@ -116,6 +116,48 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Interval-overlap self-join via time-bucket decomposition — the Spark
+    * answer to a range join the optimizer would otherwise plan as a
+    * cartesian/BNLJ: explode every interval into the 1-hour buckets it
+    * covers, equi-join on the bucket (shuffle-partitionable), verify the
+    * true overlap, and keep each pair ONLY in the bucket containing the
+    * later interval start — an arithmetic dedup, so no distinct pass over
+    * the pair stream. Intervals here are the a01 gap-sessions; a pair is
+    * two different users' sessions open at the same instant ("concurrent
+    * sessions"). Bucketing is exact, not approximate (IntervalOverlapSpec
+    * proves ≡ the direct theta join). At 100 TB the residual skew knob is interval
+    * length: one multi-day interval explodes into thousands of buckets, so
+    * a production deployment splits a long tier (len > cap, broadcast-sized
+    * by construction) from the bucketed short tier — at the gap-session
+    * scale every interval is minutes long and single-tier is the right
+    * plan. */
+  def j08IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val bucketUs = 3600000000L // 1 hour
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser))
+    val iv = Tables.events(spark, dir)
+      .withColumn("new_session",
+        when(gapUs.isNull || gapUs >= 600000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(min(unix_micros(col("ts"))).as("t0"), max(unix_micros(col("ts"))).as("t1"))
+    val bucketed = iv.withColumn("bucket",
+      explode(sequence(expr(s"t0 div $bucketUs"), expr(s"t1 div $bucketUs"))))
+    val a = bucketed.select(col("bucket"), col("user_id").as("a_user"),
+      col("session_id").as("a_session"), col("t0").as("a_t0"), col("t1").as("a_t1"))
+    val b = bucketed.select(col("bucket"), col("user_id").as("b_user"),
+      col("session_id").as("b_session"), col("t0").as("b_t0"), col("t1").as("b_t1"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_user") < col("b_user"))
+      .filter(col("a_t0") <= col("b_t1") && col("b_t0") <= col("a_t1"))
+      .filter(expr(s"bucket = (greatest(a_t0, b_t0) div $bucketUs)"))
+      .select(col("a_user"), col("a_session"), col("b_user"), col("b_session"),
+        (least(col("a_t1"), col("b_t1")) - greatest(col("a_t0"), col("b_t0")))
+          .as("overlap_us"))
+      .orderBy("a_user", "a_session", "b_user", "b_session")
+  }
+
   /** Edit-distance similarity self-join: all distinct-name pairs with
     * levenshtein ≤ maxDist. Candidate generation is a bigram inverted-index
     * equi-join — the q-gram COUNT filter (Gravano et al., VLDB'01): k edits
@@ -271,12 +313,36 @@ object Joins {
     "j04_band_join" -> (j04BandJoin _),
     "j05_exists_probe" -> (j05ExistsProbe _),
     "j07_bloom_semi" -> (j07BloomSemi _),
+    "j08_interval_overlap" -> (j08IntervalOverlap _),
     "j09_fuzzy_pairs" -> (j09FuzzyPairs _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q3_shipping_priority" -> (q3ShippingPriority _)
   )
 
   def oracle: Map[String, String] = Map(
+    "j08_interval_overlap" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g),
+        |iv AS (
+        |  SELECT user_id, session_id,
+        |    min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT a.user_id AS a_user, a.session_id AS a_session,
+        |  b.user_id AS b_user, b.session_id AS b_session,
+        |  least(a.t1, b.t1) - greatest(a.t0, b.t0) AS overlap_us
+        |FROM iv a JOIN iv b
+        |  ON a.user_id < b.user_id AND a.t0 <= b.t1 AND b.t0 <= a.t1
+        |ORDER BY a_user, a_session, b_user, b_session""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *

@@ -199,6 +199,13 @@ class PlanSpec extends SparkSpec {
     assert("SortMergeJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("interval-overlap join equi-joins on the bucket, never a cartesian") {
+    val p = planNoAutoBroadcast("j08_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to an all-pairs plan:\n$p")
+    assert(p.contains("SortMergeJoin [bucket"), s"expected the bucket equi-join:\n$p")
+  }
+
   test("profiler melts once: two-level exact distinct, no per-column Expand") {
     val p = planOf("dq_profile")
     assert(!p.contains("Expand"),
