@@ -231,8 +231,41 @@ object Analytics {
         .as("approx_nd"))
       .orderBy("o_orderstatus")
 
+  /** Approximate per-group quantiles by deterministic hash-threshold
+    * sampling — the sketch-tier sibling of `exact_quantiles`: keep only rows
+    * whose md5 row key falls under `frac` of the hash space (a map-side
+    * filter that pushes to the scan — the corpus is never shuffled), then
+    * take EXACT nearest-rank quantiles of the small sample per group. Like
+    * every md5-keyed op here the sample is reproducible across runs,
+    * engines, and cluster sizes, so even the "approximate" answer is
+    * oracle-exact (the reported values are sample elements — no arithmetic
+    * to drift). Production tunes `frac` so groups land ~10⁴ sample rows
+    * (rank error ~1/√m); error floor asserted in QuantileSampleSpec. */
+  def approxQuantileSample(spark: SparkSession, dir: String): DataFrame = {
+    val frac = 1.0 / 32
+    val thresh = (frac * (1L << 60).toDouble).toLong
+    val rowKey = graft.dedup.Dedup.md5Hash60(
+      concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string")))
+    val sample = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"), rowKey.as("h"))
+      .filter(col("h") < thresh)
+    val part = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+    val byV = part.orderBy(col("v"), col("h"))
+    sample
+      .withColumn("m", count(lit(1)).over(part))
+      .withColumn("rv", row_number().over(byV))
+      .groupBy("l_returnflag")
+      .agg(
+        min(when(col("rv") === ceil(col("m") * 0.5), col("v"))).as("p50"),
+        min(when(col("rv") === ceil(col("m") * 0.9), col("v"))).as("p90"),
+        max(col("m")).as("sample_n"))
+      .orderBy("l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmv_distinct" -> (kmvDistinct _),
+    "approx_quantile_sample" -> (approxQuantileSample _),
     "a06b_cube" -> (a06Cube _),
     "exact_median" -> (exactMedian _),
     "exact_quantiles" -> (exactQuantiles _),
@@ -248,6 +281,23 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "approx_quantile_sample" ->
+      """WITH sample AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+        |      CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM lineitem),
+        |f AS (SELECT * FROM sample WHERE h < 36028797018963968),
+        |r AS (
+        |  SELECT l_returnflag, v,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS m,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v, h) AS rv
+        |  FROM f)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN rv = ceil(m * 0.5) THEN v END) AS p50,
+        |  MIN(CASE WHEN rv = ceil(m * 0.9) THEN v END) AS p90,
+        |  CAST(MAX(m) AS BIGINT) AS sample_n
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT o_orderstatus,

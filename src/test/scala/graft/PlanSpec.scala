@@ -206,6 +206,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin [bucket"), s"expected the bucket equi-join:\n$p")
   }
 
+  test("sample quantile filters before its only shuffle (map-side sampling)") {
+    val p = planOf("approx_quantile_sample")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected one group shuffle over the filtered sample:\n$p")
+    // the hash-threshold filter must sit below the exchange, directly on the scan
+    val ex = p.indexOf("Exchange hashpartitioning")
+    val fl = p.indexOf("Filter (cast(conv(substring(md5")
+    assert(fl > ex && ex >= 0, s"sample filter not below the shuffle:\n$p")
+  }
+
   test("profiler melts once: two-level exact distinct, no per-column Expand") {
     val p = planOf("dq_profile")
     assert(!p.contains("Expand"),
