@@ -30,10 +30,16 @@ object AsOf {
     * @param prefix   prefix for attached columns (+ `<prefix>ts` = matched time)
     * @param tieBreak optional right column ordering simultaneous right rows
     *                 (last one wins); needed only if (key, ts) can repeat
+    * @param forward  false (default): latest right with `ts <= left.ts`
+    *                 (backward/point-in-time). true: EARLIEST right with
+    *                 `ts >= left.ts` — the "next event after" lookup (e.g.
+    *                 first click after a purchase); same single-shuffle
+    *                 union+window plan, scanned in reverse time order
     */
   def joinAsOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
-               prefix: String = "asof_", tieBreak: Option[String] = None): DataFrame = {
+               prefix: String = "asof_", tieBreak: Option[String] = None,
+               forward: Boolean = false): DataFrame = {
     // the whole right row travels as ONE struct: per-column carry-forward
     // would let an older row's value bleed into a newer row's NULL payload
     val rStruct = struct(col(rightTs).as("ts") +: payload.map(p => col(p).as(p)): _*)
@@ -46,7 +52,8 @@ object AsOf {
       keyCols.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__tag")) ++
         lOther.filterNot(_ == leftTs).map(col): _*)
 
-    val ordering: Seq[Column] = Seq(col("__ts").asc, col("__tag").asc) ++
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
+    val ordering: Seq[Column] = Seq(tsOrder, col("__tag").asc) ++
       tieBreak.map(_ => col("__tie").asc_nulls_first).toSeq
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(ordering: _*)

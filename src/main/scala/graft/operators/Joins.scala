@@ -116,6 +116,26 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** J6b: forward as-of — each purchase gets the user's EARLIEST click
+    * at-or-after it (the "time-to-next-action" attachment; the attribution
+    * mirror of [[j06AsOfJoin]]). Same one-shuffle union+window plan via
+    * `forward = true`; the oracle is a ranked band join (DuckDB's native
+    * ASOF is backward-only). */
+  def j06bAsOfForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    AsOf.joinAsOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+        payload = Seq("click_id"), prefix = "next_", tieBreak = Some("click_id"),
+        forward = true)
+      .select(col("event_id"), col("user_id"),
+        col("next_click_id"),
+        (unix_micros(col("next_ts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** Interval-overlap self-join via time-bucket decomposition — the Spark
     * answer to a range join the optimizer would otherwise plan as a
     * cartesian/BNLJ: explode every interval into the 1-hour buckets it
@@ -313,6 +333,7 @@ object Joins {
     "j04_band_join" -> (j04BandJoin _),
     "j05_exists_probe" -> (j05ExistsProbe _),
     "j07_bloom_semi" -> (j07BloomSemi _),
+    "j06b_asof_forward" -> (j06bAsOfForward _),
     "j08_interval_overlap" -> (j08IntervalOverlap _),
     "j09_fuzzy_pairs" -> (j09FuzzyPairs _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -320,6 +341,20 @@ object Joins {
   )
 
   def oracle: Map[String, String] = Map(
+    "j06b_asof_forward" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.event_id, c.event_id AS next_click_id,
+        |    epoch_us(c.ts) - epoch_us(p.ts) AS gap_us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.ts, c.event_id DESC) AS rk
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts)
+        |SELECT p.event_id, p.user_id, m.next_click_id, m.gap_us
+        |FROM p LEFT JOIN m ON m.event_id = p.event_id AND m.rk = 1
+        |ORDER BY p.event_id""".stripMargin,
     "j08_interval_overlap" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

@@ -58,6 +58,30 @@ class AsOfSpec extends SparkSpec {
     assert(n === left.count())
   }
 
+  test("forward mode attaches the earliest right row at or after each left ts") {
+    val fwd = AsOf.joinAsOf(left, right, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), prefix = "next_", forward = true)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("next_click_id")).map(_.toLong)).toMap
+    assert(fwd(101L) === None)       // nothing after 100
+    assert(fwd(102L) === Some(902L)) // next after 85 is 90
+    assert(fwd(103L) === Some(901L)) // next after 50 is 80
+    assert(fwd(104L) === None)
+    assert(fwd(105L) === Some(903L)) // inclusive at equality
+    assert(fwd.size === 5)
+  }
+
+  test("forward tie-break at simultaneous right rows picks the max payload") {
+    val r2 = Seq((1L, ts(80), 901L), (1L, ts(80), 905L))
+      .toDF("user_id", "ts", "click_id")
+    val got = AsOf.joinAsOf(
+        Seq((201L, 1L, ts(70))).toDF("event_id", "user_id", "ts"),
+        r2, Seq("user_id"), "ts", "ts", Seq("click_id"), prefix = "next_",
+        tieBreak = Some("click_id"), forward = true)
+      .collect().head
+    assert(got.getAs[Long]("next_click_id") === 905L)
+  }
+
   test("plan is one shuffle on the key — no range join, no cartesian") {
     val df = AsOf.joinAsOf(left, right, Seq("user_id"), "ts", "ts", Seq("click_id"))
     val p = df.queryExecution.executedPlan.toString
