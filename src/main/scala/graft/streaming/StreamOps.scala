@@ -80,6 +80,36 @@ object StreamOps {
     events.withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stateful burst suppression — the streaming twin of
+    * `Aggregates.f07DedupBursts`: emit only the FIRST event of each < 5 s
+    * same-(user, type) chain. Unlike `dropDuplicatesWithinWatermark` (exact
+    * id dedup) the chain condition depends on the PREVIOUS event's time, so
+    * it needs real user state: one long per key (last seen event time, µs) —
+    * bounded, and GC-able via a state timeout at production scale. Within a
+    * micro-batch events are folded in (ts, event_id) order, so replaying
+    * history in event-time order reproduces the batch answer exactly
+    * (StreamingSpec pins ≡ f07 on real data). */
+  def burstDebounce(events: Dataset[UserEvent], gapUs: Long = 5000000L): Dataset[UserEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, UserEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (_: (Long, String), batch: Iterator[UserEvent], state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[UserEvent]
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            if (last == Long.MinValue || t - last >= gapUs) out += e
+            last = t
+          }
+          state.update(last)
+          out.result().iterator
+      }
+  }
+
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Idempotent `foreachBatch` upsert sink: merge each micro-batch into a
     * parquet target, last-wins per key by (batch id, tie-break columns) —
     * the K2 upsert semantics (database.py's INSERT OR REPLACE) as a

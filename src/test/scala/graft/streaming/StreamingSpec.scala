@@ -127,6 +127,39 @@ class StreamingSpec extends SparkSpec {
     streamed.foreach { case (k, n) => assert(batch(k) === n, s"window $k") }
   }
 
+  test("stateful burst debounce replayed over real data matches batch f07") {
+    val evs = graft.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .as[StreamOps.UserEvent].collect().toSeq
+    val stream = MemoryStream[StreamOps.UserEvent]
+    val out = runBatches(stream, StreamOps.burstDebounce(stream.toDS()).toDF(),
+      "append", "debounce", evs.grouped(400).toSeq)
+    val got = out.select("event_id").as[Long].collect().toSet
+    val want = graft.operators.Aggregates.f07DedupBursts(spark, sf0001)
+      .select("event_id").as[Long].collect().toSet
+    assert(want.nonEmpty && got === want)
+  }
+
+  test("burst debounce suppresses chains across micro-batch boundaries") {
+    // 1-4 chain at 3s gaps (keep only 1); 5 is 10s later (kept); user 2's
+    // simultaneous pair keeps the lower event_id. The chain spans the batch
+    // split after event 2, so suppression must flow through state.
+    val evs = mkEvents(
+      (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      (2, "2024-01-01 10:00:03", 1, "click", 1.0),
+      (3, "2024-01-01 10:00:06", 1, "click", 1.0),
+      (4, "2024-01-01 10:00:09", 1, "click", 1.0),
+      (5, "2024-01-01 10:00:19", 1, "click", 1.0),
+      (6, "2024-01-01 10:00:00", 2, "view", 1.0),
+      (7, "2024-01-01 10:00:00", 2, "view", 1.0),
+      (8, "2024-01-01 10:00:04", 1, "view", 1.0)) // other type: own chain
+    val stream = MemoryStream[StreamOps.UserEvent]
+    val out = runBatches(stream, StreamOps.burstDebounce(stream.toDS()).toDF(),
+      "append", "debounce_chain", Seq(evs.take(2), evs.drop(2)))
+    assert(out.select("event_id").as[Long].collect().toSet === Set(1L, 5L, 6L, 8L))
+  }
+
   test("foreachBatch upsert sink: last-wins merge, replay-convergent") {
     val target = java.nio.file.Files.createTempDirectory("upsink").toString + "/t"
     val stream = MemoryStream[StreamOps.UserEvent]
