@@ -101,6 +101,35 @@ object Analytics {
          |              WHERE l.l_orderkey = co.o_orderkey AND l.l_returnflag = 'R')
          |ORDER BY c.c_custkey, co.o_orderkey""".stripMargin)
 
+  /** SQL-frontend breadth #3: explicit GROUPING SETS — the general form
+    * ROLLUP/CUBE are sugar for, reachable only through the SQL parser (the
+    * DataFrame API exposes just the sugared pair) — with `grouping()`
+    * disambiguation of subtotal NULLs. */
+  def sqlFrontend3(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+         |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+         |FROM parquet.`$dir/orders.parquet`
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+         |  g_status, g_prio""".stripMargin)
+
+  /** SQL-frontend breadth #4: correlated scalar subqueries in the SELECT
+    * list — Catalyst must decorrelate each into an outer-joined aggregate
+    * (a rewrite surface none of the other frontend queries reach). */
+  def sqlFrontend4(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT c_custkey, c_mktsegment,
+         |  (SELECT COUNT(*) FROM parquet.`$dir/orders.parquet` o
+         |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+         |  (SELECT MAX(CAST(o_totalprice AS DECIMAL(18,4)))
+         |   FROM parquet.`$dir/orders.parquet` o
+         |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+         |    AS max_f_price
+         |FROM parquet.`$dir/customer.parquet` c
+         |ORDER BY c_custkey""".stripMargin)
+
   /** Exact per-group median via the rank formulation (portable across
     * engines, unlike interpolating percentile implementations): average the
     * middle one or two values — a fixed two-operand double expression. */
@@ -274,6 +303,8 @@ object Analytics {
     "bool_aggs" -> (boolAggs _),
     "sql_frontend" -> (sqlFrontend _),
     "sql_frontend2" -> (sqlFrontend2 _),
+    "sql_frontend3" -> (sqlFrontend3 _),
+    "sql_frontend4" -> (sqlFrontend4 _),
     "a06_rollup" -> (a06Rollup _),
     "pivot_status" -> (pivotStatus _),
     "set_ops_all" -> (setOpsAll _),
@@ -397,6 +428,23 @@ object Analytics {
         |  bool_or(l_quantity >= 50) AS any_bulk,
         |  COUNT(*) FILTER (l_tax > 0.05) AS n_high_tax
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sql_frontend3" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+        |  g_status, g_prio""".stripMargin,
+    "sql_frontend4" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT MAX(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |    AS max_f_price
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin,
     "sql_frontend2" ->
       """WITH cust_orders AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
