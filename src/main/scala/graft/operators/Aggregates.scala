@@ -232,6 +232,29 @@ object Aggregates {
       .orderBy("event_id")
   }
 
+  /** Longest consecutive-day purchase streak per user — the gaps-and-islands
+    * pattern (distinct activity days minus their rank is constant within a
+    * run of consecutive days). Two cheap shuffles over the DISTINCT
+    * (user, day) frame — corpus collapses at the first dedup; the argmax
+    * tie-break (longest, then earliest start) makes the answer unique. */
+  def a17PurchaseStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val byDay = Window.partitionBy("user_id").orderBy("d")
+    val streaks = days
+      .withColumn("island", date_sub(col("d"), row_number().over(byDay)))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("streak_len"), min("d").as("streak_start"))
+    val best = Window.partitionBy("user_id")
+      .orderBy(col("streak_len").desc, col("streak_start").asc)
+    streaks.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select("user_id", "streak_len", "streak_start")
+      .orderBy("user_id")
+  }
+
   /** Event-type transition matrix (first-order Markov counts): for each
     * user's time-ordered event stream, count `type → next_type` bigrams and
     * attach the per-source-state transition probability. One (user_id)
@@ -351,6 +374,7 @@ object Aggregates {
     "a12_cohort_retention" -> (a12CohortRetention _),
     "a14_transitions" -> (a14Transitions _),
     "a16_top_journeys" -> (a16TopJourneys _),
+    "a17_purchase_streaks" -> (a17PurchaseStreaks _),
     "f07_dedup_bursts" -> (f07DedupBursts _),
     "a15_histogram" -> (a15Histogram _),
     "w1_argmax" -> (w1Argmax _)
@@ -441,6 +465,25 @@ object Aggregates {
         |SELECT journey, COUNT(*) AS n_sessions
         |FROM j GROUP BY journey
         |ORDER BY n_sessions DESC, journey LIMIT 20""".stripMargin,
+    "a17_purchase_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events WHERE event_type = 'purchase'),
+        |islands AS (
+        |  SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+        |      AS island
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, island, COUNT(*) AS streak_len, MIN(d) AS streak_start
+        |  FROM islands GROUP BY user_id, island),
+        |best AS (
+        |  SELECT user_id, streak_len, streak_start,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY streak_len DESC, streak_start) AS rk
+        |  FROM streaks)
+        |SELECT user_id, streak_len, streak_start FROM best WHERE rk = 1
+        |ORDER BY user_id""".stripMargin,
     "f07_dedup_bursts" ->
       """WITH g AS (
         |  SELECT event_id, user_id, event_type, ts,

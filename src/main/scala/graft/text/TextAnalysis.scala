@@ -135,14 +135,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** T13: corpus bigram language model — count word bigrams across the
+    * corpus and attach the conditional probability
+    * p(w2|w1) = c(w1,w2)/c(w1,·); top-20 head of the model. Bigrams come
+    * from zipping a materialized token array with its own tail
+    * (slice+zip_with — the projection-boundary pattern [[docShingles]]
+    * documents; never element_at in a lambda), so the corpus pass is one
+    * explode. Downstream state is vocabulary-sized, not corpus-sized: one
+    * (w1,w2) count shuffle with map-side partial agg, one w1 window over
+    * the counts frame, TakeOrdered for the head. c(w1,·) sums bigram counts
+    * (not raw unigrams), so probabilities are row-stochastic by
+    * construction. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(lower(trim(col("text"))))
+    val pairs = Tables.documents(spark, dir)
+      .select(t.as("t"))
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val byW1 = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    counts
+      .withColumn("c1", sum("n").over(byW1))
+      .withColumn("cond_p", col("n").cast("double") / col("c1").cast("double"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (tokenStats _),
+    "t13_bigram_lm" -> (bigramLm _),
     "t2_quality_score" -> (qualityScore _),
     "t3_langid" -> (langId _),
     "t4_fingerprint" -> (fingerprintDocs _)
   )
 
   def oracle: Map[String, String] = Map(
+    "t13_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+        |pos AS (
+        |  SELECT l, unnest(range(1, len(l))) AS p FROM t),
+        |pairs AS (
+        |  SELECT l[p] AS w1, l[p + 1] AS w2 FROM pos),
+        |counts AS (
+        |  SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY w1, w2),
+        |withc AS (
+        |  SELECT w1, w2, n, CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS c1
+        |  FROM counts)
+        |SELECT w1, w2, n, c1, CAST(n AS DOUBLE) / CAST(c1 AS DOUBLE) AS cond_p
+        |FROM withc ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
