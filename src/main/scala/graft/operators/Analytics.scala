@@ -101,6 +101,26 @@ object Analytics {
          |              WHERE l.l_orderkey = co.o_orderkey AND l.l_returnflag = 'R')
          |ORDER BY c.c_custkey, co.o_orderkey""".stripMargin)
 
+  /** Long-form measure reshaping via the NATIVE unpivot operator — the
+    * DataFrame twin of SQL UNPIVOT (dq_profile's melt hand-rolls the same
+    * shape with explode where per-column expressions differ; this is the
+    * builtin for the homogeneous case) — plus a per-measure summary.
+    * Decimal-exact sums per the house money rule. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "measure", "val")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("val"))).cast("double").as("total"),
+        min("val").as("vmin"), max("val").as("vmax"))
+      .orderBy("measure")
+
   /** SQL-frontend breadth #3: explicit GROUPING SETS — the general form
     * ROLLUP/CUBE are sugar for, reachable only through the SQL parser (the
     * DataFrame API exposes just the sugared pair) — with `grouping()`
@@ -304,6 +324,7 @@ object Analytics {
     "sql_frontend" -> (sqlFrontend _),
     "sql_frontend2" -> (sqlFrontend2 _),
     "sql_frontend3" -> (sqlFrontend3 _),
+    "unpivot_measures" -> (unpivotMeasures _),
     "sql_frontend4" -> (sqlFrontend4 _),
     "a06_rollup" -> (a06Rollup _),
     "pivot_status" -> (pivotStatus _),
@@ -428,6 +449,16 @@ object Analytics {
         |  bool_or(l_quantity >= 50) AS any_bulk,
         |  COUNT(*) FILTER (l_tax > 0.05) AS n_high_tax
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "unpivot_measures" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, COUNT(*) AS n,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  MIN(val) AS vmin, MAX(val) AS vmax
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
     "sql_frontend3" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(grouping(o_orderstatus) AS INT) AS g_status,

@@ -103,6 +103,27 @@ object SetOpsWindows {
       .orderBy("o_orderkey")
   }
 
+  /** K4: CDC log → snapshot, the half of the MERGE matrix [[k2UpsertMerge]]
+    * can't express: the events stream is read as a per-user change log
+    * ('error' rows are DELETE tombstones, every other row an UPSERT
+    * carrying `value`), and the snapshot is the per-key state after
+    * replaying the log in (ts, event_id) order — keys whose FINAL op is a
+    * tombstone vanish. One shuffle (both windows share the user_id
+    * partitioning); at 100 TB this is the standard log-compaction pass. */
+  def k4CdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1)
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_op"),
+        col("value").as("last_value"),
+        unix_micros(col("ts")).as("last_ts_us"), col("n_ops"))
+      .orderBy("user_id")
+  }
+
   /** §2.6 analytic windows: row_number + lag + running sum per customer.
     * ROWS frame pinned explicitly (RANGE is the SQL default under ORDER BY
     * and would differ on ties). */
@@ -206,6 +227,7 @@ object SetOpsWindows {
     "o4_topk_per_group" -> (o4TopkPerGroup _),
     "set_ops" -> (setOps _),
     "k2_upsert_merge" -> (k2UpsertMerge _),
+    "k4_cdc_snapshot" -> (k4CdcSnapshot _),
     "win_running" -> (winRunning _),
     "stream_tumbling" -> (tumblingWindow _),
     "stream_session" -> (sessionWindowBatch _),
@@ -213,6 +235,17 @@ object SetOpsWindows {
   )
 
   def oracle: Map[String, String] = Map(
+    "k4_cdc_snapshot" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM events)
+        |SELECT user_id, event_type AS last_op, value AS last_value,
+        |  epoch_us(ts) AS last_ts_us, CAST(n_ops AS BIGINT) AS n_ops
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "stream_interval_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
