@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * through the shuffle once per column (PlanSpec pins no Expand, exactly
   * two hash exchanges).
   */
-object Profile {
+object DataProfile {
 
   /** Profile the given (name, expression) columns of `df`. Expressions are
     * stringified (the melted array needs one type); numeric columns should

@@ -3,14 +3,14 @@ package graft.operators
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-class ProfileSpec extends SparkSpec {
+class DataProfileSpec extends SparkSpec {
   import spark.implicits._
 
   test("profile counts rows, nulls, exact distincts, and string min/max") {
     val df = Seq(
       (1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]), (4L, Option("a"))
     ).toDF("id", "s")
-    val out = Profile.profile(Seq("id" -> col("id"), "s" -> col("s")), df)
+    val out = DataProfile.profile(Seq("id" -> col("id"), "s" -> col("s")), df)
       .collect().map(r => r.getString(0) -> r).toMap
     val idR = out("id")
     assert(idR.getLong(1) === 4L && idR.getLong(2) === 0L && idR.getLong(3) === 4L)
@@ -22,7 +22,7 @@ class ProfileSpec extends SparkSpec {
 
   test("all-null column profiles to zero distincts and null min/max") {
     val df = Seq(1L, 2L).toDF("id").withColumn("n", lit(null).cast("string"))
-    val r = Profile.profile(Seq("n" -> col("n")), df).collect().head
+    val r = DataProfile.profile(Seq("n" -> col("n")), df).collect().head
     assert(r.getLong(1) === 2L && r.getLong(2) === 2L && r.getLong(3) === 0L)
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
