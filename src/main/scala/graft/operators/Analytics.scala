@@ -193,6 +193,35 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  /** Exact median absolute deviation per group — the robust spread measure
+    * next to [[winsorized]]'s robust location. Both statistics are LOWER
+    * medians (single order statistics, rank `(n+1) div 2`), so every
+    * intermediate stays a DECIMAL-exact data element — no interpolation, no
+    * float accumulation; the only doubles are the final display casts.
+    * Two rank passes (values, then |v − med| deviations) sharing the group
+    * key partitioning; the |groups|-row median frame broadcasts back. */
+  def a18Mad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = Window.partitionBy("o_orderstatus").orderBy(col("v"), col("o_orderkey"))
+    val part = Window.partitionBy("o_orderstatus")
+    val r = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), dec(col("o_totalprice")).as("v"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(byV))
+      .withColumn("n", count(lit(1)).over(part))
+    val med = r.filter(expr("rn = (n + 1) div 2"))
+      .select(col("o_orderstatus"), col("v").as("med"))
+    val dev = r.join(broadcast(med), "o_orderstatus")
+      .withColumn("d", abs(col("v") - col("med")))
+    val byD = Window.partitionBy("o_orderstatus").orderBy(col("d"), col("o_orderkey"))
+    dev.withColumn("dn", row_number().over(byD))
+      .filter(expr("dn = (n + 1) div 2"))
+      .select(col("o_orderstatus"),
+        col("med").cast("double").as("median"),
+        col("d").cast("double").as("mad"),
+        col("n"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Winsorized mean — the robust-statistics cleaning op feature pipelines
     * run on heavy-tailed metrics: clip each group's values to its own
     * [p10, p90] nearest-rank order statistics, then aggregate the clipped
@@ -325,6 +354,7 @@ object Analytics {
     "sql_frontend2" -> (sqlFrontend2 _),
     "sql_frontend3" -> (sqlFrontend3 _),
     "unpivot_measures" -> (unpivotMeasures _),
+    "a18_mad" -> (a18Mad _),
     "sql_frontend4" -> (sqlFrontend4 _),
     "a06_rollup" -> (a06Rollup _),
     "pivot_status" -> (pivotStatus _),
@@ -449,6 +479,26 @@ object Analytics {
         |  bool_or(l_quantity >= 50) AS any_bulk,
         |  COUNT(*) FILTER (l_tax > 0.05) AS n_high_tax
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a18_mad" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,4)) AS v, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders),
+        |med AS (
+        |  SELECT o_orderstatus, v AS med FROM r WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT r.o_orderstatus, r.o_orderkey, r.n, med.med, abs(r.v - med.med) AS d
+        |  FROM r JOIN med USING (o_orderstatus)),
+        |ranked AS (
+        |  SELECT o_orderstatus, med, d, n,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY d, o_orderkey) AS dn
+        |  FROM dev)
+        |SELECT o_orderstatus, CAST(med AS DOUBLE) AS median,
+        |  CAST(d AS DOUBLE) AS mad, CAST(n AS BIGINT) AS n
+        |FROM ranked WHERE dn = (n + 1) // 2
+        |ORDER BY o_orderstatus""".stripMargin,
     "unpivot_measures" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
