@@ -58,8 +58,45 @@ object DataProfile {
     ), ev).orderBy("column_name")
   }
 
+  /** Referential-integrity audit across the star schema: for each
+    * FK relationship, total fact rows, orphan rows (left anti join), and
+    * distinct orphan keys. Anti joins are the scale-correct mechanism
+    * (broadcast for small dims, shuffle for fact-fact — planner's choice);
+    * counts aggregate before the union, so the result frame is
+    * relationship-sized. The audit every pipeline runs before trusting a
+    * join's completeness. */
+  def dqRefIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def audit(rel: String, fact: DataFrame, fk: String,
+              dim: DataFrame, pk: String): DataFrame = {
+      val orphans = fact.select(col(fk))
+        .join(dim.select(col(pk).as(fk)), Seq(fk), "left_anti")
+      val totals = fact.agg(count(lit(1)).as("n_rows"))
+      orphans.agg(count(lit(1)).as("n_orphans"),
+          countDistinct(col(fk)).as("n_orphan_keys"))
+        .crossJoin(totals)
+        .select(lit(rel).as("relationship"), col("n_rows"),
+          col("n_orphans"), col("n_orphan_keys"))
+    }
+    val li = graft.Tables.lineitem(spark, dir)
+    val o = graft.Tables.orders(spark, dir)
+    val c = graft.Tables.customer(spark, dir)
+    val s = graft.Tables.supplier(spark, dir)
+    val n = graft.Tables.nation(spark, dir)
+    // the generator keeps the star schema RI-clean (the four real
+    // relationships must audit to zero orphans); the even-key "stale dim
+    // snapshot" guarantees a non-vacuous orphan path in the same run
+    audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(audit("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"))
+      .unionByName(audit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"))
+      .unionByName(audit("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"))
+      .unionByName(audit("lineitem->orders_even_snapshot", li, "l_orderkey",
+        o.filter(col("o_orderkey") % 2 === 0), "o_orderkey"))
+      .orderBy("relationship")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("dq_profile" -> (dqProfile _))
+    Map("dq_profile" -> (dqProfile _),
+        "dq_ref_integrity" -> (dqRefIntegrity _))
 
   def oracle: Map[String, String] = {
     val perCol = profiledCols.map { c =>
@@ -68,7 +105,24 @@ object DataProfile {
          |  COUNT(DISTINCT $c) AS n_distinct,
          |  MIN($c) AS min_value, MAX($c) AS max_value FROM s""".stripMargin
     }.mkString("\nUNION ALL\n")
-    Map("dq_profile" ->
+    Map("dq_ref_integrity" -> {
+      def rel(name: String, fact: String, fk: String, dim: String,
+              pk: String, dimFilter: String = ""): String =
+        s"""SELECT '$name' AS relationship,
+           |  (SELECT COUNT(*) FROM $fact) AS n_rows,
+           |  COUNT(*) AS n_orphans, COUNT(DISTINCT $fk) AS n_orphan_keys
+           |FROM $fact f WHERE NOT EXISTS
+           |  (SELECT 1 FROM $dim d WHERE d.$pk = f.$fk$dimFilter)""".stripMargin
+      Seq(
+        rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        rel("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        rel("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        rel("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        rel("lineitem->orders_even_snapshot", "lineitem", "l_orderkey", "orders",
+          "o_orderkey", " AND d.o_orderkey % 2 = 0")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+    },
+    "dq_profile" ->
       s"""WITH s AS (
          |  SELECT CAST(event_id AS VARCHAR) AS event_id,
          |         CAST(user_id AS VARCHAR) AS user_id,

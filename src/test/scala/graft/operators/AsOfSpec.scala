@@ -82,6 +82,24 @@ class AsOfSpec extends SparkSpec {
     assert(got.getAs[Long]("next_click_id") === 905L)
   }
 
+  test("forward is the time-mirror of backward (duality on negated clocks)") {
+    // joinAsOf(forward) must equal joinAsOf(backward) run on negated
+    // timestamps — pins that the two directions share one semantics and
+    // differ only in scan order
+    def neg(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(-unix_micros(ts))"))
+    val fwd = AsOf.joinAsOf(left, right, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), prefix = "m_", forward = true)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("m_click_id")).map(_.toLong)).toMap
+    val mirrored = AsOf.joinAsOf(neg(left), neg(right), Seq("user_id"), "ts", "ts",
+        Seq("click_id"), prefix = "m_", forward = false)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("m_click_id")).map(_.toLong)).toMap
+    assert(fwd === mirrored)
+  }
+
   test("plan is one shuffle on the key — no range join, no cartesian") {
     val df = AsOf.joinAsOf(left, right, Seq("user_id"), "ts", "ts", Seq("click_id"))
     val p = df.queryExecution.executedPlan.toString
