@@ -255,6 +255,27 @@ object Aggregates {
       .orderBy("user_id")
   }
 
+  /** Daily + trailing-7-day active users (DAU/WAU) — the sliding-window
+    * EXACT distinct count, which windows can't express directly (distinct
+    * doesn't decompose over overlapping frames). The scale-correct exact
+    * formulation: dedup to (user, day) once, then each pair contributes to
+    * the 7 target days it covers (a bounded explode of the ALREADY-deduped
+    * frame, never the raw corpus), and a plain distinct count per target
+    * day. The sketch alternative at extreme scale is an HLL union per
+    * window; this is the exact path and stays oracle-checkable. */
+  def a19ActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = graft.util.Caches.scoped(
+      Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct())
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .withColumn("day", explode(sequence(col("day"), date_add(col("day"), 6))))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    // inner join keeps only observed days (the explode also lands on up to
+    // six days past the data's horizon)
+    dau.join(wau, "day").orderBy("day")
+  }
+
   /** Event-type transition matrix (first-order Markov counts): for each
     * user's time-ordered event stream, count `type → next_type` bigrams and
     * attach the per-source-state transition probability. One (user_id)
@@ -375,6 +396,7 @@ object Aggregates {
     "a14_transitions" -> (a14Transitions _),
     "a16_top_journeys" -> (a16TopJourneys _),
     "a17_purchase_streaks" -> (a17PurchaseStreaks _),
+    "a19_active_users" -> (a19ActiveUsers _),
     "f07_dedup_bursts" -> (f07DedupBursts _),
     "a15_histogram" -> (a15Histogram _),
     "w1_argmax" -> (w1Argmax _)
@@ -465,6 +487,17 @@ object Aggregates {
         |SELECT journey, COUNT(*) AS n_sessions
         |FROM j GROUP BY journey
         |ORDER BY n_sessions DESC, journey LIMIT 20""".stripMargin,
+    "a19_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+        |wau AS (
+        |  SELECT d.day, COUNT(DISTINCT ud.user_id) AS wau
+        |  FROM (SELECT DISTINCT day FROM ud) d
+        |  JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day)
+        |SELECT dau.day, dau.dau, wau.wau
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     "a17_purchase_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
