@@ -110,6 +110,24 @@ object FiltersProjections {
         when(col("event_type") === "error", -col("value")).otherwise(col("value")).as("signed_value"))
       .orderBy("event_id")
 
+  /** Error-safe cast suite (§2.8 continued): `try_cast`/`try_divide` — the
+    * ANSI-adjacent surface that turns malformed input into NULLs instead of
+    * task failures, which is what a 100 TB ingest of dirty text demands (a
+    * single bad row must not kill a 10⁵-task stage). Mixed valid/invalid
+    * targets so both branches are exercised; division-by-zero parity is
+    * NULL in both engines. */
+  def scalarTry(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        expr("try_cast(split_part(p_brand, '#', 2) AS INT)").as("brand_num"),
+        expr("try_cast(p_type AS INT)").as("bad_int"),
+        expr("try_divide(p_size, p_partkey % 7)").as("size_ratio"),
+        expr("try_cast(p_name AS DATE)").as("bad_date"),
+        expr("try_cast(concat('2024-', cast(p_partkey % 15 as string), '-01') AS DATE)")
+          .as("maybe_date"))
+      .orderBy("p_partkey")
+
   /** Version-compare via array higher-order functions: split a version
     * string into int components, compare lexicographically.
     * Ref: update_checker.py:89-96. */
@@ -143,10 +161,20 @@ object FiltersProjections {
     "p05_display_concat" -> (p05DisplayConcat _),
     "p06_split_extract" -> (p06SplitExtract _),
     "scalar_suite" -> (scalarSuite _),
+    "scalar_try" -> (scalarTry _),
     "version_compare" -> (versionCompare _)
   )
 
   def oracle: Map[String, String] = Map(
+    "scalar_try" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(split_part(p_brand, '#', 2) AS INT) AS brand_num,
+        |  TRY_CAST(p_type AS INT) AS bad_int,
+        |  p_size / (p_partkey % 7) AS size_ratio,
+        |  TRY_CAST(p_name AS DATE) AS bad_date,
+        |  TRY_CAST('2024-' || CAST(p_partkey % 15 AS VARCHAR) || '-01' AS DATE)
+        |    AS maybe_date
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "f01_contains_filter" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE contains(text, 'table') ORDER BY doc_id""".stripMargin,

