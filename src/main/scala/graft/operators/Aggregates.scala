@@ -255,6 +255,22 @@ object Aggregates {
       .orderBy("user_id")
   }
 
+  /** Two-level reaggregation: monthly totals computed FROM the daily
+    * partial aggregates, not from raw events — the incremental-aggregation
+    * algebra every warehouse rollforward depends on (yesterday's daily
+    * partitions are never rescanned). The oracle computes the monthly
+    * totals directly from raw rows, so a green hash PROVES the
+    * decomposition is exact: counts add, and the DECIMAL sums make the
+    * value rollup associative where double accumulation would drift. */
+  def a20ReaggMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("s"))
+    daily.groupBy(date_format(col("day"), "yyyy-MM").as("month"), col("event_type"))
+      .agg(sum("n").as("n_events"), sum("s").cast("double").as("total_value"))
+      .orderBy("month", "event_type")
+  }
+
   /** Daily + trailing-7-day active users (DAU/WAU) — the sliding-window
     * EXACT distinct count, which windows can't express directly (distinct
     * doesn't decompose over overlapping frames). The scale-correct exact
@@ -397,6 +413,7 @@ object Aggregates {
     "a16_top_journeys" -> (a16TopJourneys _),
     "a17_purchase_streaks" -> (a17PurchaseStreaks _),
     "a19_active_users" -> (a19ActiveUsers _),
+    "a20_reagg_monthly" -> (a20ReaggMonthly _),
     "f07_dedup_bursts" -> (f07DedupBursts _),
     "a15_histogram" -> (a15Histogram _),
     "w1_argmax" -> (w1Argmax _)
@@ -487,6 +504,11 @@ object Aggregates {
         |SELECT journey, COUNT(*) AS n_sessions
         |FROM j GROUP BY journey
         |ORDER BY n_sessions DESC, journey LIMIT 20""".stripMargin,
+    "a20_reagg_monthly" ->
+      """SELECT strftime(ts, '%Y-%m') AS month, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a19_active_users" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
