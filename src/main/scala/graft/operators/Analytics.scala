@@ -137,14 +137,16 @@ object Analytics {
 
   /** SQL-frontend breadth #4: correlated scalar subqueries in the SELECT
     * list — Catalyst must decorrelate each into an outer-joined aggregate
-    * (a rewrite surface none of the other frontend queries reach). */
+    * (a rewrite surface none of the other frontend queries reach). MAX takes
+    * the raw double: max needs no decimal-sum trick (no summation, double
+    * comparison is exact) and the double→decimal cast itself diverges
+    * between engines at ulp level. */
   def sqlFrontend4(spark: SparkSession, dir: String): DataFrame =
     spark.sql(
       s"""SELECT c_custkey, c_mktsegment,
          |  (SELECT COUNT(*) FROM parquet.`$dir/orders.parquet` o
          |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
-         |  (SELECT MAX(CAST(o_totalprice AS DECIMAL(18,4)))
-         |   FROM parquet.`$dir/orders.parquet` o
+         |  (SELECT MAX(o_totalprice) FROM parquet.`$dir/orders.parquet` o
          |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
          |    AS max_f_price
          |FROM parquet.`$dir/customer.parquet` c
@@ -521,7 +523,7 @@ object Analytics {
       """SELECT c_custkey, c_mktsegment,
         |  (SELECT COUNT(*) FROM orders o
         |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
-        |  (SELECT MAX(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders o
+        |  (SELECT MAX(o_totalprice) FROM orders o
         |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |    AS max_f_price
         |FROM customer c
