@@ -36,6 +36,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm1 output matches the committed golden fixture cell-exactly") {
+    // The histogram half of mm1 has no SQL oracle (byte-level mapPartitions
+    // featurization isn't SQL-expressible), so this golden file IS its
+    // correctness gate: every output column of mm1_media_features at
+    // sf0.001, rendered canonically one row per line, compared exactly
+    // (strictly stronger than a hash compare). Regenerate deliberately with
+    //   GRAFT_GOLDEN_REGEN=true sbt "testOnly graft.multimodal.MultimodalSpec"
+    // and review the diff before committing.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val golden = Paths.get("src/test/resources/golden/mm1_sf0.001.csv")
+    val got = MultimodalQueries.mm1MediaFeatures(spark, sf0001)
+      .collect()
+      .map(r => Seq(r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4)).mkString(","))
+      .toSeq
+    if (sys.env.get("GRAFT_GOLDEN_REGEN").contains("true")) {
+      Files.createDirectories(golden.getParent)
+      Files.write(golden, got.asJava)
+      fail(s"golden regenerated at $golden — rerun without regen to verify")
+    }
+    assert(Files.exists(golden), s"missing golden fixture $golden")
+    val want = Files.readAllLines(golden).asScala.toSeq
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+
   test("resize stub caps the max dimension and keeps aspect sanity") {
     val resized = Multimodal.resizeStub(media, maxDim = 100).collect()
     resized.foreach { r =>
