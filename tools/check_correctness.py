@@ -39,6 +39,17 @@ def main(sf_dir, out_dir):
         if not glob.glob(spark_glob):
             failures.append((name, "no spark parquet output"))
             continue
+        # Lint: DECIMAL-typed OUTPUT columns are banned by convention — final
+        # columns must be re-quantized and CAST AS DOUBLE (decimal casts of
+        # doubles diverge between engines at ulp level; see sql_frontend4's
+        # round-4 hash mismatch). DECIMAL is fine as an internal sum carrier.
+        dec = [f"{r[0]} is {r[1]}" for r in
+               con.sql(f"DESCRIBE SELECT * FROM '{spark_glob}'").fetchall()
+               if r[1].upper().startswith("DECIMAL")]
+        if dec:
+            failures.append((name, "DECIMAL output column (cast to DOUBLE): "
+                             + "; ".join(dec)))
+            continue
         if name not in oracle:
             n = con.sql(f"SELECT count(*) FROM '{spark_glob}'").fetchone()[0]
             skipped.append((name, n))
