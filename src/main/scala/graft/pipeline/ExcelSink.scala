@@ -10,10 +10,19 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
   * (no POI/spark-excel jar ships in this environment; .xlsx is a zip of
   * XML parts).
   *
+  * Styling mirrors excel_builder.py:137-181: bold white-on-#366092 bordered
+  * header row, `$#,##0.00` right-aligned currency columns, centered date
+  * columns, auto-fit column widths capped at 50, frozen header row.
+  *
   * Driver-side by design: the report is human-scale (the reference collects
   * into pandas before writing, excel_builder.py:54); large outputs belong in
   * Report.writeCsv / parquet. */
 object ExcelSink {
+
+  // cellXfs indices in styles.xml below
+  private val StyleHeader = 1
+  private val StyleCurrency = 2
+  private val StyleCentered = 3
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -26,35 +35,85 @@ object ExcelSink {
     sb.toString
   }
 
-  private def cellXml(ref: String, v: Any): String = v match {
-    case null => ""
-    case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
-    case n: Byte => s"""<c r="$ref"><v>$n</v></c>"""
-    case n: Short => s"""<c r="$ref"><v>$n</v></c>"""
-    case n: Int => s"""<c r="$ref"><v>$n</v></c>"""
-    case n: Long => s"""<c r="$ref"><v>$n</v></c>"""
-    case n: Float => s"""<c r="$ref"><v>$n</v></c>"""
-    case n: Double => s"""<c r="$ref"><v>$n</v></c>"""
-    case n: java.math.BigDecimal => s"""<c r="$ref"><v>${n.toPlainString}</v></c>"""
-    case s => s"""<c r="$ref" t="inlineStr"><is><t>${esc(s.toString)}</t></is></c>"""
+  private def cellXml(ref: String, v: Any, style: Int): String = {
+    val s = if (style == 0) "" else s""" s="$style""""
+    v match {
+      case null => ""
+      case b: Boolean => s"""<c r="$ref"$s t="b"><v>${if (b) 1 else 0}</v></c>"""
+      case n: Byte => s"""<c r="$ref"$s><v>$n</v></c>"""
+      case n: Short => s"""<c r="$ref"$s><v>$n</v></c>"""
+      case n: Int => s"""<c r="$ref"$s><v>$n</v></c>"""
+      case n: Long => s"""<c r="$ref"$s><v>$n</v></c>"""
+      case n: Float => s"""<c r="$ref"$s><v>$n</v></c>"""
+      case n: Double => s"""<c r="$ref"$s><v>$n</v></c>"""
+      case n: java.math.BigDecimal => s"""<c r="$ref"$s><v>${n.toPlainString}</v></c>"""
+      case t => s"""<c r="$ref"$s t="inlineStr"><is><t>${esc(t.toString)}</t></is></c>"""
+    }
   }
 
-  private def rowXml(r: Int, cells: Seq[Any]): String =
+  private def rowXml(r: Int, cells: Seq[Any], styleOf: Int => Int): String =
     s"""<row r="$r">""" +
-      cells.zipWithIndex.map { case (v, c) => cellXml(s"${colRef(c)}$r", v) }.mkString +
+      cells.zipWithIndex.map { case (v, c) => cellXml(s"${colRef(c)}$r", v, styleOf(c)) }.mkString +
       "</row>"
 
-  private def sheetXml(rows: Seq[Seq[Any]], validations: String = ""): String =
+  /** Schema order inside <worksheet> is fixed: sheetViews, cols, sheetData,
+    * then dataValidations. `styleOf(row)(col)` picks the cellXfs index. */
+  private def sheetXml(rows: Seq[Seq[Any]], validations: String = "",
+                       colWidths: Seq[Double] = Seq.empty,
+                       freezeHeader: Boolean = false,
+                       styleOf: Int => Int => Int = _ => _ => 0): String = {
+    val views =
+      if (!freezeHeader) ""
+      else """<sheetViews><sheetView workbookViewId="0">""" +
+        """<pane ySplit="1" topLeftCell="A2" activePane="bottomLeft" state="frozen"/>""" +
+        "</sheetView></sheetViews>"
+    val cols =
+      if (colWidths.isEmpty) ""
+      else "<cols>" + colWidths.zipWithIndex.map { case (w, i) =>
+        s"""<col min="${i + 1}" max="${i + 1}" width="$w" customWidth="1"/>"""
+      }.mkString + "</cols>"
     """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
       """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
-      "<sheetData>" +
-      rows.zipWithIndex.map { case (cells, i) => rowXml(i + 1, cells) }.mkString +
+      views + cols + "<sheetData>" +
+      rows.zipWithIndex.map { case (cells, i) => rowXml(i + 1, cells, styleOf(i)) }.mkString +
       "</sheetData>" + validations + "</worksheet>"
+  }
+
+  /** Fixed style table: header = bold white Arial 11 on #366092, thin
+    * border, centered; currency = custom numFmt 164 `$#,##0.00`, right;
+    * centered = plain font, horizontal center (excel_builder.py:139-165).
+    * Fills 0/1 must stay none/gray125 — Excel reserves those slots. */
+  private val stylesXml: String =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      """<numFmts count="1"><numFmt numFmtId="164" formatCode="&quot;$&quot;#,##0.00"/></numFmts>""" +
+      """<fonts count="2"><font><sz val="11"/><name val="Calibri"/></font>""" +
+      """<font><b/><sz val="11"/><color rgb="FFFFFFFF"/><name val="Arial"/></font></fonts>""" +
+      """<fills count="3"><fill><patternFill patternType="none"/></fill>""" +
+      """<fill><patternFill patternType="gray125"/></fill>""" +
+      """<fill><patternFill patternType="solid"><fgColor rgb="FF366092"/></patternFill></fill></fills>""" +
+      """<borders count="2"><border><left/><right/><top/><bottom/><diagonal/></border>""" +
+      """<border><left style="thin"/><right style="thin"/><top style="thin"/>""" +
+      """<bottom style="thin"/><diagonal/></border></borders>""" +
+      """<cellStyleXfs count="1"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/></cellStyleXfs>""" +
+      """<cellXfs count="4">""" +
+      """<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>""" +
+      """<xf numFmtId="0" fontId="1" fillId="2" borderId="1" xfId="0" applyFont="1" applyFill="1" applyBorder="1" applyAlignment="1">""" +
+      """<alignment horizontal="center" vertical="center"/></xf>""" +
+      """<xf numFmtId="164" fontId="0" fillId="0" borderId="0" xfId="0" applyNumberFormat="1" applyAlignment="1">""" +
+      """<alignment horizontal="right"/></xf>""" +
+      """<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0" applyAlignment="1">""" +
+      """<alignment horizontal="center"/></xf>""" +
+      "</cellXfs></styleSheet>"
 
   /** Write `df` (collected) as Transactions sheet; `dropdowns` maps report
     * column name → allowed display values, materialized on a hidden Lists
-    * sheet and wired up as list data validation (excel_builder.py:104-135). */
-  def write(df: DataFrame, path: String, dropdowns: Map[String, Seq[String]] = Map.empty): Unit = {
+    * sheet and wired up as list data validation (excel_builder.py:104-135).
+    * `currencyCols`/`centeredCols` select the `$#,##0.00` and centered body
+    * styles the reference applies to Amount and Date. */
+  def write(df: DataFrame, path: String, dropdowns: Map[String, Seq[String]] = Map.empty,
+            currencyCols: Set[String] = Set.empty,
+            centeredCols: Set[String] = Set.empty): Unit = {
     val headers = df.columns.toSeq
     val data = df.collect().map(_.toSeq).toSeq
     val nRows = data.size + 1
@@ -77,6 +136,21 @@ object ExcelSink {
             "</dataValidation>"
       }.mkString + "</dataValidations>"
 
+    // auto-fit: width = min(max stringified length + 2, 50), as the
+    // reference computes per column (excel_builder.py:167-177)
+    val widths = headers.indices.map { c =>
+      val lens = data.map(r => if (r(c) == null) 0 else r(c).toString.length)
+      math.min((lens :+ headers(c).length).max + 2, 50).toDouble
+    }
+
+    val bodyStyle = headers.map {
+      case h if currencyCols(h) => StyleCurrency
+      case h if centeredCols(h) => StyleCentered
+      case _ => 0
+    }
+    val styleOf: Int => Int => Int =
+      row => if (row == 0) _ => StyleHeader else bodyStyle
+
     val parts: Seq[(String, String)] = Seq(
       "[Content_Types].xml" ->
         ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -84,6 +158,7 @@ object ExcelSink {
           """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
           """<Default Extension="xml" ContentType="application/xml"/>""" +
           """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" +
           """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
           """<Override PartName="/xl/worksheets/sheet2.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
           "</Types>"),
@@ -103,8 +178,11 @@ object ExcelSink {
           """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
           """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
           """<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>""" +
+          """<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>""" +
           "</Relationships>"),
-      "xl/worksheets/sheet1.xml" -> sheetXml(headers +: data, validationXml),
+      "xl/styles.xml" -> stylesXml,
+      "xl/worksheets/sheet1.xml" ->
+        sheetXml(headers +: data, validationXml, widths, freezeHeader = true, styleOf),
       "xl/worksheets/sheet2.xml" -> sheetXml(listRows))
 
     val zos = new ZipOutputStream(new FileOutputStream(path))

@@ -41,7 +41,8 @@ class PipelineE2ESpec extends SparkSpec {
     val back = spark.read.option("header", "true").csv(dir.resolve("csv").toString)
     assert(back.count() === 4)
     ExcelSink.write(report, dir.resolve("report.xlsx").toString,
-      dropdowns = Map("GL_Account" -> Seq("51000 - Office", "52000 - Coffee", "53000 - Retail")))
+      dropdowns = Map("GL_Account" -> Seq("51000 - Office", "52000 - Coffee", "53000 - Retail")),
+      currencyCols = Set("Amount"), centeredCols = Set("Date"))
     assert(java.nio.file.Files.size(dir.resolve("report.xlsx")) > 500)
   }
 }
