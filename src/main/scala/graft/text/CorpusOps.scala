@@ -136,7 +136,45 @@ object CorpusOps {
     packSequences(Tables.documents(spark, dir), 512, shardSize = 40L)
       .orderBy("lang", "doc_id")
 
+  /** Target mixture for [[mixtureSample]]: lang → share of the output
+    * budget. A real pipeline reads this from config (sources/Config); the
+    * dataflow is what matters here. */
+  val mixtureTarget: Seq[(String, Double)] = Seq(
+    "en" -> 0.4, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.2)
+  val mixtureBudget: Long = 200L
+
+  /** T15: mixture resampling — the domain-mixing step of a training-data
+    * pipeline: downsample each language to `share × budget` documents.
+    * Per-group acceptance keeps the scan map-side: the only shuffle is the
+    * lang-cardinality count, whose output joins back by broadcast; every
+    * document then passes a local threshold test, so the op scales as one
+    * pass over the corpus regardless of group sizes (same shape as t5b,
+    * with a per-group rate).
+    *
+    * Acceptance `k·have < want·2^60` (⇔ k/2^60 < want/have) is evaluated in
+    * exact DECIMAL cross-multiplication — no float rate, no float compare —
+    * so membership is engine-exact and growth-stable: adding documents only
+    * tightens each group's rate, never reshuffles the key space. Groups
+    * with have ≤ want accept everything (k < 2^60 makes the test vacuous).*/
+  def mixtureSample(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val want = mixtureTarget.map { case (l, s) => (l, (s * mixtureBudget).toLong) }
+    val wantDf = spark.createDataFrame(want).toDF("lang", "want")
+    val have = docs.groupBy("lang").agg(count(lit(1)).as("have"))
+    val rates = have.join(wantDf, "lang")
+    val key = Dedup.md5Hash60(concat(lit("mix|"), col("doc_id").cast("string")))
+    docs.select(col("doc_id"), col("lang"), key.as("k"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("k").cast("decimal(19,0)") * col("have").cast("decimal(10,0)") <
+        col("want").cast("decimal(10,0)") * lit(1L << 60).cast("decimal(19,0)"))
+      .select("doc_id", "lang", "have", "want")
+      .orderBy("doc_id")
+  }
+
+  def t15MixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSample(spark, Tables.documents(spark, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_mixture_sample" -> (t15MixtureSample _),
     "t5_sample_stratified" -> (t5SampleStratified _),
     "t5b_sample_hash" -> (t5bSampleHash _),
     "t5c_split_assign" -> (t5cSplitAssign _),
@@ -146,6 +184,21 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "t15_mixture_sample" ->
+      s"""WITH want(lang, want) AS (
+        |  VALUES ${mixtureTarget.map { case (l, s) =>
+               s"('$l', ${(s * mixtureBudget).toLong})" }.mkString(", ")}),
+        |have AS (SELECT lang, COUNT(*) AS have FROM documents GROUP BY lang),
+        |keyed AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) AS k
+        |  FROM documents)
+        |SELECT k.doc_id, k.lang, h.have, CAST(w.want AS BIGINT) AS want
+        |FROM keyed k JOIN have h USING (lang) JOIN want w USING (lang)
+        |WHERE CAST(k.k AS DECIMAL(19,0)) * CAST(h.have AS DECIMAL(10,0))
+        |    < CAST(w.want AS DECIMAL(10,0)) * CAST(1152921504606846976 AS DECIMAL(19,0))
+        |ORDER BY k.doc_id""".stripMargin,
     "t5_sample_stratified" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang,

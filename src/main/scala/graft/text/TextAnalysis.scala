@@ -164,9 +164,56 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** T14: per-document LM scoring (the CCNet-style quality signal: score
+    * every document against a corpus language model) using the t13 bigram
+    * model. Dataflow: one explode for per-doc bigram occurrences, one
+    * (w1,w2) count shuffle + w1 window for the model (vocabulary-sized
+    * state, NOT corpus-sized), one equi-join of occurrences against the
+    * model, one per-doc aggregate. At 100 TB the model frame is the small
+    * side (vocab², zipf-truncated in practice) — AQE broadcasts it; the
+    * occurrence side never collects.
+    *
+    * Determinism: no float SUMMATION crosses the aggregate — per-doc state
+    * is exact integer sums (`sum_n`, `sum_c1`) and min/max over per-row
+    * single IEEE divisions, so results are engine-exact without the decimal
+    * carrier (the t9 integer-ratio idf pattern). `pooled_cond_p` is one
+    * division of two exact integers; ln/exp perplexity is deliberately
+    * avoided (libm vs java.lang.Math diverge at ulp level). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(lower(trim(col("text"))))
+    val docBigrams = graft.util.Caches.scoped(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.w2")))
+    val byW1 = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    val model = docBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .withColumn("c1", sum("n").over(byW1))
+    val condP = col("n").cast("double") / col("c1").cast("double")
+    val scored = docBigrams.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("n").as("sum_n"),
+        sum("c1").as("sum_c1"),
+        min(condP).as("min_cond_p"),
+        max(condP).as("max_cond_p"))
+      .withColumn("pooled_cond_p",
+        col("sum_n").cast("double") / col("sum_c1").cast("double"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("sum_n"), col("sum_c1"), col("min_cond_p"), col("max_cond_p"),
+        col("pooled_cond_p"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (tokenStats _),
     "t13_bigram_lm" -> (bigramLm _),
+    "t14_lm_score" -> (lmScore _),
     "t2_quality_score" -> (qualityScore _),
     "t3_langid" -> (langId _),
     "t4_fingerprint" -> (fingerprintDocs _)
@@ -187,6 +234,31 @@ object TextAnalysis {
         |  FROM counts)
         |SELECT w1, w2, n, c1, CAST(n AS DOUBLE) / CAST(c1 AS DOUBLE) AS cond_p
         |FROM withc ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
+    "t14_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+        |pos AS (
+        |  SELECT doc_id, l, unnest(range(1, len(l))) AS p FROM t),
+        |db AS (
+        |  SELECT doc_id, l[p] AS w1, l[p + 1] AS w2 FROM pos),
+        |counts AS (
+        |  SELECT w1, w2, COUNT(*) AS n FROM db GROUP BY w1, w2),
+        |model AS (
+        |  SELECT w1, w2, n, CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS c1
+        |  FROM counts),
+        |sc AS (
+        |  SELECT d.doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(m.n) AS BIGINT) AS sum_n,
+        |    CAST(SUM(m.c1) AS BIGINT) AS sum_c1,
+        |    MIN(CAST(m.n AS DOUBLE) / CAST(m.c1 AS DOUBLE)) AS min_cond_p,
+        |    MAX(CAST(m.n AS DOUBLE) / CAST(m.c1 AS DOUBLE)) AS max_cond_p
+        |  FROM db d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
+        |  GROUP BY d.doc_id)
+        |SELECT doc.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  sc.sum_n, sc.sum_c1, sc.min_cond_p, sc.max_cond_p,
+        |  CAST(sc.sum_n AS DOUBLE) / CAST(sc.sum_c1 AS DOUBLE) AS pooled_cond_p
+        |FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
