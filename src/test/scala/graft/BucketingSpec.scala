@@ -68,11 +68,21 @@ class BucketingSpec extends SparkSpec {
 
   test("key-equality filters prune to a single bucket at scan time") {
     setup
-    val someKey = spark.table("orders_b").select(min("o_orderkey")).first().getLong(0)
-    val f = spark.table("orders_b").filter(col("o_orderkey") === someKey)
-    val p = plan(f)
-    assert(p.contains("SelectedBucketsCount: 1 out of 8"),
-      s"expected bucket pruning on the equality filter:\n$p")
-    assert(f.count() >= 1)
+    // A filter-only query has no operator that needs the bucket
+    // distribution, so DisableUnnecessaryBucketedScan would flip the scan
+    // to "Bucketed: false" — which also discards the bucket-pruning
+    // filter. Pin auto-bucketed-scan off to exercise the pruning path a
+    // real warehouse keeps for point lookups on the bucket key.
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val someKey = spark.table("orders_b").select(min("o_orderkey")).first().getLong(0)
+      val f = spark.table("orders_b").filter(col("o_orderkey") === someKey)
+      val p = plan(f)
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected bucket pruning on the equality filter:\n$p")
+      assert(f.count() >= 1)
+    } finally spark.conf.set(key, prev)
   }
 }
