@@ -152,6 +152,42 @@ object Analytics {
          |FROM parquet.`$dir/customer.parquet` c
          |ORDER BY c_custkey""".stripMargin)
 
+  /** SQL-frontend breadth #5: the PIVOT clause — reachable only through the
+    * SQL parser (the DataFrame API's `.pivot` covers pivot_status; this is
+    * the parser/analyzer rewrite path, with MULTIPLE aggregates per pivot
+    * value, which the DataFrame API can't express in one call). Sums ride
+    * the house decimal carrier and cast to DOUBLE at the boundary. */
+  def sqlFrontend5(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderpriority,
+         |  f_n, CAST(f_s AS DOUBLE) AS f_total,
+         |  o_n, CAST(o_s AS DOUBLE) AS o_total,
+         |  p_n, CAST(p_s AS DOUBLE) AS p_total
+         |FROM (SELECT o_orderpriority, o_orderstatus,
+         |        CAST(o_totalprice AS DECIMAL(18,4)) AS pr
+         |      FROM parquet.`$dir/orders.parquet`)
+         |PIVOT (COUNT(*) AS n, SUM(pr) AS s
+         |       FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+         |ORDER BY o_orderpriority""".stripMargin)
+
+  /** SQL-frontend breadth #6: correlated LATERAL join — the table-valued
+    * correlated-subquery surface (Catalyst's DecorrelateInnerQuery path for
+    * a multi-column aggregate in one shot, vs sql_frontend4's one-scalar-at-
+    * a-time decorrelation). The empty-group behavior is the point of the
+    * shape: a customer with no orders still yields one row (COUNT 0, nulls)
+    * because an ungrouped aggregate always returns exactly one row. */
+  def sqlFrontend6(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT c.c_custkey, c.c_mktsegment, t.n_orders, t.max_price, t.total
+         |FROM parquet.`$dir/customer.parquet` c
+         |JOIN LATERAL (
+         |  SELECT COUNT(*) AS n_orders,
+         |    MAX(o_totalprice) AS max_price,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         |  FROM parquet.`$dir/orders.parquet` o
+         |  WHERE o.o_custkey = c.c_custkey) t
+         |ORDER BY c.c_custkey""".stripMargin)
+
   /** Exact per-group median via the rank formulation (portable across
     * engines, unlike interpolating percentile implementations): average the
     * middle one or two values — a fixed two-operand double expression. */
@@ -358,6 +394,8 @@ object Analytics {
     "unpivot_measures" -> (unpivotMeasures _),
     "a18_mad" -> (a18Mad _),
     "sql_frontend4" -> (sqlFrontend4 _),
+    "sql_frontend5" -> (sqlFrontend5 _),
+    "sql_frontend6" -> (sqlFrontend6 _),
     "a06_rollup" -> (a06Rollup _),
     "pivot_status" -> (pivotStatus _),
     "set_ops_all" -> (setOpsAll _),
@@ -528,6 +566,29 @@ object Analytics {
         |    AS max_f_price
         |FROM customer c
         |ORDER BY c_custkey""".stripMargin,
+    "sql_frontend5" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_total,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |       FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_total,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |       FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS p_total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "sql_frontend6" ->
+      """SELECT c.c_custkey, c.c_mktsegment, t.n_orders, t.max_price, t.total
+        |FROM customer c
+        |CROSS JOIN LATERAL (
+        |  SELECT COUNT(*) AS n_orders,
+        |    MAX(o_totalprice) AS max_price,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey) t
+        |ORDER BY c.c_custkey""".stripMargin,
     "sql_frontend2" ->
       """WITH cust_orders AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -157,11 +157,51 @@ object Ivf {
     anchorIvfTopK(emb, nlist, nprobe, k = 5).orderBy("a_id", "rk")
   }
 
+  /** S5: exact per-label centroids — the distributed E-step every k-means /
+    * IVF build runs at full scale, expressed as pure relational dataflow.
+    * posexplode is map-side (n·dim rows never materialize past the partial
+    * aggregate); the only shuffle is the (label, dim) aggregate whose
+    * cardinality is |labels|·dim — fixed, tiny, independent of corpus size.
+    *
+    * Determinism: each float component is quantized to an exact integer
+    * (round(v·10⁶) — one IEEE multiply then half-away-from-zero rounding,
+    * identical in both engines) and summed as BIGINT, so the aggregate is
+    * order-independent; `centroid` is ONE double division of two exactly-
+    * representable integers. No float summation ever crosses the shuffle —
+    * the same rule the money/decimal convention enforces elsewhere. */
+  def centroidsByLabel(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("q", round(col("v").cast("double") * lit(1000000.0)).cast("long"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
+      .withColumn("centroid",
+        col("sum_q").cast("double") / (col("n").cast("double") * lit(1000000.0)))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("n"), col("sum_q"), col("centroid"))
+      .orderBy("label", "dim")
+
+  def s5Centroids(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    centroidsByLabel(graft.Tables.embeddings(spark, dir))
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("s3_knn_ivf" -> (s3KnnIvf _),
-        "s3b_knn_ivf_anchor" -> (s3bKnnIvfAnchor _))
+        "s3b_knn_ivf_anchor" -> (s3bKnnIvfAnchor _),
+        "s5_centroids" -> (s5Centroids _))
 
   def oracle: Map[String, String] = Map(
+    "s5_centroids" ->
+      """WITH e AS (
+        |  SELECT label, embedding AS emb,
+        |    unnest(range(0, len(embedding))) AS dim
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT label, dim,
+        |    CAST(round(CAST(emb[dim + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM e)
+        |SELECT label, dim, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sum_q,
+        |  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / (COUNT(*) * 1000000.0)
+        |    AS centroid
+        |FROM q GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "s3b_knn_ivf_anchor" ->
       s"""WITH params AS (
         |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist,

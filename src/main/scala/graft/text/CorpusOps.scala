@@ -173,8 +173,60 @@ object CorpusOps {
   def t15MixtureSample(spark: SparkSession, dir: String): DataFrame =
     mixtureSample(spark, Tables.documents(spark, dir))
 
+  /** Words per chunk for [[chunkDedupRewrite]]. */
+  val chunkWords = 10
+
+  /** T16: exact duplicate-chunk REMOVAL (the RefinedWeb "exact substring
+    * deduplication" step at fixed chunk granularity): split every document
+    * into consecutive `chunkWords`-word chunks, drop each chunk whose text
+    * occurs in more than one document corpus-wide, and rebuild the cleaned
+    * text from the survivors in order. d8 SCORES per-doc duplicate-shingle
+    * coverage; this op REWRITES the corpus — the step that actually feeds a
+    * training run.
+    *
+    * Dataflow: chunking is map-side (one explode over ⌈len/W⌉ chunk ids);
+    * then one count-distinct-docs aggregate on the chunk text (partial
+    * aggregation collapses repeats before the shuffle), one equi anti-join
+    * back on the chunk key, one per-doc rebuild aggregate. No all-pairs
+    * join anywhere — a hot chunk costs its postings in the count, and the
+    * anti-join probe side stays (doc, chunk)-sized. The rebuild's
+    * collect_list is per-document (bounded by document length, not corpus),
+    * ordered deterministically by chunk id via array_sort. */
+  def chunkDedupRewrite(docs: DataFrame): DataFrame = {
+    val w = chunkWords
+    val chunks = docs
+      .select(col("doc_id"), tokens(lower(trim(col("text")))).as("l"))
+      .select(col("doc_id"), col("l"),
+        explode(sequence(lit(0),
+          ceil(size(col("l")) / lit(w.toDouble)).cast("int") - 1)).as("g"))
+      .select(col("doc_id"), col("g"),
+        concat_ws(" ", slice(col("l"), col("g") * w + 1, lit(w))).as("chunk"))
+    val dup = chunks.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1)
+      .select("chunk")
+    val kept = chunks.join(dup, Seq("chunk"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("g"), col("chunk")))),
+        s => s.getField("chunk"))).as("clean_text"))
+    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    docs.select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  def t16ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupRewrite(Tables.documents(spark, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t15_mixture_sample" -> (t15MixtureSample _),
+    "t16_chunk_dedup" -> (t16ChunkDedup _),
     "t5_sample_stratified" -> (t5SampleStratified _),
     "t5b_sample_hash" -> (t5bSampleHash _),
     "t5c_split_assign" -> (t5cSplitAssign _),
@@ -199,6 +251,39 @@ object CorpusOps {
         |WHERE CAST(k.k AS DECIMAL(19,0)) * CAST(h.have AS DECIMAL(10,0))
         |    < CAST(w.want AS DECIMAL(10,0)) * CAST(1152921504606846976 AS DECIMAL(19,0))
         |ORDER BY k.doc_id""".stripMargin,
+    "t16_chunk_dedup" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, l,
+        |    unnest(range(0, CAST(ceil(len(l) / ${chunkWords}.0) AS BIGINT))) AS g
+        |  FROM t),
+        |chunks AS (
+        |  SELECT doc_id, g,
+        |    array_to_string(
+        |      list_slice(l, g * $chunkWords + 1, g * $chunkWords + $chunkWords),
+        |      ' ') AS chunk
+        |  FROM g),
+        |dup AS (
+        |  SELECT chunk FROM chunks GROUP BY chunk
+        |  HAVING COUNT(DISTINCT doc_id) > 1),
+        |kept AS (
+        |  SELECT c.doc_id, c.g, c.chunk FROM chunks c
+        |  WHERE c.chunk NOT IN (SELECT chunk FROM dup)),
+        |reb AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY g) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(t2.n_chunks, 0) AS n_chunks,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  COALESCE(r.clean_text, '') AS clean_text
+        |FROM documents d
+        |LEFT JOIN tot t2 USING (doc_id)
+        |LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "t5_sample_stratified" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang,

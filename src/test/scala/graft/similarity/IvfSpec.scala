@@ -82,4 +82,23 @@ class IvfSpec extends SparkSpec {
       truth.get(key).foreach(d => assert(math.abs(d - r.getAs[Double]("dot")) < 1e-12))
     }
   }
+
+  test("centroids are exact quantized per-label means, partition-invariant") {
+    val df = Seq(
+      (0L, Array(1.0f, -2.0f), 0),
+      (1L, Array(3.0f, 4.0f), 0),
+      (2L, Array(0.5f, 0.25f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ivf.centroidsByLabel(df)
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (0, 0L, 2L, 4000000L, 2.0), // (1e6 + 3e6) / (2 · 1e6)
+      (0, 1L, 2L, 2000000L, 1.0), // (-2e6 + 4e6) / (2 · 1e6)
+      (1, 0L, 1L, 500000L, 0.5),
+      (1, 1L, 1L, 250000L, 0.25)))
+    // integer carrier ⇒ the aggregate is order/partitioning-independent
+    val shuffled = Ivf.centroidsByLabel(df.repartition(7))
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(shuffled === out)
+  }
 }

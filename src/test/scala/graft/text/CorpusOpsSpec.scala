@@ -94,4 +94,24 @@ class CorpusOpsSpec extends SparkSpec {
     // and the default is unchanged: shardSize = 0 has no shard column
     assert(!CorpusOps.packSequences(docs, budget).columns.contains("shard"))
   }
+
+  test("chunk dedup drops corpus-duplicated chunks, keeps within-doc repeats") {
+    val w = CorpusOps.chunkWords
+    def words(p: String) = (1 to w).map(i => s"$p$i").mkString(" ")
+    val (shared, u1, u2, u3) = (words("dup"), words("a"), words("b"), words("c"))
+    val df = Seq(
+      (0L, s"$shared $u1"), // chunk 0 duplicated with doc 1, chunk 1 unique
+      (1L, s"$shared $u2"),
+      (2L, s"$u3 $u3") // same chunk twice in ONE doc: corpus-unique → kept
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.chunkDedupRewrite(df)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) === ((0L, 2L, 1L, u1)))
+    assert(out(1) === ((1L, 2L, 1L, u2)))
+    assert(out(2) === ((2L, 2L, 2L, s"$u3 $u3")))
+    // rebuild preserves chunk order, not hash order
+    val multi = Seq((9L, s"$u2 $u1 $u3")).toDF("doc_id", "text")
+    val kept = CorpusOps.chunkDedupRewrite(multi).as[(Long, Long, Long, String)].head()
+    assert(kept === ((9L, 3L, 3L, s"$u2 $u1 $u3")))
+  }
 }
