@@ -210,16 +210,70 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** T17: Count-Min heavy hitters — build the fixed-state sketch with the
+    * [[graft.functions.CmsSketch]] TypedImperativeAggregate (one map-side
+    * pass, depth·width longs per partial), then probe it for every word
+    * above a RELATIVE mass threshold (est·200 ≥ total ⇔ est ≥ 0.5% of
+    * occurrences — integer compare, growth-stable across scale factors).
+    * The probe side reuses the same md5 column family the sketch hashes
+    * with, so estimate lookup is pure relational dataflow against the
+    * broadcast one-row sketch. `overcount = est − exact` exposes the
+    * sketch's one-sided collision error (deliberately non-zero: width 64
+    * vs the ~40-word synthetic vocabulary). */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val depth = 4; val width = 64
+    val words = graft.util.Caches.scoped(
+      Tables.documents(spark, dir)
+        .select(explode(tokens(lower(trim(col("text"))))).as("w")))
+    val sketch = words.agg(
+      graft.functions.CmsCatalyst.cms_sketch(col("w"), depth, width).as("sk"),
+      count(lit(1)).as("total"))
+    val wc = words.groupBy("w").agg(count(lit(1)).as("exact_n"))
+    val est = (0 until depth).map { j =>
+      element_at(col("sk"),
+        (graft.dedup.Dedup.md5Hash60(concat(lit(s"cms$j|"), col("w"))) % width)
+          .cast("int") + lit(j * width + 1))
+    }.reduce(least(_, _))
+    wc.crossJoin(broadcast(sketch))
+      .withColumn("cms_est", est)
+      .filter(col("cms_est") * 200 >= col("total"))
+      .select(col("w"), col("exact_n"), col("cms_est"),
+        (col("cms_est") - col("exact_n")).as("overcount"))
+      .orderBy("w")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats" -> (tokenStats _),
     "t13_bigram_lm" -> (bigramLm _),
     "t14_lm_score" -> (lmScore _),
+    "t17_cms_heavyhitters" -> (cmsHeavyHitters _),
     "t2_quality_score" -> (qualityScore _),
     "t3_langid" -> (langId _),
     "t4_fingerprint" -> (fingerprintDocs _)
   )
 
   def oracle: Map[String, String] = Map(
+    "t17_cms_heavyhitters" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS total FROM words),
+        |wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+        |h AS (
+        |  SELECT w, c, j,
+        |    CAST('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || '|' || w), 1, 15)
+        |         AS BIGINT) % 64 AS cell
+        |  FROM wc CROSS JOIN (VALUES (0), (1), (2), (3)) d(j)),
+        |cells AS (
+        |  SELECT j, cell, CAST(SUM(c) AS BIGINT) AS cellsum
+        |  FROM h GROUP BY j, cell),
+        |est AS (
+        |  SELECT h.w, h.c, MIN(cl.cellsum) AS cms_est
+        |  FROM h JOIN cells cl USING (j, cell) GROUP BY h.w, h.c)
+        |SELECT w, CAST(c AS BIGINT) AS exact_n, CAST(cms_est AS BIGINT) AS cms_est,
+        |  CAST(cms_est - c AS BIGINT) AS overcount
+        |FROM est CROSS JOIN tot
+        |WHERE cms_est * 200 >= total ORDER BY w""".stripMargin,
     "t13_bigram_lm" ->
       """WITH t AS (
         |  SELECT string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),

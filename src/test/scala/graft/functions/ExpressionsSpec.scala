@@ -104,6 +104,38 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaSql === catalyst)
   }
 
+  test("CMS sketch: partition-invariant, one-sided, SQL-registrable") {
+    val words = graft.Tables.documents(spark, sf0001)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+    val sk = words.select(CmsCatalyst.cms_sketch(col("w")).as("sk"))
+      .collect().head.getSeq[Long](0)
+    // commutative merge + deterministic hashes ⇒ same sketch any partitioning
+    val sk2 = words.repartition(13)
+      .select(CmsCatalyst.cms_sketch(col("w")).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(sk === sk2)
+    // total mass per depth row is the total word count (no dropped updates)
+    val total = words.count()
+    (0 until 4).foreach { j =>
+      assert(sk.slice(j * 64, (j + 1) * 64).sum === total, s"row $j mass")
+    }
+    // estimate is one-sided: min over rows ≥ exact count, for every word
+    val exact = words.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    exact.foreach { case (w, n) =>
+      val est = (0 until 4).map { j =>
+        sk(j * 64 + (KmvSketch.hash60(s"cms$j|$w") % 64).toInt)
+      }.min
+      assert(est >= n, s"undercount for $w: $est < $n")
+    }
+    // SQL registration path
+    CmsCatalyst.register(spark)
+    words.createOrReplaceTempView("cms_in")
+    val viaSql = spark.sql("SELECT cms_sketch(w) FROM cms_in")
+      .collect().head.getSeq[Long](0)
+    assert(viaSql === sk)
+  }
+
   test("typed Aggregator: BoundingBox over word boxes") {
     import org.apache.spark.sql.functions.udaf
     val words = Seq((10.0, 100.0), (50.0, 90.0), (30.0, 200.0)).toDS()
