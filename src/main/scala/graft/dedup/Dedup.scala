@@ -258,13 +258,40 @@ object Dedup {
   def d8DupNgramCoverage(spark: SparkSession, dir: String): DataFrame =
     dupNgramCoverage(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** D10: incremental (new-batch × indexed-corpus) near-dup check — the
+    * ingest-time shape of d3: in production the corpus's band table is a
+    * precomputed index that only APPENDS; each arriving batch computes its
+    * own bands and equi-joins against the index, so per-batch cost is
+    * O(batch + collisions) and the corpus is never self-joined again. Here
+    * the "new batch" is the `doc_id % 10 = 0` stratum of one table so the
+    * whole flow (index side, probe side, Jaccard verify) is oracle-gated;
+    * swapping the stratum filter for `readStream` micro-batches is the
+    * only change streaming ingest needs (foreachBatch + the k2 upsert sink
+    * appends accepted docs' bands to the index). */
+  def incrementalNearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = graft.util.Caches.scoped(shingleRows(docs))
+    val bands = graft.util.Caches.scoped(minHashBands(sh))
+    val probe = bands.filter(col("doc_id") % 10 === 0).toDF("a_id", "band", "sig")
+    val index = bands.filter(col("doc_id") % 10 =!= 0).toDF("b_id", "band2", "sig2")
+    val cand = probe
+      .join(index, col("band") === col("band2") && col("sig") === col("sig2"))
+      .select("a_id", "b_id").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pairsCommon(cand, sh, sizes, threshold)
+  }
+
+  def d10IncrementalNearDup(spark: SparkSession, dir: String): DataFrame =
+    incrementalNearDupPairs(Tables.documents(spark, dir), 0.5)
+      .orderBy("a_id", "b_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash" -> (d4Simhash _),
     "d4b_simhash_tight" -> (d4bSimhashTight _),
-    "d8_dup_ngram_coverage" -> (d8DupNgramCoverage _)
+    "d8_dup_ngram_coverage" -> (d8DupNgramCoverage _),
+    "d10_incremental_neardup" -> (d10IncrementalNearDup _)
   )
 
   private[graft] val shingleSqlCtes =
@@ -310,6 +337,9 @@ object Dedup {
     "d3_minhash_lsh" ->
       s"""WITH $minhashPairsSqlCtes
         |SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id""".stripMargin,
+    "d10_incremental_neardup" ->
+      s"""WITH ${minhashPairsSqlCtesWhere("a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0")}
+        |SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id""".stripMargin,
     "d4_simhash" -> simHashSql(10),
     "d4b_simhash_tight" -> simHashSql(3)
   )
@@ -317,7 +347,12 @@ object Dedup {
   /** CTE chain ending in `pairs(a_id, b_id, jaccard)` — d3's verified
     * MinHash-LSH pair set. Shared by the d3 oracle and d7's cluster oracle
     * (Clusters.scala) so the edge definition cannot drift between them. */
-  private[graft] def minhashPairsSqlCtes: String = {
+  private[graft] def minhashPairsSqlCtes: String =
+    minhashPairsSqlCtesWhere("a.doc_id < b.doc_id")
+
+  /** Same chain with a caller-chosen candidate-pair predicate — d10 swaps
+    * the self-join's `a < b` for the new-batch × indexed-corpus split. */
+  private[graft] def minhashPairsSqlCtesWhere(pred: String): String = {
     val minExprs = seedConstants.zipWithIndex
       .map { case (c, i) => s"MIN(xor(h, $c)) AS mh$i" }.mkString(",\n    ")
     val bandSelects = (0 until numHashes / bandSize).map { b =>
@@ -337,7 +372,7 @@ object Dedup {
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+      |    ON a.band = b.band AND a.band_sig = b.band_sig AND $pred),
       |common AS (
       |  SELECT c.a_id, c.b_id, COUNT(*) AS common
       |  FROM cand c JOIN sh x ON x.doc_id = c.a_id

@@ -398,7 +398,33 @@ object Aggregates {
         col("m.p").cast("double").as("best_price"))
       .orderBy("l_orderkey")
 
+  /** A21: exact weighted median per group — the order statistic PPS
+    * sampling, load balancing, and robust pricing summaries all need:
+    * smallest v whose cumulative weight reaches half the group total.
+    * Weights sum as BIGINT (exact, order-free); values are compared, never
+    * summed, so no float drift can cross the shuffle. One shuffle on the
+    * group key for the ordered window; groups are few (per-flag), so the
+    * per-group sort parallelizes across groups — for a high-cardinality
+    * weighted median at 100 TB the same rule runs per-group over the
+    * two-pass range-partitioned scan t18 uses for its global prefix sum. */
+  def a21WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val byFlag = Window.partitionBy("g")
+      .orderBy("v", "l_orderkey", "l_linenumber")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_extendedprice").as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("cum", sum("w").over(byFlag))
+      .withColumn("tot", sum("w").over(Window.partitionBy("g")))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("g")
+      .agg(min("v").as("wmedian"), max("tot").as("total_w"))
+      .orderBy("g")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a21_weighted_median" -> (a21WeightedMedian _),
     "q1_agg" -> (q1PricingSummary _),
     "a01_sessionize" -> (a01Sessionize _),
     "a02_ordered_concat" -> (a02OrderedConcat _),
@@ -420,6 +446,18 @@ object Aggregates {
   )
 
   def oracle: Map[String, String] = Map(
+    "a21_weighted_median" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS w,
+        |         l_extendedprice AS v, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT g, v, w,
+        |    SUM(w) OVER (PARTITION BY g ORDER BY v, l_orderkey, l_linenumber) AS cum,
+        |    SUM(w) OVER (PARTITION BY g) AS tot
+        |  FROM t)
+        |SELECT g, MIN(v) AS wmedian, CAST(MAX(tot) AS BIGINT) AS total_w
+        |FROM c WHERE 2 * cum >= tot GROUP BY g ORDER BY g""".stripMargin,
     "q1_agg" -> q1PricingSummarySql,
     "a09_resample_ffill" ->
       """WITH ev AS (

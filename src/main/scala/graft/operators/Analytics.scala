@@ -188,6 +188,38 @@ object Analytics {
          |  WHERE o.o_custkey = c.c_custkey) t
          |ORDER BY c.c_custkey""".stripMargin)
 
+  /** SQL-frontend breadth #7: `WITH RECURSIVE` — Spark 4's recursive CTE
+    * (UnionLoop execution), the last parser-only surface the frontend tier
+    * hadn't reached. The shape is the production calendar-spine fill: walk
+    * months from the data's min to max order month (the stop bound rides
+    * along in the recursion row — no subquery in the recursive member, which
+    * neither engine guarantees), then left-join monthly order aggregates so
+    * gap months surface as explicit zero rows. The spine is O(#months) rows
+    * regardless of data size, so recursion depth — not data volume — bounds
+    * the loop; the join side is an ordinary shuffled aggregate. Sums ride
+    * the house decimal carrier; casts to DOUBLE at the boundary. */
+  def sqlFrontend7(spark: SparkSession, dir: String): DataFrame = {
+    // ~80 months in the generated data; raise the default 100-level cap so a
+    // wider driver date range never fails the recursion guard.
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", 2000)
+    spark.sql(
+      s"""WITH RECURSIVE bounds AS (
+         |  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+         |         date_trunc('month', MAX(o_orderdate)) AS hi
+         |  FROM parquet.`$dir/orders.parquet`),
+         |months(m, hi) AS (
+         |  SELECT lo, hi FROM bounds
+         |  UNION ALL
+         |  SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi),
+         |o AS (SELECT date_trunc('month', o_orderdate) AS om,
+         |             CAST(o_totalprice AS DECIMAL(18,4)) AS pr
+         |      FROM parquet.`$dir/orders.parquet`)
+         |SELECT CAST(m.m AS DATE) AS month, COUNT(o.om) AS n_orders,
+         |       CAST(COALESCE(SUM(o.pr), 0) AS DOUBLE) AS total
+         |FROM months m LEFT JOIN o ON o.om = m.m
+         |GROUP BY m.m ORDER BY month""".stripMargin)
+  }
+
   /** Exact per-group median via the rank formulation (portable across
     * engines, unlike interpolating percentile implementations): average the
     * middle one or two values — a fixed two-operand double expression. */
@@ -396,6 +428,7 @@ object Analytics {
     "sql_frontend4" -> (sqlFrontend4 _),
     "sql_frontend5" -> (sqlFrontend5 _),
     "sql_frontend6" -> (sqlFrontend6 _),
+    "sql_frontend7" -> (sqlFrontend7 _),
     "a06_rollup" -> (a06Rollup _),
     "pivot_status" -> (pivotStatus _),
     "set_ops_all" -> (setOpsAll _),
@@ -589,6 +622,20 @@ object Analytics {
         |  FROM orders o
         |  WHERE o.o_custkey = c.c_custkey) t
         |ORDER BY c.c_custkey""".stripMargin,
+    "sql_frontend7" ->
+      """WITH RECURSIVE bounds AS (
+        |  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+        |         date_trunc('month', MAX(o_orderdate)) AS hi FROM orders),
+        |months(m, hi) AS (
+        |  SELECT lo, hi FROM bounds
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi),
+        |o AS (SELECT date_trunc('month', o_orderdate) AS om,
+        |             CAST(o_totalprice AS DECIMAL(18,4)) AS pr FROM orders)
+        |SELECT CAST(m.m AS DATE) AS month, COUNT(o.om) AS n_orders,
+        |       CAST(COALESCE(SUM(o.pr), 0) AS DOUBLE) AS total
+        |FROM months m LEFT JOIN o ON o.om = m.m
+        |GROUP BY m.m ORDER BY month""".stripMargin,
     "sql_frontend2" ->
       """WITH cust_orders AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

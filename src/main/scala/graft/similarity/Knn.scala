@@ -332,7 +332,7 @@ object Knn {
        |    $tableSelects)""".stripMargin
   }
 
-  private[similarity] val dotSql =
+  private[graft] val dotSql =
     """list_reduce(list_transform(range(1, len(a.embedding) + 1),
       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
       |      (acc, x) -> acc + x)""".stripMargin

@@ -224,7 +224,62 @@ object CorpusOps {
   def t16ChunkDedup(spark: SparkSession, dir: String): DataFrame =
     chunkDedupRewrite(Tables.documents(spark, dir))
 
+  /** T18: deterministic weighted systematic sampling — pick ~k documents
+    * with probability proportional to size (weight = n_chars), the classic
+    * PPS scheme for building a size-balanced subcorpus. A document is picked
+    * iff the k-grid `⌊cum·k/total⌋` advances across its weight span
+    * `(cum−w, cum]` — pure integer arithmetic over exact prefix sums, so
+    * membership is engine-exact and reproducible (no float rates, no rand).
+    *
+    * The prefix sum is the distributed two-pass scan, NOT a global-ORDER
+    * window (which would serialize the corpus through one task):
+    * range-partition by doc_id and sort within partitions (one shuffle);
+    * per-partition weight totals — a ≤|partitions|-row aggregate — come to
+    * the driver, their exclusive scan is broadcast back as each partition's
+    * offset, and a per-partition iterator adds local running weight to the
+    * offset. `mapPartitions` is the honest tool here: a stateful scan over
+    * a sorted partition is exactly the per-partition imperative logic
+    * Catalyst's window model can only express by re-shuffling.
+    *
+    * Overflow: `cum·k` stays in BIGINT while `total·k < 2^63` — at 9.2e16
+    * total chars (≈ 92 PB of text) the multiplication moves to
+    * DECIMAL(38,0); the grid test itself is unchanged. */
+  def weightedSystematic(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val ranged = graft.util.Caches.scoped(
+      docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .withColumn("__pid", spark_partition_id()))
+    val partSums = ranged.groupBy("__pid").agg(sum("n_chars").as("w"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = partSums.map(_._2).sum
+    if (total == 0L)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("n_chars"), lit(0L).as("cum"))
+    val offsets = partSums.scanLeft(0L)(_ + _._2).init
+    val offDf = partSums.map(_._1).zip(offsets).toSeq.toDF("__pid", "__off")
+    ranged.join(broadcast(offDf), Seq("__pid")) // streamed side keeps its sort
+      .select(col("doc_id"), col("n_chars"), col("__off"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var cum = -1L
+        it.map { case (id, w, off) =>
+          if (cum < 0L) cum = off
+          cum += w
+          (id, w, cum)
+        }
+      }
+      .toDF("doc_id", "n_chars", "cum")
+      .filter(expr(s"(cum * $k) div $total > ((cum - n_chars) * $k) div $total"))
+  }
+
+  def t18WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSystematic(spark, Tables.documents(spark, dir), 100)
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_weighted_sample" -> (t18WeightedSample _),
     "t15_mixture_sample" -> (t15MixtureSample _),
     "t16_chunk_dedup" -> (t16ChunkDedup _),
     "t5_sample_stratified" -> (t5SampleStratified _),
@@ -236,6 +291,15 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "t18_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum,
+        |    CAST(SUM(n_chars) OVER () AS BIGINT) AS total
+        |  FROM documents)
+        |SELECT doc_id, n_chars, cum FROM w
+        |WHERE (cum * 100) // total > ((cum - n_chars) * 100) // total
+        |ORDER BY doc_id""".stripMargin,
     "t15_mixture_sample" ->
       s"""WITH want(lang, want) AS (
         |  VALUES ${mixtureTarget.map { case (l, s) =>

@@ -226,10 +226,39 @@ class PlanSpec extends SparkSpec {
 
   test("dedup candidate/verify joins stay shuffle joins (no corpus-side hint)") {
     for (n <- Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
-                  "d4b_simhash_tight", "d6_clean_corpus")) {
+                  "d4b_simhash_tight", "d6_clean_corpus",
+                  "d10_incremental_neardup")) {
       val p = planNoAutoBroadcast(n)
       assert(!p.contains("BroadcastExchange"),
         s"$n: corpus-scaled broadcast hint crept back in:\n$p")
     }
+  }
+
+  test("semdedup broadcasts only the nlist-row anchors; cell joins shuffle") {
+    // same contract as s3b: every BroadcastExchange must pair 1:1 with a
+    // printed anchor cross join (the cached members subtree prints per
+    // consumer); the corpus-sized member/pair joins must all shuffle
+    val p = planNoAutoBroadcast("d9_semdedup")
+    val bx = "BroadcastExchange".r.findAllIn(p).size
+    val cross = "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size
+    assert(bx === cross && cross >= 1,
+      s"d9_semdedup: broadcast beyond the anchor cross join ($bx vs $cross):\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"d9_semdedup:\n$p")
+    assert(!p.contains("CartesianProduct"), s"d9_semdedup:\n$p")
+  }
+
+  test("weighted sampling scans range-partitioned; only the offsets broadcast") {
+    val p = planNoAutoBroadcast("t18_weighted_sample")
+    assert(p.contains("rangepartitioning"),
+      s"t18: prefix scan must ride a range partition, not a global window:\n$p")
+    assert("BroadcastExchange".r.findAllIn(p).size === 1,
+      s"t18: expected exactly the <=|partitions|-row offset broadcast:\n$p")
+    assert(!p.contains("Window"), // a global-ORDER window = one-task scan
+      s"t18: prefix sum must come from the two-pass scan, not a window:\n$p")
+  }
+
+  test("recursive CTE spine executes as UnionLoop (bounded by depth, not data)") {
+    val p = planOf("sql_frontend7")
+    assert(p.contains("UnionLoop"), s"sql_frontend7 lost the recursive plan:\n$p")
   }
 }

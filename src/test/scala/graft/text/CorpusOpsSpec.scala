@@ -114,4 +114,25 @@ class CorpusOpsSpec extends SparkSpec {
     val kept = CorpusOps.chunkDedupRewrite(multi).as[(Long, Long, Long, String)].head()
     assert(kept === ((9L, 3L, 3L, s"$u2 $u1 $u3")))
   }
+
+  test("weighted systematic sample matches the single-threaded grid rule") {
+    val k = 37 // not a divisor of anything — exercises uneven grid spans
+    val rows = docs.select("doc_id", "n_chars").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    val total = rows.map(_._2).sum
+    var cum = 0L
+    val want = rows.flatMap { case (id, w) =>
+      val before = cum; cum += w
+      if (cum * k / total > before * k / total) Some((id, w, cum)) else None
+    }.toSeq
+    val got = CorpusOps.weightedSystematic(spark, docs, k)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === want)
+    // grid rule caps the pick count at k and hits k when no doc outweighs a slot
+    assert(got.size <= k)
+    // distributed scan is partitioning-invariant: same picks from a reshuffle
+    val reshuffled = CorpusOps.weightedSystematic(spark, docs.repartition(7), k)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(reshuffled === want)
+  }
 }
