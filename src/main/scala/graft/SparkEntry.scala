@@ -10,7 +10,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Aggregates.queries ++ FiltersProjections.queries ++ Joins.queries ++
       SetOpsWindows.queries ++ Analytics.queries ++ Skew.queries ++
-      DataProfile.queries ++ ZOrder.queries ++
+      DataProfile.queries ++ ZOrder.queries ++ Graph.queries ++
       graft.text.TextAnalysis.queries ++ graft.text.CorpusOps.queries ++
       graft.text.Repetition.queries ++ graft.text.Scrub.queries ++
       graft.dedup.Dedup.queries ++ graft.dedup.CleanCorpus.queries ++
@@ -22,7 +22,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Aggregates.oracle ++ FiltersProjections.oracle ++ Joins.oracle ++
       SetOpsWindows.oracle ++ Analytics.oracle ++ Skew.oracle ++
-      DataProfile.oracle ++ ZOrder.oracle ++
+      DataProfile.oracle ++ ZOrder.oracle ++ Graph.oracle ++
       graft.text.TextAnalysis.oracle ++ graft.text.CorpusOps.oracle ++
       graft.text.Repetition.oracle ++ graft.text.Scrub.oracle ++
       graft.dedup.Dedup.oracle ++ graft.dedup.CleanCorpus.oracle ++

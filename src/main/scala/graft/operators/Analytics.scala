@@ -379,6 +379,20 @@ object Analytics {
         .as("approx_nd"))
       .orderBy("o_orderstatus")
 
+  /** HLL approximate-distinct as a driver query — the flat-register sibling
+    * of `kmv_distinct` (graft.functions.HllCatalyst has the full portable-
+    * register story). Groups lineitem by linestatus counting distinct
+    * orderkeys: thousands of distinct values per group at every tested SF,
+    * so the estimator stays on the raw harmonic-mean branch whose only
+    * float math is one IEEE multiply-divide chain off an exact integer —
+    * which is why a 256-register HLL can be hash-gated at all. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(graft.functions.HllCatalyst.approx_distinct_hll(col("l_orderkey"))
+        .as("approx_nd"))
+      .orderBy("l_linestatus")
+
   /** Approximate per-group quantiles by deterministic hash-threshold
     * sampling — the sketch-tier sibling of `exact_quantiles`: keep only rows
     * whose md5 row key falls under `frac` of the hash space (a map-side
@@ -413,6 +427,7 @@ object Analytics {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmv_distinct" -> (kmvDistinct _),
+    "hll_distinct" -> (hllDistinct _),
     "approx_quantile_sample" -> (approxQuantileSample _),
     "a06b_cube" -> (a06Cube _),
     "exact_median" -> (exactMedian _),
@@ -453,6 +468,30 @@ object Analytics {
         |  MIN(CASE WHEN rv = ceil(m * 0.9) THEN v END) AS p90,
         |  CAST(MAX(m) AS BIGINT) AS sample_n
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "hll_distinct" ->
+      """WITH hv AS (
+        |  SELECT DISTINCT l_linestatus,
+        |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM lineitem),
+        |reg AS (
+        |  SELECT l_linestatus, h // 4503599627370496 AS bucket,
+        |    MAX(CASE WHEN h % 4503599627370496 = 0 THEN 53
+        |             ELSE 53 - length(bin(h % 4503599627370496)) END) AS rho
+        |  FROM hv GROUP BY l_linestatus, bucket),
+        |agg AS (
+        |  SELECT l_linestatus,
+        |    SUM(CAST(pow(2.0, 53 - rho) AS BIGINT))
+        |      + (256 - COUNT(*)) * 9007199254740992 AS s,
+        |    256 - COUNT(*) AS zeros
+        |  FROM reg GROUP BY l_linestatus)
+        |SELECT l_linestatus,
+        |  CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |            * 9007199254740992.0 / CAST(s AS DOUBLE) <= 640.0
+        |         AND zeros > 0
+        |       THEN 256.0 * ln(256.0 / zeros)
+        |       ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |            * 9007199254740992.0 / CAST(s AS DOUBLE) END AS approx_nd
+        |FROM agg ORDER BY l_linestatus""".stripMargin,
     "kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT o_orderstatus,

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over relational edge lists — PageRank as the flagship
+  * iterative-join shape (same execution family as the connected-components
+  * labeling in [[graft.dedup.Clusters]]: per round one shuffle join on the
+  * vertex id + one combiner-friendly aggregation, lineage truncated by
+  * `localCheckpoint`).
+  *
+  * Determinism contract: all rank arithmetic is SCALED-INTEGER (`Long`,
+  * rank × 10¹²) with explicit integral division, never floating point.
+  * Summing longs is order-independent, so the result is hash-exact across
+  * partitionings AND across engines — the DuckDB oracle replays the same
+  * five unrolled iterations with `//` division and matches bit-for-bit.
+  * (A double-typed rank would desync on shuffle order alone.)
+  *
+  * Scale shape (100 TB): the edge list is the big side — it is joined once
+  * per iteration against the vertex-sized rank frame on `src`, then
+  * aggregated on `dst` with map-side partial sums. Edges are partitioned
+  * once up front and reused; each iteration shuffles only O(V) rank rows
+  * plus the map-side-combined contribution partials, never re-shuffles the
+  * edge list. Iteration count is fixed (power iteration, k=5 here), so the
+  * job graph is static — no driver-side convergence reads at all.
+  *
+  * Ref: the reference has no graph tier; this generalizes its enrichment
+  * joins (`database.py` vendor lookups) to link-analysis over the same star
+  * schema, the shape corpus-curation pipelines use for source-authority
+  * weighting.
+  */
+object Graph {
+
+  /** Rank fixed-point carrier: ranks sum to ~Scale (1.0 × 10¹²). */
+  val Scale = 1000000000000L
+
+  /** Power-iteration PageRank over a directed edge list `(src, dst)`.
+    * Precondition (guaranteed by symmetrized callers): every vertex occurs
+    * as BOTH a src and a dst, so there is no dangling mass and the
+    * per-iteration `groupBy("dst")` reaches the full vertex set.
+    * Returns `(id, r)` with `r` the scaled-integer rank after `iterations`
+    * rounds of `r' = T + ⌊85 · Σ_{u→v} ⌊r_u / deg_u⌋ / 100⌋`. */
+  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // Edge list joined with out-degree once; this is the reused big side.
+    val withDeg = edges.join(deg, "src").localCheckpoint()
+    val n = withDeg.select(countDistinct("src")).head().getLong(0)
+    val teleport = (15L * Scale) / (100L * n)
+    var ranks = deg.select(col("src").as("id"), lit(Scale / n).as("r"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      ranks = withDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+        .select(col("dst").as("id"),
+          (lit(teleport) + expr("(85 * s) div 100")).as("r"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+
+  /** g1: PageRank over the symmetrized customer↔supplier purchase graph.
+    * Vertices interleave the two key spaces (customer → 2k, supplier →
+    * 2k+1); edges are the DISTINCT (custkey, suppkey) pairs reachable
+    * through orders ⋈ lineitem, both directions. Top-100 by rank with a
+    * full deterministic tie-break. */
+  def g1PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    pageRank(edges, 5)
+      .select(
+        when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+        expr("id div 2").as("entity_key"),
+        col("r").as("rank_e12"))
+      .orderBy(desc("rank_e12"), col("kind"), col("entity_key"))
+      .limit(100)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_pagerank" -> (g1PageRank _)
+  )
+
+  /** The oracle unrolls the same five power iterations as chained CTEs —
+    * scaled-integer `//` division makes every intermediate exact, so the
+    * fixed iteration count (not a convergence threshold) is the whole
+    * schedule and both engines land on identical longs. */
+  private val pagerankSql: String = {
+    val iters = (1 to 5).map { k =>
+      s"""r$k AS (
+         |  SELECT e.dst AS id,
+         |    (SELECT t FROM tp) + (85 * SUM(r.r // d.deg)) // 100 AS r
+         |  FROM edges e
+         |  JOIN r${k - 1} r ON r.id = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s, c FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nn AS (SELECT COUNT(*) AS n FROM deg),
+       |tp AS (SELECT 15000000000000 // (100 * n) AS t FROM nn),
+       |r0 AS (SELECT src AS id, (SELECT 1000000000000 // n FROM nn) AS r FROM deg),
+       |$iters
+       |SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  id // 2 AS entity_key, CAST(r AS BIGINT) AS rank_e12
+       |FROM r5
+       |ORDER BY rank_e12 DESC, kind, entity_key
+       |LIMIT 100""".stripMargin
+  }
+
+  def oracle: Map[String, String] = Map(
+    "g1_pagerank" -> pagerankSql
+  )
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PageRank: scaled-integer determinism and fixed-point structure. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) = {
+    val df = pairs.toDF("src", "dst")
+    df.unionByName(df.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  test("symmetric path graph: center outranks endpoints, endpoints tie") {
+    // 1 - 2 - 3 (symmetrized): vertex 2 has degree 2, the ends degree 1.
+    val r = Graph.pageRank(edges(1L -> 2L, 2L -> 3L), 5)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r(2) > r(1), s"center must outrank an endpoint: $r")
+    assert(r(1) == r(3), s"symmetric endpoints must tie exactly: $r")
+  }
+
+  test("star graph: hub gets the maximum rank") {
+    val r = Graph.pageRank(edges(10L -> 1L, 10L -> 2L, 10L -> 3L, 10L -> 4L), 5)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r(10L) == r.values.max, s"hub must dominate: $r")
+    assert(Seq(1L, 2L, 3L, 4L).map(r).distinct.size == 1,
+      s"leaves must tie exactly: $r")
+  }
+
+  test("rank mass is conserved up to integer-division truncation") {
+    val n = 5
+    val r = Graph.pageRank(
+      edges((1 to 4).map(i => i.toLong -> 5L): _*), 5)
+      .agg(sum("r")).head().getLong(0)
+    // Each of 5 iterations can truncate < 1 unit per vertex at the teleport
+    // division plus < 1 per edge contribution and < 1 at the 85/100 step.
+    val slack = 5L * (n + 2L * 4 + n)
+    assert(r <= Graph.Scale && r >= Graph.Scale - slack,
+      s"mass $r should be within $slack below ${Graph.Scale}")
+  }
+
+  test("result is invariant under input partitioning (integer math)") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L)
+    val a = Graph.pageRank(e.repartition(1), 5).orderBy("id").collect().toSeq
+    val b = Graph.pageRank(e.repartition(7), 5).orderBy("id").collect().toSeq
+    assert(a == b, "scaled-integer ranks must not depend on partitioning")
+  }
+
+  test("g1 runs on sf0.001 with full-rank tie-break ordering") {
+    val out = Graph.g1PageRank(spark, sf0001).collect()
+    assert(out.length == 100)
+    val ranks = out.map(_.getLong(2))
+    assert(ranks.sameElements(ranks.sortBy(-_)), "must be rank-descending")
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("customer", "supplier")))
+  }
+}
