@@ -379,6 +379,48 @@ object Analytics {
         .as("approx_nd"))
       .orderBy("o_orderstatus")
 
+  /** Statistical-moment aggregates — stddev, covariance, correlation and
+    * one-feature OLS — computed the DISTRIBUTED-EXACT way: the five power
+    * sums (Σx, Σy, Σx², Σy², Σxy) ride exact decimal carriers (associative,
+    * partial-aggregation-proof), and every output is one fixed IEEE chain
+    * off those integers-in-decimal — NOT the engines' builtin
+    * `stddev`/`corr`, whose streaming accumulation is shuffle-order-
+    * dependent in the low bits. Decimal(18,4)² products widen to (37,8):
+    * still exact, and Spark/DuckDB agree because no rounding ever occurs.
+    * (The oracle casts product inputs to DECIMAL(19,4) — numerically
+    * identical, but DuckDB needs >18-digit operands to take its int128
+    * multiply path; Spark at (19,4) would instead cap the product at
+    * precision 38 and round. Exactness on both sides is what matters.)
+    * At 100 TB this is one map-side-combined shuffle of 5 numbers per
+    * group — the textbook "moments, not passes" formulation. */
+  def a22Moments(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    val sums = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sx2"), sum(y * y).as("sy2"),
+        sum(x * y).as("sxy"))
+    val n = col("n").cast("double")
+    val (sx, sy, sx2, sy2, sxy) =
+      (col("sx").cast("double"), col("sy").cast("double"),
+        col("sx2").cast("double"), col("sy2").cast("double"),
+        col("sxy").cast("double"))
+    val cxy = n * sxy - sx * sy
+    val vx = n * sx2 - sx * sx
+    val vy = n * sy2 - sy * sy
+    sums.select(col("l_returnflag"), col("n"),
+        (sx / n).as("mean_x"),
+        sqrt(vx / (n * (n - 1.0))).as("stddev_x"),
+        sqrt(vy / (n * (n - 1.0))).as("stddev_y"),
+        (cxy / (n * (n - 1.0))).as("covar_xy"),
+        (cxy / (sqrt(vx) * sqrt(vy))).as("corr_xy"),
+        (cxy / vx).as("ols_slope"),
+        ((sy - cxy / vx * sx) / n).as("ols_intercept"))
+      .orderBy("l_returnflag")
+  }
+
   /** HLL approximate-distinct as a driver query — the flat-register sibling
     * of `kmv_distinct` (graft.functions.HllCatalyst has the full portable-
     * register story). Groups lineitem by linestatus counting distinct
@@ -428,6 +470,7 @@ object Analytics {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmv_distinct" -> (kmvDistinct _),
     "hll_distinct" -> (hllDistinct _),
+    "a22_moments" -> (a22Moments _),
     "approx_quantile_sample" -> (approxQuantileSample _),
     "a06b_cube" -> (a06Cube _),
     "exact_median" -> (exactMedian _),
@@ -468,6 +511,41 @@ object Analytics {
         |  MIN(CASE WHEN rv = ceil(m * 0.9) THEN v END) AS p90,
         |  CAST(MAX(m) AS BIGINT) AS sample_n
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a22_moments" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,4))
+        |        * CAST(l_quantity AS DECIMAL(19,4))) AS sx2,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+        |        * CAST(l_extendedprice AS DECIMAL(19,4))) AS sy2,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,4))
+        |        * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (
+        |  -- decimal -> double via VARCHAR: DuckDB's direct decimal cast
+        |  -- double-rounds (int128 -> double, then the scale divide) once the
+        |  -- scaled integer exceeds 2^53; strtod of the exact decimal string
+        |  -- is correctly rounded, matching Spark's BigDecimal.doubleValue.
+        |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sx2 AS VARCHAR) AS DOUBLE) AS sx2,
+        |    CAST(CAST(sy2 AS VARCHAR) AS DOUBLE) AS sy2,
+        |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM sums)
+        |SELECT l_returnflag, n,
+        |  sx / nd AS mean_x,
+        |  sqrt((nd * sx2 - sx * sx) / (nd * (nd - 1.0))) AS stddev_x,
+        |  sqrt((nd * sy2 - sy * sy) / (nd * (nd - 1.0))) AS stddev_y,
+        |  (nd * sxy - sx * sy) / (nd * (nd - 1.0)) AS covar_xy,
+        |  (nd * sxy - sx * sy)
+        |    / (sqrt(nd * sx2 - sx * sx) * sqrt(nd * sy2 - sy * sy)) AS corr_xy,
+        |  (nd * sxy - sx * sy) / (nd * sx2 - sx * sx) AS ols_slope,
+        |  (sy - (nd * sxy - sx * sy) / (nd * sx2 - sx * sx) * sx) / nd
+        |    AS ols_intercept
+        |FROM d ORDER BY l_returnflag""".stripMargin,
     "hll_distinct" ->
       """WITH hv AS (
         |  SELECT DISTINCT l_linestatus,
