@@ -64,6 +64,46 @@ object Graph {
     ranks
   }
 
+  /** Personalized (seeded) PageRank over WEIGHTED edges `(src, dst, w)`:
+    * teleport mass returns only to the seed set (uniformly), and each
+    * vertex distributes rank proportionally to edge weight —
+    * `r' = T·[v ∈ seeds] + ⌊85 · Σ_{u→v} ⌊r_u · w_uv / W_u⌋ / 100⌋` with
+    * `W_u` the total out-weight. Same scaled-integer determinism contract
+    * as [[pageRank]]; `r·w ≤ 10¹²·|orders per pair|` stays far from long
+    * overflow. Non-seed vertices start (and teleport) at zero — relevance
+    * flows outward from the seeds only. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int): DataFrame = {
+    val wsum = edges.groupBy("src").agg(sum("w").as("wsum"))
+    val withW = edges.join(wsum, "src").localCheckpoint()
+    val nSeeds = seeds.count()
+    val teleport = (15L * Scale) / (100L * nSeeds)
+    val seedSet = seeds.select(col("id"), lit(true).as("is_seed"))
+    val vertices = wsum.select(col("src").as("id"))
+      .join(seedSet, Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    var ranks = vertices
+      .select(col("id"),
+        when(col("is_seed"), lit(Scale / nSeeds)).otherwise(lit(0L)).as("r"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val contrib = withW
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("(r * w) div wsum").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = vertices
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (when(col("is_seed"), lit(teleport)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+
   /** g1: PageRank over the symmetrized customer↔supplier purchase graph.
     * Vertices interleave the two key spaces (customer → 2k, supplier →
     * 2k+1); edges are the DISTINCT (custkey, suppkey) pairs reachable
@@ -86,8 +126,35 @@ object Graph {
       .limit(100)
   }
 
+  /** g1b: personalized PageRank seeded at the BUILDING-segment customers,
+    * over order-count-weighted edges — "supplier authority as seen from one
+    * market segment", the relevance-propagation shape recommendation and
+    * source-weighting pipelines use. Seeds with no orders are not graph
+    * vertices; the teleport mass addressed to them is dropped identically
+    * in both engines (they still count in the seed normalizer). */
+  def g1bPersonalized(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val pw = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(countDistinct("o_orderkey").as("w"))
+    val edges = pw.select(col("c").as("src"), col("s").as("dst"), col("w"))
+      .unionByName(pw.select(col("s").as("src"), col("c").as("dst"), col("w")))
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select((col("c_custkey") * 2).as("id"))
+    personalizedPageRank(edges, seeds, 5)
+      .select(
+        when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+        expr("id div 2").as("entity_key"),
+        col("r").as("rank_e12"))
+      .orderBy(desc("rank_e12"), col("kind"), col("entity_key"))
+      .limit(100)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g1_pagerank" -> (g1PageRank _)
+    "g1_pagerank" -> (g1PageRank _),
+    "g1b_ppr" -> (g1bPersonalized _)
   )
 
   /** The oracle unrolls the same five power iterations as chained CTEs —
@@ -122,7 +189,48 @@ object Graph {
        |LIMIT 100""".stripMargin
   }
 
+  private val pprSql: String = {
+    val iters = (1 to 5).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS id, SUM(r.r * e.w // w2.wsum) AS s
+         |  FROM edges e
+         |  JOIN r${k - 1} r ON r.id = e.src
+         |  JOIN ws w2 ON w2.src = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT v.id,
+         |    CASE WHEN v.is_seed THEN (SELECT t FROM tp) ELSE 0 END
+         |      + (85 * COALESCE(c.s, 0)) // 100 AS r
+         |  FROM v LEFT JOIN c$k c ON c.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pw AS (
+       |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+       |    COUNT(DISTINCT l_orderkey) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT c AS src, s AS dst, w FROM pw
+       |  UNION ALL SELECT s, c, w FROM pw),
+       |ws AS (SELECT src, SUM(w) AS wsum FROM edges GROUP BY src),
+       |seeds AS (SELECT c_custkey * 2 AS id FROM customer
+       |          WHERE c_mktsegment = 'BUILDING'),
+       |ns AS (SELECT COUNT(*) AS n FROM seeds),
+       |tp AS (SELECT 15000000000000 // (100 * n) AS t FROM ns),
+       |v AS (SELECT ws.src AS id, (seeds.id IS NOT NULL) AS is_seed
+       |      FROM ws LEFT JOIN seeds ON ws.src = seeds.id),
+       |r0 AS (SELECT id, CASE WHEN is_seed
+       |         THEN (SELECT 1000000000000 // n FROM ns) ELSE 0 END AS r
+       |       FROM v),
+       |$iters
+       |SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  id // 2 AS entity_key, CAST(r AS BIGINT) AS rank_e12
+       |FROM r5
+       |ORDER BY rank_e12 DESC, kind, entity_key
+       |LIMIT 100""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
-    "g1_pagerank" -> pagerankSql
+    "g1_pagerank" -> pagerankSql,
+    "g1b_ppr" -> pprSql
   )
 }

@@ -126,6 +126,11 @@ class PlanSpec extends SparkSpec {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "-1")
+    // Plan against a clean cache: if another suite (QueriesSmokeSpec) left a
+    // Caches.scoped frame cached, the printed InMemoryRelation fragments
+    // carry their own inner BroadcastExchange nodes and inflate the counts
+    // these tests assert on (observed order-dependent: 16 vs 4 in d9).
+    spark.catalog.clearCache()
     try planOf(name) finally spark.conf.set(key, prev)
   }
 

@@ -48,6 +48,36 @@ class GraphSpec extends SparkSpec {
     assert(a == b, "scaled-integer ranks must not depend on partitioning")
   }
 
+  test("personalized: relevance stays with the seed's component") {
+    // Two components: a seeded chain and an unseeded pair. PPR mass can
+    // only enter a vertex from the teleport (seeds) or a neighbor, so the
+    // unseeded component must finish at exactly zero — the property that
+    // distinguishes PPR from global PageRank. (Strict distance decay is
+    // NOT asserted: a 5-round power schedule still carries parity
+    // oscillation on a short chain.)
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 10L -> 11L)
+      .withColumn("w", lit(1L))
+    val r = Graph.personalizedPageRank(e, Seq(1L).toDF("id"), 5)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r(10) == 0L && r(11) == 0L,
+      s"unseeded component must hold zero rank: $r")
+    assert(r(2) > r(3), s"hop 1 must outrank hop 2: $r")
+    assert(Seq(1L, 2L, 3L, 4L).forall(r(_) > 0L),
+      s"every vertex in the seeded component must be reached: $r")
+  }
+
+  test("weighted: the heavier edge carries proportionally more rank") {
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val sym = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val r = Graph.personalizedPageRank(sym, Seq(1L).toDF("id"), 5)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r(2) > r(3), s"w=3 neighbor must outrank w=1 neighbor: $r")
+    // leaves only ever receive from the seed, split w=3 : w=1 — the ratio
+    // is exactly 3 up to integral-division truncation
+    assert(math.abs(r(2) - 3L * r(3)) <= 1000L, s"split must stay 3:1: $r")
+  }
+
   test("g1 runs on sf0.001 with full-rank tie-break ordering") {
     val out = Graph.g1PageRank(spark, sf0001).collect()
     assert(out.length == 100)
