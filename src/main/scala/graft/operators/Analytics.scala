@@ -263,6 +263,44 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  /** PERCENTILE_CONT — interpolated exact quantiles — done ENGINE-
+    * DETERMINISTICALLY: [[exactQuantiles]]'s scaladoc notes that builtin
+    * `percentile_cont` implementations disagree across engines at ulp
+    * level, so neither engine's builtin appears here. Both sides instead
+    * compute the same manual chain off the ranked window: `pos = (n−1)·p`,
+    * `frac = pos − ⌊pos⌋`, `v_lo + frac·(v_hi − v_lo)` — integer-exact
+    * inputs ((n−1) < 2⁵³, the order statistics are raw data elements) and
+    * a fixed IEEE op sequence, so the interpolated values match bit-for-
+    * bit. p ∈ {.25,.5,.75} have dyadic fracs (exactly representable);
+    * p = .9 shows the chain is deterministic even when frac is not exact.
+    * Same single-ranked-window shape as exactQuantiles. */
+  def exactQuantilesCont(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(dec(col("o_totalprice")), col("o_orderkey"))
+    def pos(p: Double): Column = (col("n") - 1).cast("double") * lit(p)
+    def hit(idx: Column): Column =
+      min(when(col("rn") === idx, col("o_totalprice")))
+    def interp(tag: String): Column = {
+      val (vlo, vhi, fr) = (col(s"lo_$tag"), col(s"hi_$tag"), col(s"fr_$tag"))
+      (vlo + fr * (vhi - vlo)).as(s"p$tag")
+    }
+    val ranked = Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+    val aggs = Seq("25" -> 0.25, "50" -> 0.50, "75" -> 0.75, "90" -> 0.90)
+      .flatMap { case (tag, p) =>
+        Seq(hit(floor(pos(p)) + 1).as(s"lo_$tag"),
+          hit(ceil(pos(p)) + 1).as(s"hi_$tag"),
+          max(pos(p) - floor(pos(p)).cast("double")).as(s"fr_$tag"))
+      } :+ max(col("n")).as("n")
+    ranked.groupBy("o_orderstatus")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("o_orderstatus") +: col("n") +:
+        Seq("25", "50", "75", "90").map(interp): _*)
+      .orderBy("o_orderstatus")
+  }
+
   /** Exact median absolute deviation per group — the robust spread measure
     * next to [[winsorized]]'s robust location. Both statistics are LOWER
     * medians (single order statistics, rank `(n+1) div 2`), so every
@@ -471,6 +509,7 @@ object Analytics {
     "kmv_distinct" -> (kmvDistinct _),
     "hll_distinct" -> (hllDistinct _),
     "a22_moments" -> (a22Moments _),
+    "exact_quantiles_cont" -> (exactQuantilesCont _),
     "approx_quantile_sample" -> (approxQuantileSample _),
     "a06b_cube" -> (a06Cube _),
     "exact_median" -> (exactMedian _),
@@ -511,6 +550,33 @@ object Analytics {
         |  MIN(CASE WHEN rv = ceil(m * 0.9) THEN v END) AS p90,
         |  CAST(MAX(m) AS BIGINT) AS sample_n
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "exact_quantiles_cont" -> {
+      val per = Seq("25" -> "0.25", "50" -> "0.50", "75" -> "0.75", "90" -> "0.90")
+      val hits = per.map { case (tag, p) =>
+        s"""    MIN(CASE WHEN rn = FLOOR(CAST(n - 1 AS DOUBLE) * $p) + 1
+           |      THEN v END) AS lo_$tag,
+           |    MIN(CASE WHEN rn = CEIL(CAST(n - 1 AS DOUBLE) * $p) + 1
+           |      THEN v END) AS hi_$tag,
+           |    MAX(CAST(n - 1 AS DOUBLE) * $p
+           |      - FLOOR(CAST(n - 1 AS DOUBLE) * $p)) AS fr_$tag""".stripMargin
+      }.mkString(",\n")
+      val outs = per.map { case (tag, _) =>
+        s"  lo_$tag + fr_$tag * (hi_$tag - lo_$tag) AS p$tag"
+      }.mkString(",\n")
+      s"""WITH r AS (
+         |  SELECT o_orderstatus, o_totalprice AS v,
+         |    row_number() OVER (PARTITION BY o_orderstatus
+         |      ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey) AS rn,
+         |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+         |  FROM orders),
+         |a AS (
+         |  SELECT o_orderstatus, MAX(n) AS n,
+         |$hits
+         |  FROM r GROUP BY o_orderstatus)
+         |SELECT o_orderstatus, n,
+         |$outs
+         |FROM a ORDER BY o_orderstatus""".stripMargin
+    },
     "a22_moments" ->
       """WITH sums AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
