@@ -252,6 +252,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"d9_semdedup:\n$p")
   }
 
+  test("pagerank iteration chain never hints a vertex-scaled broadcast") {
+    // The rank frame is VERTEX-scaled (grows with the corpus): a broadcast
+    // hint on it would be the same 100 TB driver-OOM anti-pattern the ANN
+    // tier removed in round 3. AQE may still broadcast a genuinely-small
+    // side at runtime — the assertion is about declared intent, so it
+    // plans with stats-based auto-broadcast off and expects zero.
+    for (n <- Seq("g1_pagerank", "g1b_ppr")) {
+      val p = planNoAutoBroadcast(n)
+      assert(!p.contains("BroadcastExchange"),
+        s"$n: corpus-scaled broadcast hint in the iteration chain:\n$p")
+    }
+  }
+
   test("weighted sampling scans range-partitioned; only the offsets broadcast") {
     val p = planNoAutoBroadcast("t18_weighted_sample")
     assert(p.contains("rangepartitioning"),
