@@ -473,6 +473,36 @@ object Analytics {
         .as("approx_nd"))
       .orderBy("l_linestatus")
 
+  /** KMV sketch SET ALGEBRA — the reason k-minimum-values earns its place
+    * next to HLL: from two per-segment sketches alone (k hashes each, no
+    * re-scan) it estimates union, Jaccard, and intersection cardinality
+    * (Beyer et al., SIGMOD'07: ρ = shared fraction of the union's k-mins;
+    * |A∩B|̂ = ρ·|A∪B|̂). At 100 TB that is audience-overlap across any
+    * segment pair from constant-size mergeable state. Engine-exact like
+    * kmv_distinct: md5-hash k-mins are integers, the estimates one fixed
+    * IEEE chain, and the oracle replays the sketch with windowed ranks. */
+  def kmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvCatalyst.kmv_minhashes
+    val k = 256
+    val sk = Tables.orders(spark, dir)
+      .agg(
+        kmv_minhashes(when(col("o_orderstatus") === "F", col("o_custkey"))).as("a"),
+        kmv_minhashes(when(col("o_orderstatus") === "O", col("o_custkey"))).as("b"))
+      .withColumn("m", expr(s"slice(array_sort(array_union(a, b)), 1, $k)"))
+    def est(c: Column): Column =
+      when(size(c) < k, size(c).cast("double"))
+        .otherwise(lit(255.0) /
+          (element_at(c, k).cast("double") / lit(1152921504606846976.0)))
+    val rho = size(array_intersect(array_intersect(col("m"), col("a")), col("b")))
+      .cast("double") / size(col("m")).cast("double")
+    sk.select(
+      est(col("a")).as("est_f"),
+      est(col("b")).as("est_o"),
+      est(col("m")).as("est_union"),
+      rho.as("jaccard"),
+      (rho * est(col("m"))).as("est_intersect"))
+  }
+
   /** Approximate per-group quantiles by deterministic hash-threshold
     * sampling — the sketch-tier sibling of `exact_quantiles`: keep only rows
     * whose md5 row key falls under `frac` of the hash space (a map-side
@@ -510,6 +540,7 @@ object Analytics {
     "hll_distinct" -> (hllDistinct _),
     "a22_moments" -> (a22Moments _),
     "exact_quantiles_cont" -> (exactQuantilesCont _),
+    "kmv_setops" -> (kmvSetOps _),
     "approx_quantile_sample" -> (approxQuantileSample _),
     "a06b_cube" -> (a06Cube _),
     "exact_median" -> (exactMedian _),
@@ -550,6 +581,41 @@ object Analytics {
         |  MIN(CASE WHEN rv = ceil(m * 0.9) THEN v END) AS p90,
         |  CAST(MAX(m) AS BIGINT) AS sample_n
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "kmv_setops" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |hb AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM orders WHERE o_orderstatus = 'O'),
+        |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha),
+        |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb),
+        |a AS (SELECT h FROM ra WHERE rn <= 256),
+        |b AS (SELECT h FROM rb WHERE rn <= 256),
+        |u AS (SELECT h FROM a UNION SELECT h FROM b),
+        |ru AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u),
+        |m AS (SELECT h FROM ru WHERE rn <= 256),
+        |c AS (SELECT
+        |  (SELECT COUNT(*) FROM ha) AS na,
+        |  (SELECT COUNT(*) FROM hb) AS nb,
+        |  (SELECT COUNT(*) FROM m) AS nm,
+        |  (SELECT MAX(h) FROM a) AS ka,
+        |  (SELECT MAX(h) FROM b) AS kb,
+        |  (SELECT MAX(h) FROM m) AS km,
+        |  (SELECT COUNT(*) FROM m JOIN a USING (h) JOIN b USING (h)) AS shared)
+        |SELECT
+        |  CASE WHEN na < 256 THEN CAST(na AS DOUBLE)
+        |       ELSE 255.0 / (CAST(ka AS DOUBLE) / 1152921504606846976.0) END AS est_f,
+        |  CASE WHEN nb < 256 THEN CAST(nb AS DOUBLE)
+        |       ELSE 255.0 / (CAST(kb AS DOUBLE) / 1152921504606846976.0) END AS est_o,
+        |  CASE WHEN nm < 256 THEN CAST(nm AS DOUBLE)
+        |       ELSE 255.0 / (CAST(km AS DOUBLE) / 1152921504606846976.0) END AS est_union,
+        |  CAST(shared AS DOUBLE) / CAST(nm AS DOUBLE) AS jaccard,
+        |  (CAST(shared AS DOUBLE) / CAST(nm AS DOUBLE)) *
+        |    (CASE WHEN nm < 256 THEN CAST(nm AS DOUBLE)
+        |          ELSE 255.0 / (CAST(km AS DOUBLE) / 1152921504606846976.0) END)
+        |    AS est_intersect
+        |FROM c""".stripMargin,
     "exact_quantiles_cont" -> {
       val per = Seq("25" -> "0.25", "50" -> "0.50", "75" -> "0.75", "90" -> "0.90")
       val hits = per.map { case (tag, p) =>
