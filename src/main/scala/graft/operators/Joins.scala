@@ -325,8 +325,35 @@ object Joins {
       .limit(10)
   }
 
+  /** J10 (extension): SCD2 point-in-time lookup — the consumption side of
+    * the [[Aggregates.scd2]] dimension build: each purchase event is
+    * enriched with the dimension version valid AT its event time. Because
+    * SCD2 intervals are non-overlapping and contiguous per key, the
+    * `[valid_from, valid_to)` range probe degenerates to a backward as-of
+    * join on `valid_from` — so the whole lookup rides [[AsOf.joinAsOf]]'s
+    * single-shuffle union+window plan instead of a range join (which Spark
+    * would plan as a per-key band join). At 100 TB both the dimension build
+    * and the lookup shuffle once on the same key (user_id); no interval
+    * explosion, no BNLJ. Ties on valid_from (two change rows at one
+    * timestamp) resolve to the highest version on both engines. */
+  def j10Scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val dim = Aggregates.scd2(e)
+      .select(col("user_id"), col("valid_from"), col("version"),
+        col("event_type").as("state"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOf.joinAsOf(purchases, dim, Seq("user_id"), "ts", "valid_from",
+        payload = Seq("version", "state"), prefix = "dim_",
+        tieBreak = Some("version"))
+      .select(col("event_id"), col("user_id"), col("dim_version").as("version"),
+        col("dim_state").as("state"))
+      .orderBy("event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j06_asof_join" -> (j06AsOfJoin _),
+    "j10_scd2_lookup" -> (j10Scd2Lookup _),
     "j01_exact_enrich" -> (j01ExactEnrich _),
     "j02_twophase_enrich" -> (j02TwoPhaseEnrich _),
     "j03_group_scalar_attach" -> (j03GroupScalarAttach _),
@@ -341,6 +368,29 @@ object Joins {
   )
 
   def oracle: Map[String, String] = Map(
+    "j10_scd2_lookup" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, ts, event_id, event_type FROM c
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |dim AS (
+        |  SELECT user_id, event_type AS state,
+        |    row_number() OVER w AS version, ts AS valid_from
+        |  FROM chg
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT p.event_id, d.version, d.state,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY d.valid_from DESC, d.version DESC) AS rk
+        |  FROM p JOIN dim d ON d.user_id = p.user_id AND d.valid_from <= p.ts)
+        |SELECT p.event_id, p.user_id, m.version, m.state
+        |FROM p LEFT JOIN m ON m.event_id = p.event_id AND m.rk = 1
+        |ORDER BY p.event_id""".stripMargin,
     "j06b_asof_forward" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.operators.Aggregates.dec
@@ -37,11 +38,31 @@ object SetOpsWindows {
     * this stays fully parallel. The sort key (price, unique orderkey) is a
     * total order, so ids are deterministic across the two passes. */
   def o5GlobalSort(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sorted = graft.util.Caches.scoped(Tables.orders(spark, dir)
+    val base = Tables.orders(spark, dir)
       .select(col("o_orderkey"), dec(col("o_totalprice")).as("price_d"))
-      .repartitionByRange(col("price_d").desc, col("o_orderkey").asc)
-      .sortWithinPartitions(col("price_d").desc, col("o_orderkey").asc)
+    val (ranked, _) = withGlobalRank(spark, base, "global_rank",
+      Seq(col("price_d").desc, col("o_orderkey").asc))
+    ranked
+      .select(col("o_orderkey"), col("price_d").cast("double").as("price"),
+        col("global_rank"))
+      .orderBy("global_rank")
+  }
+
+  /** Range-partitioned global rank attach — [[o5GlobalSort]]'s plan,
+    * factored for reuse: range-shuffle on the sort key, sort within
+    * partitions, then rank = broadcast partition offset + in-partition
+    * counter (monotonically_increasing_id's documented partition-in-upper-
+    * bits layout). The only driver traffic is a ≤|partitions|-row offsets
+    * aggregate; no single-task global window anywhere. `sortCols` must be a
+    * total order for the ids to be deterministic across the two passes.
+    * Returns the ranked frame and the total row count (free — it is the
+    * last offset). */
+  def withGlobalRank(spark: SparkSession, df: DataFrame, rankCol: String,
+                     sortCols: Seq[Column]): (DataFrame, Long) = {
+    import spark.implicits._
+    val sorted = graft.util.Caches.scoped(df
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftrightunsigned(col("__mid"), 33)))
     // per-partition row counts + first id: a partially-aggregated groupBy of
@@ -54,10 +75,64 @@ object SetOpsWindows {
     val offsetDf = parts.zipWithIndex.map { case ((pid, _, base), i) =>
       (pid, base, offsets(i))
     }.toSeq.toDF("__pid", "__base", "__off")
-    sorted.join(broadcast(offsetDf), Seq("__pid"))
-      .select(col("o_orderkey"), col("price_d").cast("double").as("price"),
-        (col("__mid") - col("__base") + col("__off") + 1L).as("global_rank"))
-      .orderBy("global_rank")
+    val ranked = sorted.join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(rankCol, col("__mid") - col("__base") + col("__off") + 1L)
+      .drop("__mid", "__pid", "__base", "__off")
+    (ranked, offsets.last)
+  }
+
+  /** SQL `ntile(k)` from a 1-based global rank, as exact integer
+    * arithmetic: with q = n div k and rem = n mod k, the first `rem`
+    * buckets hold q+1 rows (the standard DuckDB/Spark/Postgres NTILE
+    * definition). k is a small constant, so the bucket is `1 + #{cumulative
+    * boundaries < rank}` — k-1 long comparisons, no runtime division at
+    * all (Column `/` is float division; this avoids it entirely). */
+  def ntileFromRank(rank: Column, n: Long, k: Int): Column = {
+    val q = n / k
+    val rem = n % k
+    val cumSizes = (1 until k).scanLeft(0L) { (acc, j) =>
+      acc + (if (j <= rem) q + 1 else q)
+    }.tail // cumulative rows in buckets 1..j, for j = 1..k-1
+    cumSizes.foldLeft(lit(1L)) { (acc, cum) =>
+      acc + when(rank > cum, 1L).otherwise(0L)
+    }
+  }
+
+  /** RFM segmentation (extension): per-customer Recency / Frequency /
+    * Monetary quintile scores — the classic CRM / audience-building
+    * segmentation, and a stress test for DISTRIBUTED ntile: each score is
+    * ntile(5) over ALL customers, which as a bare `Window.orderBy` would
+    * serialize the customer universe through one task. Here each dimension
+    * rides [[withGlobalRank]] (range-partitioned rank) and
+    * [[ntileFromRank]]'s exact bucket arithmetic — three fully parallel
+    * sort passes, no global window, identical output to the oracle's three
+    * NTILE windows. Tie-breaks are pinned by customer key, so every rank is
+    * a total order and the quintiles are engine-exact. */
+  def a23Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderdate")).as("last_date"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col("o_totalprice"))).cast(DecimalType(38, 4)).as("mon_dec"))
+    val (r1, n) = withGlobalRank(spark, base, "__rr",
+      Seq(col("last_date").desc, col("o_custkey").asc))
+    val (r2, _) = withGlobalRank(spark, r1, "__rf",
+      Seq(col("frequency").desc, col("o_custkey").asc))
+    val (r3, _) = withGlobalRank(spark, r2, "__rm",
+      Seq(col("mon_dec").desc, col("o_custkey").asc))
+    r3.select(col("o_custkey"), col("last_date"), col("frequency"),
+        col("mon_dec").cast("double").as("monetary"),
+        ntileFromRank(col("__rr"), n, 5).as("r_score"),
+        ntileFromRank(col("__rf"), n, 5).as("f_score"),
+        ntileFromRank(col("__rm"), n, 5).as("m_score"))
+      .withColumn("rfm_cell",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .withColumn("segment",
+        when(col("r_score") === 1 && col("f_score") <= 2 && col("m_score") <= 2,
+          "champion")
+        .when(col("r_score") >= 4 && col("f_score") >= 4, "at_risk")
+        .otherwise("mid"))
+      .orderBy("o_custkey")
   }
 
   /** O3/O4 per-group top-k via ranking window (row_number ≤ 3). */
@@ -224,6 +299,7 @@ object SetOpsWindows {
     "stream_sliding" -> (slidingWindow _),
     "o1_topk_sort" -> (o1TopkSort _),
     "o5_global_sort" -> (o5GlobalSort _),
+    "a23_rfm" -> (a23Rfm _),
     "o4_topk_per_group" -> (o4TopkPerGroup _),
     "set_ops" -> (setOps _),
     "k2_upsert_merge" -> (k2UpsertMerge _),
@@ -285,6 +361,26 @@ object SetOpsWindows {
         |SELECT window_start, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM hits GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "a23_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    max(o_orderdate) AS last_date,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS mon_dec
+        |  FROM orders GROUP BY o_custkey),
+        |scored AS (
+        |  SELECT o_custkey, last_date, frequency,
+        |    CAST(mon_dec AS DOUBLE) AS monetary,
+        |    CAST(ntile(5) OVER (ORDER BY last_date DESC, o_custkey) AS BIGINT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY mon_dec DESC, o_custkey) AS BIGINT) AS m_score
+        |  FROM base)
+        |SELECT o_custkey, last_date, frequency, monetary, r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS rfm_cell,
+        |  CASE WHEN r_score = 1 AND f_score <= 2 AND m_score <= 2 THEN 'champion'
+        |       WHEN r_score >= 4 AND f_score >= 4 THEN 'at_risk'
+        |       ELSE 'mid' END AS segment
+        |FROM scored ORDER BY o_custkey""".stripMargin,
     "o5_global_sort" ->
       """SELECT o_orderkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price,
