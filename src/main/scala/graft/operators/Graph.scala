@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -161,9 +161,65 @@ object Graph {
       .limit(100)
   }
 
+  /** Triangle counting via DEGREE-ORDERED ORIENTATION (the MapReduce
+    * formulation of Cohen '09 / Suri-Vassilvitskii WWW'11): orient every
+    * undirected edge from its lower-(degree, id) endpoint to the higher
+    * one — a strict total order, so each triangle survives as exactly one
+    * (s→t1, s→t2, t1→t2) wedge-plus-closing-edge. The payoff at scale:
+    * out-degree under this orientation is O(√m) regardless of hub size
+    * (a vertex of degree d only KEEPS edges to neighbors of degree ≥ d, and
+    * there are at most 2√m vertices of degree ≥ √m... classic argument), so
+    * the wedge fan-out Σ outdeg² is O(m^1.5) worst-case instead of Σ deg²,
+    * which a hub vertex makes quadratic. Both stages are plain equi-joins
+    * (on wedge apex, then on the candidate pair) — shuffle-partitionable,
+    * no theta join. The orientation key packs (degree, id) into one long:
+    * deg·2³² + id, unique because ids are. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // edges: undirected distinct pairs (u, v), u < v, both Long
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val key = (d: Column, id: Column) => d * lit(4294967296L) + id
+    val oriented = edges
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(key(col("du"), col("u")) < key(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            key(col("dv"), col("v")).as("tk")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"),
+          key(col("du"), col("u")).as("tk"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.tk").as("tk"))
+    // wedges at apex s: out-neighbor pairs ordered by orientation key, so
+    // the closing edge (t1→t2) is probed in ITS oriented direction
+    val w1 = oriented.select(col("s"), col("t").as("t1"), col("tk").as("k1"))
+    val w2 = oriented.select(col("s"), col("t").as("t2"), col("tk").as("k2"))
+    val wedges = w1.join(w2, Seq("s")).filter(col("k1") < col("k2"))
+    val closed = wedges.join(
+      oriented.select(col("s").as("t1"), col("t").as("t2")), Seq("t1", "t2"))
+    closed
+      .select(explode(array(col("s"), col("t1"), col("t2"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** g2: per-part triangle counts in the co-purchase graph (parts sharing
+    * an order are adjacent). The per-order pair fan-out is |order|² — bounded
+    * by the order-size cap here (≤7 lineitems); an unbounded-basket corpus
+    * would cap or sample baskets before pairing, which changes the graph,
+    * not the counting algorithm. */
+  def g2Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    triangleCounts(edges).orderBy("part")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> (g1PageRank _),
-    "g1b_ppr" -> (g1bPersonalized _)
+    "g1b_ppr" -> (g1bPersonalized _),
+    "g2_triangles" -> (g2Triangles _)
   )
 
   /** The oracle unrolls the same five power iterations as chained CTEs —
@@ -240,6 +296,22 @@ object Graph {
 
   def oracle: Map[String, String] = Map(
     "g1_pagerank" -> pagerankSql,
-    "g1b_ppr" -> pprSql
+    "g1b_ppr" -> pprSql,
+    // The oracle counts each triangle once via the x<y<z canonical form —
+    // orientation-free, so it cross-checks the degree-ordering trick rather
+    // than replaying it.
+    "g2_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT unnest([x, y, z]) AS part FROM tri)
+        |GROUP BY part ORDER BY part""".stripMargin
   )
 }

@@ -78,6 +78,33 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r(2) - 3L * r(3)) <= 1000L, s"split must stay 3:1: $r")
   }
 
+  test("triangleCounts on K4 plus a pendant path") {
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, every vertex in exactly 3.
+    // Path 4-10-11 adds no triangle and its vertices must not appear.
+    val k4 = for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)
+    val e = (k4 ++ Seq((4L, 10L), (10L, 11L))).toDF("u", "v")
+    val r = Graph.triangleCounts(e)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts matches brute force on a pseudo-random graph") {
+    // deterministic edge set: (u,v) present iff md5-ish mix is even
+    val n = 24L
+    val all = for (u <- 1L to n; v <- (u + 1) to n) yield (u, v)
+    val edges = all.filter { case (u, v) => (u * 2654435761L + v * 40503L) % 3 == 0 }
+    val eset = edges.toSet
+    var perVertex = Map.empty[Long, Long].withDefaultValue(0L)
+    for (x <- 1L to n; y <- (x + 1) to n; z <- (y + 1) to n)
+      if (eset((x, y)) && eset((y, z)) && eset((x, z))) {
+        perVertex = perVertex.updated(x, perVertex(x) + 1)
+          .updated(y, perVertex(y) + 1).updated(z, perVertex(z) + 1)
+      }
+    val got = Graph.triangleCounts(edges.toDF("u", "v"))
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(got === perVertex.filter(_._2 > 0L).toMap)
+  }
+
   test("g1 runs on sf0.001 with full-rank tie-break ordering") {
     val out = Graph.g1PageRank(spark, sf0001).collect()
     assert(out.length == 100)
