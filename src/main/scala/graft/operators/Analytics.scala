@@ -473,6 +473,22 @@ object Analytics {
         .as("approx_nd"))
       .orderBy("l_linestatus")
 
+  /** Exact distinct customers per order status via the dense-domain bitmap
+    * aggregate ([[graft.functions.BitmapDistinct]]) — the EXACT member of
+    * the sketch family: same mergeable map-side-combine dataflow as
+    * HLL/KMV, but popcount of a domain-wide bitmap, so the oracle is plain
+    * `COUNT(DISTINCT)`. Custkeys are the dense 1..|customer| surrogate
+    * range, the bitmap's home turf; the domain is sized from the (memoized)
+    * customer count. */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val domain = graft.Tables.cachedCount(spark, dir, "customer").toInt + 1
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(graft.functions.BitmapCatalyst.bitmap_distinct(col("o_custkey"), domain)
+        .as("nd_custkey"))
+      .orderBy("o_orderstatus")
+  }
+
   /** KMV sketch SET ALGEBRA — the reason k-minimum-values earns its place
     * next to HLL: from two per-segment sketches alone (k hashes each, no
     * re-scan) it estimates union, Jaccard, and intersection cardinality
@@ -538,6 +554,7 @@ object Analytics {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmv_distinct" -> (kmvDistinct _),
     "hll_distinct" -> (hllDistinct _),
+    "bitmap_distinct" -> (bitmapDistinct _),
     "a22_moments" -> (a22Moments _),
     "exact_quantiles_cont" -> (exactQuantilesCont _),
     "kmv_setops" -> (kmvSetOps _),
@@ -678,6 +695,9 @@ object Analytics {
         |  (sy - (nd * sxy - sx * sy) / (nd * sx2 - sx * sx) * sx) / nd
         |    AS ols_intercept
         |FROM d ORDER BY l_returnflag""".stripMargin,
+    "bitmap_distinct" ->
+      """SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_custkey
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "hll_distinct" ->
       """WITH hv AS (
         |  SELECT DISTINCT l_linestatus,
