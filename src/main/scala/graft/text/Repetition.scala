@@ -122,6 +122,53 @@ object Repetition {
         col("cum_mass"), col("cum_frac"))
   }
 
+  /** t19: Okapi BM25 relevance (k1 = 1.2, b = 0.75) of every document
+    * against a fixed multi-term query — engine-exact WITHOUT `ln` by the
+    * same exact-rational discipline as [[tfidfTopK]]. With k1 = 6/5 and
+    * b = 3/4 the whole per-term score collapses to a ratio of two exact
+    * integer products (T = corpus token count, N = doc count):
+    *
+    *   score_t = (2N − 2df + 1) · 44 · tf · T
+    *             ─────────────────────────────────────────
+    *             (2df + 1) · (20·tf·T + 6·T + 18·dl·N)
+    *
+    * (idf is the raw Robertson ratio (N − df + ½)/(df + ½), doubled to
+    * clear the halves). One IEEE division per term, summed left-to-right —
+    * both engines execute the identical float op sequence, so the gate is
+    * hash-exact. Products stay < 2⁶³ up to ~10⁹-token corpora; past that
+    * the carrier moves to DECIMAL(38) with the same shape. Plan: one
+    * map-side pass builds (dl, tf…) per doc; a 1-row global aggregate
+    * broadcasts back; no shuffle touches corpus-sized data at all. */
+  def bm25(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(lower(col("text"))).as("l"))
+    val perDoc = toks.select(
+      col("doc_id") +: size(col("l")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("l"), x => x === lit(t))).cast("long").as(s"tf$i")
+        }: _*)
+    val agg = perDoc.agg(
+      count(lit(1)).as("n"),
+      sum("dl").as("tot") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val scored = perDoc.crossJoin(broadcast(agg))
+    val score = terms.indices.map { i =>
+      val num = (lit(2L) * col("n") - lit(2L) * col(s"df$i") + lit(1L)) *
+        lit(44L) * col(s"tf$i") * col("tot")
+      val den = (lit(2L) * col(s"df$i") + lit(1L)) *
+        (lit(20L) * col(s"tf$i") * col("tot") + lit(6L) * col("tot") +
+          lit(18L) * col("dl") * col("n"))
+      num.cast("double") / den.cast("double")
+    }.reduceLeft(_ + _)
+    scored.select(
+      col("doc_id") +: col("dl") +:
+        terms.indices.map(i => col(s"tf$i")) :+ score.as("bm25"): _*)
+  }
+
+  def t19Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(spark, dir), Seq("join", "window", "stream"))
+      .orderBy("doc_id")
+
   def t8Repetition(spark: SparkSession, dir: String): DataFrame =
     repetitionStats(Tables.documents(spark, dir)).orderBy("doc_id")
 
@@ -134,7 +181,8 @@ object Repetition {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t8_repetition" -> (t8Repetition _),
     "t9_tfidf_top" -> (t9TfidfTop _),
-    "t10_vocab_head" -> (t10VocabHead _)
+    "t10_vocab_head" -> (t10VocabHead _),
+    "t19_bm25" -> (t19Bm25 _)
   )
 
   /** DuckDB twins. Tokenization matches tokens(): split trimmed text on
@@ -142,6 +190,33 @@ object Repetition {
     * are single IEEE divisions of exact integers — bit-equal across
     * engines. */
   def oracle: Map[String, String] = Map(
+    // Same exact-rational BM25 chain, term scores summed left-to-right in
+    // the same textual order — identical IEEE op sequence as the Spark side.
+    "t19_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+        |  FROM documents),
+        |per AS (
+        |  SELECT doc_id, CAST(len(l) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(l, x -> x = 'join')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(l, x -> x = 'window')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(l, x -> x = 'stream')) AS BIGINT) AS tf2
+        |  FROM toks),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tot,
+        |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM per)
+        |SELECT doc_id, dl, tf0, tf1, tf2,
+        |  CAST((2*n - 2*df0 + 1) * 44 * tf0 * tot AS DOUBLE) /
+        |    CAST((2*df0 + 1) * (20*tf0*tot + 6*tot + 18*dl*n) AS DOUBLE) +
+        |  CAST((2*n - 2*df1 + 1) * 44 * tf1 * tot AS DOUBLE) /
+        |    CAST((2*df1 + 1) * (20*tf1*tot + 6*tot + 18*dl*n) AS DOUBLE) +
+        |  CAST((2*n - 2*df2 + 1) * 44 * tf2 * tot AS DOUBLE) /
+        |    CAST((2*df2 + 1) * (20*tf2*tot + 6*tot + 18*dl*n) AS DOUBLE)
+        |  AS bm25
+        |FROM per CROSS JOIN agg ORDER BY doc_id""".stripMargin,
     "t8_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -70,6 +70,30 @@ class RepetitionSpec extends SparkSpec {
     assert(head.last._4 <= 1.0)
   }
 
+  test("bm25 matches the closed form on a hand corpus") {
+    import spark.implicits._
+    // 2 docs: d1 = "a a b" (dl 3), d2 = "b c" (dl 2). Query terms: a, c.
+    // N=2, T=5. term a: df=1, d1 tf=2 -> num=(4-2+1)*44*2*5=1320,
+    // den=(2+1)*(20*2*5+6*5+18*3*2)=3*338=1014; d2 tf=0 -> 0.
+    // term c: df=1, d2 tf=1 -> num=3*44*1*5=660,
+    // den=3*(20*1*5+6*5+18*2*2)=3*202=606; d1 tf=0 -> 0.
+    val docs2 = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Repetition.bm25(docs2, Seq("a", "c")).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(1L) == 1320.0 / 1014.0 + 0.0)
+    assert(out(2L) == 0.0 + 660.0 / 606.0)
+  }
+
+  test("bm25 saturation: doubling tf raises the score sublinearly") {
+    import spark.implicits._
+    val docs2 = Seq((1L, "x y y y"), (2L, "x x y y"), (3L, "y y y y"))
+      .toDF("doc_id", "text")
+    val s = Repetition.bm25(docs2, Seq("x")).orderBy("doc_id")
+      .collect().map(r => r.getDouble(3))
+    assert(s(1) > s(0) && s(0) > s(2), s"tf monotone: ${s.toSeq}")
+    assert(s(1) < 2 * s(0), s"saturating, not linear: ${s.toSeq}")
+  }
+
   test("t8/t9 are partition-invariant (shuffle keys, not layout)") {
     val a = Repetition.repetitionStats(docs).orderBy("doc_id").collect().toSeq
     val b = Repetition.repetitionStats(docs.repartition(17)).orderBy("doc_id")
