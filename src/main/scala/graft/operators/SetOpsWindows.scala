@@ -214,6 +214,42 @@ object SetOpsWindows {
       .orderBy("o_custkey", "rn")
   }
 
+  /** a24: rolling z-score outlier detection — each order compared to the
+    * customer's TRAILING-10 price history (frame excludes the current row:
+    * no self-contamination), flagged when |z| > 2. The z-score needs μ, σ,
+    * a division, and a square root — all float-drift traps — so the test
+    * |v−μ| > k·σ is algebraically cleared of ALL of them: with s = Σv,
+    * q = Σv², n = count over the frame,
+    *
+    *   z² > k²  ⟺  (n·v − s)² > k² · (n·q − s²)
+    *
+    * The moment sums s, q ride exact decimal carriers (a22's convention);
+    * the comparison is then ONE fixed IEEE chain off those exact values,
+    * mirrored operation-for-operation in the oracle — deterministic on
+    * both engines even at a ulp boundary. Same one (customer) shuffle as
+    * every other per-key window; the moment sums are the standard
+    * streaming-variance shape, so this is also the batch twin of an online
+    * detector. */
+  def a24RollingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-10, -1)
+    val v = dec(col("o_totalprice"))
+    val out = Tables.orders(spark, dir)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(v).over(w))
+      .withColumn("q", sum(v * v).over(w))
+      .filter(col("n") >= 3)
+    val (nD, sD, qD) = (col("n").cast("double"), col("s").cast("double"),
+      col("q").cast("double"))
+    val vD = v.cast("double")
+    val dev = nD * vD - sD
+    out
+      .withColumn("is_outlier", dev * dev > lit(4.0) * (nD * qD - sD * sD))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("n").cast("bigint").as("n_hist"), col("is_outlier"))
+      .orderBy("o_orderkey")
+  }
+
   /** §2.9 streaming analog, batch form: epoch-aligned 6-hour tumbling window
     * via Spark's native `window()`; the streaming twin lives in
     * graft.streaming with watermarks. */
@@ -300,6 +336,7 @@ object SetOpsWindows {
     "o1_topk_sort" -> (o1TopkSort _),
     "o5_global_sort" -> (o5GlobalSort _),
     "a23_rfm" -> (a23Rfm _),
+    "a24_rolling_outliers" -> (a24RollingOutliers _),
     "o4_topk_per_group" -> (o4TopkPerGroup _),
     "set_ops" -> (setOps _),
     "k2_upsert_merge" -> (k2UpsertMerge _),
@@ -361,6 +398,27 @@ object SetOpsWindows {
         |SELECT window_start, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM hits GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // DECIMAL(19,4) product operands: DuckDB needs >18-digit inputs to take
+    // its int128 multiply path (numerically identical — see a22's note).
+    "a24_rolling_outliers" ->
+      """WITH m AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    COUNT(*) OVER w AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS s,
+        |    SUM(CAST(o_totalprice AS DECIMAL(19,4)) *
+        |        CAST(o_totalprice AS DECIMAL(19,4))) OVER w AS q
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(n AS BIGINT) AS n_hist,
+        |  (CAST(n AS DOUBLE) * CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE)
+        |     - CAST(s AS DOUBLE))
+        |  * (CAST(n AS DOUBLE) * CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE)
+        |     - CAST(s AS DOUBLE))
+        |  > 4.0 * (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+        |           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS is_outlier
+        |FROM m WHERE n >= 3 ORDER BY o_orderkey""".stripMargin,
     "a23_rfm" ->
       """WITH base AS (
         |  SELECT o_custkey,
