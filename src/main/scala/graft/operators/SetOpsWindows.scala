@@ -81,6 +81,45 @@ object SetOpsWindows {
     (ranked, offsets.last)
   }
 
+  /** Global PREFIX SUM over a total order, without a one-task window — the
+    * sibling primitive to [[withGlobalRank]]: range-shuffle on the sort
+    * key, take per-range exact-decimal subtotals (a ≤|partitions|-row
+    * aggregate), prefix-sum THOSE on the driver with BigDecimal (exact),
+    * broadcast the offsets back, and add each range's in-partition running
+    * sum (a window keyed by the range id — every range is one group, so
+    * the second shuffle is balanced by construction, never single-task).
+    * `SUM(v) OVER (ORDER BY …)` at 100 TB is exactly this plan or it is a
+    * serialization point. Returns the frame plus the exact grand total. */
+  def withGlobalPrefixSum(spark: SparkSession, df: DataFrame, valueCol: String,
+                          cumCol: String, sortCols: Seq[Column])
+      : (DataFrame, java.math.BigDecimal) = {
+    import spark.implicits._
+    val sorted = graft.util.Caches.scoped(df
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id()))
+    val parts = sorted.groupBy("__pid").agg(sum(col(valueCol)).as("t"))
+      .collect().map(r => (r.getInt(0), r.getDecimal(1)))
+      .sortBy(_._1)
+    val zero = java.math.BigDecimal.ZERO
+    val offsets = parts.scanLeft(zero) { case (acc, (_, t)) =>
+      if (t == null) acc else acc.add(t)
+    }
+    val scale = parts.headOption.flatMap(p => Option(p._2)).map(_.scale).getOrElse(4)
+    val offsetDf = parts.zipWithIndex
+      .map { case ((pid, _), i) => (pid, scala.math.BigDecimal(offsets(i))) }
+      .toSeq.toDF("__pid", "__off")
+      .select(col("__pid"), col("__off").cast(DecimalType(38, scale)).as("__off"))
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val out = sorted
+      .withColumn("__local", sum(col(valueCol)).over(w))
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(cumCol, col("__off") + col("__local"))
+      .drop("__pid", "__local", "__off")
+    (out, offsets.last)
+  }
+
   /** SQL `ntile(k)` from a 1-based global rank, as exact integer
     * arithmetic: with q = n div k and rem = n mod k, the first `rem`
     * buckets hold q+1 rows (the standard DuckDB/Spark/Postgres NTILE
@@ -250,6 +289,37 @@ object SetOpsWindows {
       .orderBy("o_orderkey")
   }
 
+  /** a25: ABC / Pareto revenue classification of parts — rank parts by
+    * revenue, class A = parts covering the first 80% of cumulative revenue,
+    * B = next 15%, C = tail. The cumulative share is THE textbook global-
+    * prefix-sum consumer, so this query exists to exercise
+    * [[withGlobalPrefixSum]] at the driver gate: `SUM(rev) OVER (ORDER BY
+    * rev DESC)` with no single-task window anywhere. Class boundaries
+    * compare `5·cum ≤ 4·T` / `20·cum ≤ 19·T` as one fixed IEEE chain off
+    * the exact decimal cum and grand total (mirrored in the oracle), so
+    * the labels are engine-exact. */
+  def a25AbcPareto(spark: SparkSession, dir: String): DataFrame = {
+    // Re-quantize the scale-8 product sum to scale 4 BEFORE the prefix sum
+    // (exact: 2-decimal inputs), so cum→double conversion stays exact —
+    // the sumMoney convention, applied to the decimal carrier itself.
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast(DecimalType(38, 4)).as("rev"))
+    val (cumDf, total) = withGlobalPrefixSum(spark, rev, "rev", "cum",
+      Seq(col("rev").desc, col("l_partkey").asc))
+    val cumD = col("cum").cast("double")
+    val totD = lit(total.doubleValue)
+    cumDf
+      .withColumn("abc",
+        when(lit(5.0) * cumD <= lit(4.0) * totD, "A")
+          .when(lit(20.0) * cumD <= lit(19.0) * totD, "B")
+          .otherwise("C"))
+      .select(col("l_partkey"), col("rev").cast("double").as("revenue"),
+        cumD.as("cum_revenue"), col("abc"))
+      .orderBy("l_partkey")
+  }
+
   /** §2.9 streaming analog, batch form: epoch-aligned 6-hour tumbling window
     * via Spark's native `window()`; the streaming twin lives in
     * graft.streaming with watermarks. */
@@ -337,6 +407,7 @@ object SetOpsWindows {
     "o5_global_sort" -> (o5GlobalSort _),
     "a23_rfm" -> (a23Rfm _),
     "a24_rolling_outliers" -> (a24RollingOutliers _),
+    "a25_abc_pareto" -> (a25AbcPareto _),
     "o4_topk_per_group" -> (o4TopkPerGroup _),
     "set_ops" -> (setOps _),
     "k2_upsert_merge" -> (k2UpsertMerge _),
@@ -398,6 +469,26 @@ object SetOpsWindows {
         |SELECT window_start, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM hits GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "a25_abc_pareto" ->
+      """WITH r AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |             CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |c AS (
+        |  SELECT l_partkey, rev,
+        |    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(rev) OVER () AS total
+        |  FROM r)
+        |SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(cum AS DOUBLE) AS cum_revenue,
+        |  CASE WHEN 5.0 * CAST(cum AS DOUBLE) <= 4.0 * CAST(total AS DOUBLE)
+        |       THEN 'A'
+        |       WHEN 20.0 * CAST(cum AS DOUBLE) <= 19.0 * CAST(total AS DOUBLE)
+        |       THEN 'B'
+        |       ELSE 'C' END AS abc
+        |FROM c ORDER BY l_partkey""".stripMargin,
     // DECIMAL(19,4) product operands: DuckDB needs >18-digit inputs to take
     // its int128 multiply path (numerically identical — see a22's note).
     "a24_rolling_outliers" ->

@@ -43,6 +43,39 @@ class NtileRfmSpec extends SparkSpec {
       "rank attach should range-partition on the score dimension")
   }
 
+  test("withGlobalPrefixSum equals the one-task window cumsum") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val df = (1L to 500L).map(i => (i, BigDecimal((i * 37) % 97) / 100))
+      .toDF("k", "v")
+      .select(col("k"), col("v").cast(DecimalType(38, 4)).as("v"))
+      .repartition(13)
+    val (got, total) = SetOpsWindows.withGlobalPrefixSum(
+      spark, df, "v", "cum", Seq(col("v").desc, col("k").asc))
+    val w = Window.orderBy(col("v").desc, col("k").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("cum", sum("v").over(w))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(2)).toMap
+    val gotMap = got.collect().map(r =>
+      r.getLong(r.fieldIndex("k")) -> r.getDecimal(r.fieldIndex("cum"))).toMap
+    assert(gotMap.view.mapValues(_.stripTrailingZeros).toMap ===
+      want.view.mapValues(_.stripTrailingZeros).toMap)
+    assert(total.stripTrailingZeros ===
+      want.values.map(scala.math.BigDecimal(_)).max.underlying.stripTrailingZeros)
+  }
+
+  test("a25 pareto classes are monotone and cover the corpus") {
+    val out = SetOpsWindows.a25AbcPareto(spark, sf0001).collect()
+    val byClass = out.groupBy(_.getString(3))
+    assert(byClass.keySet.subsetOf(Set("A", "B", "C")))
+    // every A part's revenue >= every C part's revenue (Pareto monotonicity)
+    if (byClass.contains("A") && byClass.contains("C")) {
+      val minA = byClass("A").map(_.getDouble(1)).min
+      val maxC = byClass("C").map(_.getDouble(1)).max
+      assert(minA >= maxC, s"A floor $minA vs C ceiling $maxC")
+    }
+  }
+
   test("rfm scores are quintiles: each score bucket holds n/5 +- 1 customers") {
     val out = SetOpsWindows.a23Rfm(spark, sf0001)
     val n = out.count()
