@@ -201,6 +201,65 @@ object Graph {
       .groupBy("part").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Multi-source BFS: minimum hop distance from any seed vertex, capped at
+    * `maxHops` — the frontier-expansion (Pregel) formulation. Per round: one
+    * equi-join of the edge list against the CURRENT FRONTIER only (not the
+    * full distance table — a vertex is expanded exactly once, the round it
+    * is first reached), a `distinct` on the new candidates, and a left-anti
+    * probe against the settled set. The schedule is fixed (no driver-side
+    * convergence read), so all rounds execute inside the consumer's single
+    * action; lazy `localCheckpoint` truncates the union lineage at
+    * materialization — the [[pageRank]] pattern.
+    *
+    * Scale shape (100 TB): per-round shuffle traffic is O(frontier ⋈ edges),
+    * which telescopes to O(E) total across ALL rounds — each edge fires the
+    * round its source is settled, once. The settled set is vertex-sized.
+    * Seeds not present in the edge list are legal: they surface at hops 0
+    * and expand nothing. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    var dist = seeds.select(col("id"), lit(0).cast("int").as("hops"))
+      .localCheckpoint(false)
+    var frontier = dist.select("id")
+    var h = 1
+    while (h <= maxHops) {
+      val next = edges
+        .join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("hops", lit(h).cast("int"))
+        .localCheckpoint(false)
+      dist = dist.unionByName(next).localCheckpoint(false)
+      frontier = next.select("id")
+      h += 1
+    }
+    dist
+  }
+
+  /** g3: hop distance from the BUILDING-segment customers to every entity in
+    * the symmetrized co-purchase graph (the [[g1PageRank]] vertex space) —
+    * "how many purchase links from the target audience is each supplier?",
+    * the reachability/blast-radius shape lineage and influence analyses
+    * run. Hop cap 4; vertices further than that (or disconnected) are
+    * absent by contract, identically in both engines. */
+  def g3BfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select((col("c_custkey") * 2).as("id"))
+    bfsHops(edges, seeds, 4)
+      .select(
+        when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+        expr("id div 2").as("entity_key"),
+        col("hops"))
+      .orderBy("kind", "entity_key")
+  }
+
   /** g2: per-part triangle counts in the co-purchase graph (parts sharing
     * an order are adjacent). The per-order pair fan-out is |order|² — bounded
     * by the order-size cap here (≤7 lineitems); an unbounded-basket corpus
@@ -219,8 +278,39 @@ object Graph {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> (g1PageRank _),
     "g1b_ppr" -> (g1bPersonalized _),
-    "g2_triangles" -> (g2Triangles _)
+    "g2_triangles" -> (g2Triangles _),
+    "g3_bfs_hops" -> (g3BfsHops _)
   )
+
+  /** The oracle unrolls the same four frontier expansions as chained CTEs:
+    * nₖ = new vertices at hop k (reached, not yet settled), dₖ = settled
+    * set after round k. Set semantics (DISTINCT + NOT EXISTS) make every
+    * round engine-exact — there is no arithmetic at all. */
+  private val bfsSql: String = {
+    val iters = (1 to 4).map { k =>
+      s"""n$k AS (
+         |  SELECT DISTINCT e.dst AS id FROM edges e
+         |  JOIN d${k - 1} p ON p.id = e.src
+         |  WHERE NOT EXISTS (SELECT 1 FROM d${k - 1} x WHERE x.id = e.dst)),
+         |d$k AS (
+         |  SELECT id, hops FROM d${k - 1}
+         |  UNION ALL SELECT id, $k AS hops FROM n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s, c FROM pairs),
+       |d0 AS (
+       |  SELECT c_custkey * 2 AS id, 0 AS hops FROM customer
+       |  WHERE c_mktsegment = 'BUILDING'),
+       |$iters
+       |SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  id // 2 AS entity_key, CAST(hops AS INT) AS hops
+       |FROM d4
+       |ORDER BY kind, entity_key""".stripMargin
+  }
 
   /** The oracle unrolls the same five power iterations as chained CTEs —
     * scaled-integer `//` division makes every intermediate exact, so the
@@ -297,6 +387,7 @@ object Graph {
   def oracle: Map[String, String] = Map(
     "g1_pagerank" -> pagerankSql,
     "g1b_ppr" -> pprSql,
+    "g3_bfs_hops" -> bfsSql,
     // The oracle counts each triangle once via the x<y<z canonical form —
     // orientation-free, so it cross-checks the degree-ordering trick rather
     // than replaying it.

@@ -320,6 +320,29 @@ object SetOpsWindows {
       .orderBy("l_partkey")
   }
 
+  /** a26: EQUI-DEPTH histogram of order prices — 10 buckets holding n/10 ±1
+    * rows each, with per-bucket count / bounds / mass. The dual of
+    * a15's equi-width histogram: bucket BOUNDARIES are data-dependent
+    * (exact deciles), so the assignment needs a global rank, not a
+    * division. Rides [[withGlobalRank]] + [[ntileFromRank]] — fully
+    * parallel range-partitioned sort, never a one-task NTILE window; at
+    * 100 TB this is how you compute exact quantile summaries at all.
+    * Per-bucket sums ride the decimal carrier and cast at the boundary. */
+  def a26EquidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), dec(col("o_totalprice")).as("price_d"))
+    val (ranked, n) = withGlobalRank(spark, base, "__r",
+      Seq(col("price_d").asc, col("o_orderkey").asc))
+    ranked
+      .withColumn("bucket", ntileFromRank(col("__r"), n, 10))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("price_d").cast("double").as("lo"),
+        max("price_d").cast("double").as("hi"),
+        sum("price_d").cast("double").as("bucket_sum"))
+      .orderBy("bucket")
+  }
+
   /** §2.9 streaming analog, batch form: epoch-aligned 6-hour tumbling window
     * via Spark's native `window()`; the streaming twin lives in
     * graft.streaming with watermarks. */
@@ -408,6 +431,7 @@ object SetOpsWindows {
     "a23_rfm" -> (a23Rfm _),
     "a24_rolling_outliers" -> (a24RollingOutliers _),
     "a25_abc_pareto" -> (a25AbcPareto _),
+    "a26_equidepth_hist" -> (a26EquidepthHist _),
     "o4_topk_per_group" -> (o4TopkPerGroup _),
     "set_ops" -> (setOps _),
     "k2_upsert_merge" -> (k2UpsertMerge _),
@@ -489,6 +513,17 @@ object SetOpsWindows {
         |       THEN 'B'
         |       ELSE 'C' END AS abc
         |FROM c ORDER BY l_partkey""".stripMargin,
+    "a26_equidepth_hist" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price_d,
+        |    CAST(ntile(10) OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,4)),
+        |                         o_orderkey) AS BIGINT) AS bucket
+        |  FROM orders)
+        |SELECT bucket, COUNT(*) AS n,
+        |  CAST(MIN(price_d) AS DOUBLE) AS lo,
+        |  CAST(MAX(price_d) AS DOUBLE) AS hi,
+        |  CAST(SUM(price_d) AS DOUBLE) AS bucket_sum
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
     // DECIMAL(19,4) product operands: DuckDB needs >18-digit inputs to take
     // its int128 multiply path (numerically identical — see a22's note).
     "a24_rolling_outliers" ->

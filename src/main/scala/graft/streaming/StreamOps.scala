@@ -74,6 +74,21 @@ object StreamOps {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** Stream-static enrichment join: each streaming event picks up its
+    * user's dimension attributes from a STATIC (batch) customer frame —
+    * the canonical streaming-ETL shape (fact stream ⋈ slowly-refreshed
+    * dim). No watermark is needed on either side: the static side carries
+    * no event time, so the join keeps NO state at all — each micro-batch
+    * broadcast-joins the dim and moves on. At 100 TB/day the dim side
+    * stays executor-resident (broadcast, refreshed per trigger from the
+    * batch frame), which is why this shape scales where a stream-stream
+    * join would not. Inner join: events from users outside the dim are
+    * dropped identically in batch and stream. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col("dim_key"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("dim_segment"), col("value"))
+
   /** Exactly-once landing dedup: drop duplicate event_ids arriving within
     * the watermark horizon (state is GC'd beyond it). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =

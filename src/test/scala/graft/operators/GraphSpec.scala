@@ -105,6 +105,47 @@ class GraphSpec extends SparkSpec {
     assert(got === perVertex.filter(_._2 > 0L).toMap)
   }
 
+  test("bfsHops matches brute-force BFS on a pseudo-random graph") {
+    val n = 20L
+    val all = for (u <- 1L to n; v <- 1L to n if u != v) yield (u, v)
+    val dirEdges = all.filter { case (u, v) => (u * 2654435761L + v * 40503L) % 7 == 0 }
+    // brute force: frontier expansion over the directed edge set
+    val adj = dirEdges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val seeds = Set(1L, 2L)
+    var want = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (h <- 1 to 4) {
+      val next = frontier.flatMap(adj) -- want.keySet
+      want = want ++ next.map(_ -> h)
+      frontier = next
+    }
+    val got = Graph.bfsHops(dirEdges.toDF("src", "dst"),
+        seeds.toSeq.toDF("id"), 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === want)
+  }
+
+  test("bfsHops: off-graph seed surfaces at hop 0 and expands nothing") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.bfsHops(e, Seq(1L, 99L).toDF("id"), 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 99L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("g3 on sf0.001: seeds at 0, bipartite parity of hops, cap respected") {
+    val out = Graph.g3BfsHops(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 4))
+    // bipartite invariant: customers sit at even hops, suppliers at odd
+    // (every edge crosses the partition, seeds are customers)
+    out.foreach { r =>
+      val even = r.getInt(2) % 2 == 0
+      assert(if (r.getString(0) == "customer") even else !even,
+        s"bipartite parity violated: $r")
+    }
+  }
+
   test("g1 runs on sf0.001 with full-rank tie-break ordering") {
     val out = Graph.g1PageRank(spark, sf0001).collect()
     assert(out.length == 100)

@@ -76,6 +76,19 @@ class NtileRfmSpec extends SparkSpec {
     }
   }
 
+  test("a26 equi-depth buckets: sizes n/10 +- 1, disjoint increasing ranges") {
+    val out = SetOpsWindows.a26EquidepthHist(spark, sf0001).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 10L))
+    val sizes = out.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"equi-depth violated: ${sizes.toSeq}")
+    // bucket k's hi <= bucket k+1's lo: ranges are ordered and disjoint
+    // (equality allowed: ties can straddle a boundary)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2),
+        s"bucket ranges overlap: ${a.getLong(0)} hi=${a.getDouble(3)} vs ${b.getLong(0)} lo=${b.getDouble(2)}")
+    }
+  }
+
   test("rfm scores are quintiles: each score bucket holds n/5 +- 1 customers") {
     val out = SetOpsWindows.a23Rfm(spark, sf0001)
     val n = out.count()

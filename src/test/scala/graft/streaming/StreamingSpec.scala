@@ -102,6 +102,27 @@ class StreamingSpec extends SparkSpec {
     assert(batch === got)
   }
 
+  test("stream-static dim join enriches each micro-batch, stateless") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("dim_key", "dim_segment")
+    val stream = MemoryStream[StreamOps.UserEvent]
+    val out = runBatches(stream,
+      StreamOps.enrichWithDim(stream.toDF(), dim), "append", "dimjoin",
+      // user 3 is outside the dim in BOTH batches → dropped; the second
+      // batch proves the static side is re-joined per micro-batch
+      Seq(batch1, mkEvents((7, "2024-01-01 11:00:00", 2, "click", 5.0),
+        (8, "2024-01-01 11:01:00", 3, "click", 5.0))))
+    val got = out.select("event_id", "dim_segment").as[(Long, String)]
+      .collect().toSet
+    assert(got === Set((1L, "gold"), (2L, "gold"), (3L, "gold"),
+      (4L, "basic"), (7L, "basic")))
+    // batch execution of the identical transform agrees
+    val batch = StreamOps.enrichWithDim(
+        (batch1 ++ mkEvents((7, "2024-01-01 11:00:00", 2, "click", 5.0),
+          (8, "2024-01-01 11:01:00", 3, "click", 5.0))).toDF(), dim)
+      .select("event_id", "dim_segment").as[(Long, String)].collect().toSet
+    assert(batch === got)
+  }
+
   test("file-stream source: the same transform runs over a parquet directory stream") {
     // prod shape: readStream over a landing directory; here the sf0.001
     // events parquet replayed as one micro-batch
