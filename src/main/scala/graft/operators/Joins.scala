@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.operators.Aggregates.dec
@@ -351,7 +352,41 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** j12: FULL OUTER reconciliation — the one join type no other query
+    * reaches. Period-over-period customer spend (1996 vs 1999): each side
+    * is a per-customer aggregate, the full outer join keeps customers
+    * active in EITHER period, and the presence tag ('both' / '1996_only' /
+    * '1999_only') is read off the pre-coalesce null pattern — the standard
+    * ledger-reconciliation / snapshot-diff shape. One shuffle on the
+    * customer key for both aggregates AND the join (Spark reuses the
+    * hash partitioning); sums ride the decimal carrier, deltas are exact
+    * decimal differences cast to double at the boundary. */
+  def j12FullOuterRecon(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def spendIn(y: Int) = o
+      .filter(year(col("o_orderdate")) === y)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as(s"n_$y"),
+        sum(Aggregates.dec(col("o_totalprice"))).as(s"s_$y"))
+    val a = spendIn(1996)
+    val b = spendIn(1999)
+    val zero = lit(0).cast(DecimalType(28, 4))
+    a.join(b, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        when(col("n_1996").isNull, "1999_only")
+          .when(col("n_1999").isNull, "1996_only")
+          .otherwise("both").as("presence"),
+        coalesce(col("n_1996"), lit(0L)).as("n_1996"),
+        coalesce(col("n_1999"), lit(0L)).as("n_1999"),
+        coalesce(col("s_1996"), zero).cast("double").as("spend_1996"),
+        coalesce(col("s_1999"), zero).cast("double").as("spend_1999"),
+        (coalesce(col("s_1999"), zero) - coalesce(col("s_1996"), zero))
+          .cast("double").as("delta"))
+      .orderBy("o_custkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j12_full_outer_recon" -> (j12FullOuterRecon _),
     "j06_asof_join" -> (j06AsOfJoin _),
     "j10_scd2_lookup" -> (j10Scd2Lookup _),
     "j01_exact_enrich" -> (j01ExactEnrich _),
@@ -368,6 +403,26 @@ object Joins {
   )
 
   def oracle: Map[String, String] = Map(
+    "j12_full_outer_recon" ->
+      """WITH a AS (
+        |  SELECT o_custkey, COUNT(*) AS n_1996,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s_1996
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey),
+        |b AS (
+        |  SELECT o_custkey, COUNT(*) AS n_1999,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s_1999
+        |  FROM orders WHERE year(o_orderdate) = 1999 GROUP BY o_custkey)
+        |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  CASE WHEN a.o_custkey IS NULL THEN '1999_only'
+        |       WHEN b.o_custkey IS NULL THEN '1996_only'
+        |       ELSE 'both' END AS presence,
+        |  CAST(COALESCE(n_1996, 0) AS BIGINT) AS n_1996,
+        |  CAST(COALESCE(n_1999, 0) AS BIGINT) AS n_1999,
+        |  CAST(COALESCE(s_1996, 0) AS DOUBLE) AS spend_1996,
+        |  CAST(COALESCE(s_1999, 0) AS DOUBLE) AS spend_1999,
+        |  CAST(COALESCE(s_1999, 0) - COALESCE(s_1996, 0) AS DOUBLE) AS delta
+        |FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "j10_scd2_lookup" ->
       """WITH c AS (
         |  SELECT user_id, ts, event_id, event_type,

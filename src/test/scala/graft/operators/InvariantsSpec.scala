@@ -8,6 +8,26 @@ import graft.SparkSpec
   * regression in both engines at once. */
 class InvariantsSpec extends SparkSpec {
 
+  test("j12: full-outer recon covers both sides; presence tags match nulls") {
+    val rows = Joins.j12FullOuterRecon(spark, sf0001).collect()
+    val byTag = rows.groupBy(_.getString(1))
+    // both exclusive sides must be non-vacuous at sf0.001 (checked in data)
+    assert(byTag.contains("1996_only") && byTag.contains("1999_only") &&
+      byTag.contains("both"), s"tags: ${byTag.keySet}")
+    rows.foreach { r =>
+      val (n96, n99) = (r.getLong(2), r.getLong(3))
+      r.getString(1) match {
+        case "1996_only" => assert(n96 > 0 && n99 == 0)
+        case "1999_only" => assert(n96 == 0 && n99 > 0)
+        case "both"      => assert(n96 > 0 && n99 > 0)
+      }
+      // delta is computed as the EXACT decimal difference before the double
+      // cast, so it may differ from IEEE subtraction of the two rounded
+      // spend doubles by a ulp — compare with tolerance
+      assert(math.abs(r.getDouble(6) - (r.getDouble(5) - r.getDouble(4))) < 1e-6)
+    }
+  }
+
   test("a19: WAU dominates DAU on every day, both positive") {
     val rows = Aggregates.a19ActiveUsers(spark, sf0001).collect()
     assert(rows.nonEmpty)
