@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
+import graft.operators.SetOpsWindows
+
 /** Physical-plan shape assertions: the properties that make these queries
   * survive a 100 TB scale-up, pinned as tests so a refactor can't silently
   * regress them. Uses sf0.001 (plan shape is scale-independent; AQE may
@@ -194,6 +196,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p)
     assert(!p.contains("Window"), // a global-ORDER window = one-task sort
       s"global rank must come from the offset join, not a window:\n$p")
+  }
+
+  test("prefix sum and equi-depth rank via range partitioning, never one task") {
+    // a25's only window is keyed by the range id (__pid) — balanced by
+    // construction; a partition-less window would serialize the table
+    val p25 = plan(SetOpsWindows.a25AbcPareto(spark, sf0001))
+    assert(p25.contains("rangepartitioning"), p25)
+    assert("windowspecdefinition\\(__pid".r.findFirstIn(p25).isDefined ||
+      !p25.contains("Window"),
+      s"a25's running sum must be keyed by the range id:\n$p25")
+    val p26 = plan(SetOpsWindows.a26EquidepthHist(spark, sf0001))
+    assert(p26.contains("rangepartitioning"), p26)
+    assert(!p26.contains("Window"),
+      s"a26's rank must come from the offset join, not a window:\n$p26")
+  }
+
+  test("full outer recon reuses the aggregate partitioning (two shuffles)") {
+    val p = planNoAutoBroadcast("j12_full_outer_recon")
+    assert(p.contains("FullOuter"), s"expected a full outer join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"join must reuse the two aggregates' custkey partitioning:\n$p")
   }
 
   test("dup-shingle coverage never materializes pairs (no self-join)") {
