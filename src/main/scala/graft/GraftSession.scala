@@ -15,6 +15,15 @@ object GraftSession {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE convert shuffle joins to broadcast from RUNTIME-MEASURED
+      // sizes up to 64 MB (default 10 MB). This is the scale-safe way to
+      // get the g2-class win (a 30 MB build side under a 40M-row probe
+      // stream): the decision reads the ACTUAL materialized size of THIS
+      // run, so at 100 TB — where the same frame is TBs — the shuffle
+      // join stays. Static-plan hints stay forbidden for anything
+      // corpus-scaled (PlanSpec pins that); this knob only widens what
+      // the runtime may do with small measured frames.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS); read as Long and convert

@@ -175,11 +175,18 @@ object Graph {
     * no theta join. The orientation key packs (degree, id) into one long:
     * deg·2³² + id, unique because ids are. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    // edges: undirected distinct pairs (u, v), u < v, both Long
-    val deg = edges.select(explode(array(col("u"), col("v"))).as("x"))
+    // edges: undirected distinct pairs (u, v), u < v, both Long.
+    // Cache it: the degree count and both orientation joins read it — an
+    // uncached edge list re-runs its (possibly expensive) derivation per
+    // consumer.
+    val e = graft.util.Caches.scoped(edges)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("d"))
     val key = (d: Column, id: Column) => d * lit(4294967296L) + id
-    val oriented = edges
+    // Cached: the wedge build reads this THREE times (both wedge legs plus
+    // the closing-edge probe) — uncached, the whole degree-join chain and
+    // the edge derivation under it would execute 3×.
+    val oriented = graft.util.Caches.scoped(e
       .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
       .select(
@@ -188,7 +195,7 @@ object Graph {
             key(col("dv"), col("v")).as("tk")))
         .otherwise(struct(col("v").as("s"), col("u").as("t"),
           key(col("du"), col("u")).as("tk"))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.tk").as("tk"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.tk").as("tk")))
     // wedges at apex s: out-neighbor pairs ordered by orientation key, so
     // the closing edge (t1→t2) is probed in ITS oriented direction
     val w1 = oriented.select(col("s"), col("t").as("t1"), col("tk").as("k1"))
@@ -217,12 +224,17 @@ object Graph {
     * Seeds not present in the edge list are legal: they surface at hops 0
     * and expand nothing. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    // Materialize the edge list ONCE (eager, like pageRank's withDeg):
+    // every round's frontier expansion joins it, and an unmaterialized
+    // edge frame would re-run its derivation (scan + join + distinct)
+    // maxHops times.
+    val e = edges.localCheckpoint()
     var dist = seeds.select(col("id"), lit(0).cast("int").as("hops"))
       .localCheckpoint(false)
     var frontier = dist.select("id")
     var h = 1
     while (h <= maxHops) {
-      val next = edges
+      val next = e
         .join(frontier.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id")).distinct()
         .join(dist, Seq("id"), "left_anti")
