@@ -276,7 +276,14 @@ object Graph {
     * an order are adjacent). The per-order pair fan-out is |order|² — bounded
     * by the order-size cap here (≤7 lineitems); an unbounded-basket corpus
     * would cap or sample baskets before pairing, which changes the graph,
-    * not the counting algorithm. */
+    * not the counting algorithm.
+    *
+    * Measured at sf0.1: 1.196M edges over 20k vertices (avg degree ~120,
+    * max 222) — a DENSE graph. Degree ordering caps oriented out-degree at
+    * 97 and cuts wedge volume to 41.1M vs Σd²/2 ≈ 149M unoriented (3.6×);
+    * on a hub-skewed production graph the gap is the difference between
+    * O(m^1.5) and O(m·d_max). The remaining local cost is constant-factor
+    * (three ~1-40M-row shuffles), not algorithmic. */
   def g2Triangles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
