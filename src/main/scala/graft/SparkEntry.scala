@@ -15,6 +15,7 @@ object SparkEntry {
       graft.text.Repetition.queries ++ graft.text.Scrub.queries ++
       graft.dedup.Dedup.queries ++ graft.dedup.CleanCorpus.queries ++
       graft.dedup.Clusters.queries ++ graft.dedup.SemDedup.queries ++
+      graft.dedup.EntityResolution.queries ++
       graft.similarity.Knn.queries ++ graft.similarity.Ivf.queries ++
       graft.multimodal.MultimodalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,6 +28,7 @@ object SparkEntry {
       graft.text.Repetition.oracle ++ graft.text.Scrub.oracle ++
       graft.dedup.Dedup.oracle ++ graft.dedup.CleanCorpus.oracle ++
       graft.dedup.Clusters.oracle ++ graft.dedup.SemDedup.oracle ++
+      graft.dedup.EntityResolution.oracle ++
       graft.similarity.Knn.oracle ++ graft.similarity.Ivf.oracle ++
       graft.multimodal.MultimodalQueries.oracle
 }
