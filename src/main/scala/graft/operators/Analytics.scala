@@ -551,7 +551,47 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** a27: LAST-TOUCH revenue attribution — each purchase credits its most
+    * recent same-user click within the trailing 10 minutes (the
+    * stream_interval_join window), full value, no-click purchases fall in
+    * the 'direct' bucket (hour −1); credited revenue rolls up by the
+    * CLICK's hour of day. Last-touch (not equal-split) is deliberate: it
+    * is division-free, so the credited sums stay on the exact decimal
+    * carrier end-to-end — the attribution shape that survives the
+    * oracle-parity conventions. One shuffle for the interval join (user
+    * key) + one keyed election window (purchase key) + a 25-group rollup.
+    * Tie-break (latest ts, then highest click id) is total on both
+    * engines. */
+  def a27Attribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), dec(col("value")).as("v"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val joined = p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+      "left")
+    val w = Window.partitionBy("p_id")
+      .orderBy(col("c_ts").desc_nulls_last, col("c_id").desc_nulls_last)
+    joined
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .withColumn("touch_hour",
+        when(col("c_id").isNull, lit(-1))
+          .otherwise(hour(col("c_ts"))).cast("int"))
+      .groupBy("touch_hour")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("v")).cast("double").as("credited_revenue"))
+      .orderBy("touch_hour")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a27_attribution" -> (a27Attribution _),
     "kmv_distinct" -> (kmvDistinct _),
     "hll_distinct" -> (hllDistinct _),
     "bitmap_distinct" -> (bitmapDistinct _),
@@ -581,6 +621,27 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "a27_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_ts,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.p_id, p.v, c.c_id, c.c_ts,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |      ORDER BY c.c_ts DESC NULLS LAST, c.c_id DESC NULLS LAST) AS rk
+        |  FROM p LEFT JOIN c
+        |    ON p.user_id = c.c_user
+        |   AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE AND c.c_ts <= p.p_ts)
+        |SELECT CAST(CASE WHEN c_id IS NULL THEN -1
+        |            ELSE EXTRACT(hour FROM c_ts) END AS INT) AS touch_hour,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(v) AS DOUBLE) AS credited_revenue
+        |FROM j WHERE rk = 1
+        |GROUP BY 1 ORDER BY touch_hour""".stripMargin,
     "approx_quantile_sample" ->
       """WITH sample AS (
         |  SELECT l_returnflag, l_extendedprice AS v,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Cross-query consistency invariants — cheap structural truths the oracle
   * hash can't state (it only proves engine agreement, not that the answer
@@ -26,6 +27,21 @@ class InvariantsSpec extends SparkSpec {
       // spend doubles by a ulp — compare with tolerance
       assert(math.abs(r.getDouble(6) - (r.getDouble(5) - r.getDouble(4))) < 1e-6)
     }
+  }
+
+  test("a27: attribution conserves purchases and total revenue exactly") {
+    val e = graft.Tables.events(spark, sf0001)
+    val purchases = e.filter(col("event_type") === "purchase")
+    val nP = purchases.count()
+    val total = purchases
+      .agg(sum(Aggregates.dec(col("value"))).cast("double")).head.getDouble(0)
+    val rows = Analytics.a27Attribution(spark, sf0001).collect()
+    // every purchase attributed exactly once (last-touch or 'direct')
+    assert(rows.map(_.getLong(1)).sum == nP)
+    // credited revenue sums to total purchase revenue (exact decimals)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - total) < 1e-6)
+    assert(rows.forall(r => r.getInt(0) == -1 ||
+      (r.getInt(0) >= 0 && r.getInt(0) <= 23)))
   }
 
   test("a19: WAU dominates DAU on every day, both positive") {
