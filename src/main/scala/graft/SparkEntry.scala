@@ -10,6 +10,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Aggregates.queries ++ FiltersProjections.queries ++ Joins.queries ++
       SetOpsWindows.queries ++ Analytics.queries ++ Skew.queries ++
+      Nested.queries ++
       DataProfile.queries ++ ZOrder.queries ++ Graph.queries ++
       graft.text.TextAnalysis.queries ++ graft.text.CorpusOps.queries ++
       graft.text.Repetition.queries ++ graft.text.Scrub.queries ++
@@ -23,6 +24,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Aggregates.oracle ++ FiltersProjections.oracle ++ Joins.oracle ++
       SetOpsWindows.oracle ++ Analytics.oracle ++ Skew.oracle ++
+      Nested.oracle ++
       DataProfile.oracle ++ ZOrder.oracle ++ Graph.oracle ++
       graft.text.TextAnalysis.oracle ++ graft.text.CorpusOps.oracle ++
       graft.text.Repetition.oracle ++ graft.text.Scrub.oracle ++
