@@ -40,16 +40,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects. Sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * (see GraftSession) so it arrives as nanos-since-epoch LongType; convert
-    * to µs TimestampType by truncation — exactly how DuckDB (µs-native)
-    * reads the same file, so oracle comparisons agree to the microsecond. */
+  /** `events.ts` has shipped in two parquet encodings across driver data
+    * generations, both normalized here to µs `TimestampType` so every
+    * downstream `unix_micros`/watermark/window sees one type:
+    *  - TIMESTAMP(NANOS), which Spark's vectorized reader rejects; sessions
+    *    set `spark.sql.legacy.parquet.nanosAsLong` (see GraftSession) so it
+    *    arrives as nanos-since-epoch LongType → truncate to µs, exactly how
+    *    DuckDB (µs-native) reads the same file;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 reads as
+    *    TIMESTAMP_NTZ → cast to TimestampType. The session timezone is
+    *    pinned to UTC (GraftSession), so the cast preserves the wall-clock
+    *    micros bit-for-bit — the same naive value DuckDB's TIMESTAMP sees —
+    *    and oracle comparisons agree to the microsecond either way. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(nsToMicrosTrunc("ts")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(nsToMicrosTrunc("ts")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** ns→µs the way DuckDB does it: **truncation toward zero**. Verified

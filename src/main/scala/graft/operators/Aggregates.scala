@@ -423,7 +423,78 @@ object Aggregates {
       .orderBy("g")
   }
 
+  /** A28: EWMA smoothing (α = ½, horizon 8) over each user's event-value
+    * series — the exponential-decay feature every time-series pipeline
+    * derives before training. Formulated as an explicit 7-term lag chain
+    * rather than a recursive scan: the weights 2⁻ᵏ are exact binary
+    * scalings (multiplication only shifts the exponent, no rounding), and
+    * the addition chain is a fixed left-associated tree, so the result is
+    * bit-identical in any IEEE-754 engine — a recursive EWMA would instead
+    * accumulate order-dependent rounding. Truncating the horizon bounds
+    * the window state to O(1) per row: one (user_id) shuffle, streaming
+    * window frame, no per-group materialization — the unbounded-history
+    * EWMA at 100 TB is a sequential scan per key, this is not. The
+    * missing-prefix rows renormalize by the present-weight sum, so the
+    * first 7 events of a user average only their real history. */
+  def a28Ewma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val lagCols = (1 to 7).map(k => lag(col("value"), k).over(w).as(s"__l$k"))
+    val df = Tables.events(spark, dir)
+      .select(Seq(col("event_id"), col("user_id"), col("value")) ++ lagCols: _*)
+    val coef = (1 to 7).map(k => math.pow(0.5, k)) // 2^-k: exact doubles
+    val num = (1 to 7).foldLeft(col("value")) { (acc, k) =>
+      acc + lit(coef(k - 1)) * coalesce(col(s"__l$k"), lit(0.0))
+    }
+    val den = (1 to 7).foldLeft(lit(1.0).cast("double")) { (acc, k) =>
+      acc + when(col(s"__l$k").isNull, lit(0.0)).otherwise(lit(coef(k - 1)))
+    }
+    df.withColumn("ewma", num / den)
+      .select("event_id", "user_id", "value", "ewma")
+      .orderBy("event_id")
+  }
+
+  /** A29: gap-fill with LINEAR INTERPOLATION — the sibling of
+    * [[a09ResampleFfill]] for signals where a step function misstates the
+    * trend (sensor readings, rates). Same distributed grid (sequence +
+    * explode where the bounds row lives, never a driver loop); the fill
+    * needs BOTH neighbors, so two ignore-nulls windows over the one
+    * (user_id) shuffle carry the previous and next observed value and
+    * hour. Interior gaps always have both neighbors (each user's grid is
+    * bounded by their first/last observed hour), so the interpolation
+    * expression — prev + (next−prev)·(h−hₚ)/(hₙ−hₚ), a fixed tree of
+    * correctly-rounded IEEE ops over exact inputs — never sees a null. */
+  def a29GapfillInterp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("h", expr("unix_micros(ts) div 3600000000"))
+    val hourly = e.groupBy("user_id", "h")
+      .agg(sum(dec(col("value"))).cast("double").as("v"))
+    val bounds = e.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = bounds.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"))).as("h"))
+    val wp = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wf = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(0, Window.unboundedFollowing)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("pv", last("v", ignoreNulls = true).over(wp))
+      .withColumn("ph",
+        last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wp))
+      .withColumn("nv", first("v", ignoreNulls = true).over(wf))
+      .withColumn("nh",
+        first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wf))
+      .withColumn("is_gap", col("v").isNull)
+      .withColumn("interp_value",
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("h") - col("ph")).cast("double") /
+              (col("nh") - col("ph")).cast("double"))))
+      .select("user_id", "h", "is_gap", "interp_value")
+      .orderBy("user_id", "h")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a28_ewma" -> (a28Ewma _),
+    "a29_gapfill_interp" -> (a29GapfillInterp _),
     "a21_weighted_median" -> (a21WeightedMedian _),
     "q1_agg" -> (q1PricingSummary _),
     "a01_sessionize" -> (a01Sessionize _),
@@ -446,6 +517,62 @@ object Aggregates {
   )
 
   def oracle: Map[String, String] = Map(
+    "a28_ewma" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, value,
+        |    lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+        |    lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+        |    lag(value, 5) OVER w AS l5, lag(value, 6) OVER w AS l6,
+        |    lag(value, 7) OVER w AS l7
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, value,
+        |  (value
+        |   + CAST(0.5 AS DOUBLE) * COALESCE(l1, CAST(0 AS DOUBLE))
+        |   + CAST(0.25 AS DOUBLE) * COALESCE(l2, CAST(0 AS DOUBLE))
+        |   + CAST(0.125 AS DOUBLE) * COALESCE(l3, CAST(0 AS DOUBLE))
+        |   + CAST(0.0625 AS DOUBLE) * COALESCE(l4, CAST(0 AS DOUBLE))
+        |   + CAST(0.03125 AS DOUBLE) * COALESCE(l5, CAST(0 AS DOUBLE))
+        |   + CAST(0.015625 AS DOUBLE) * COALESCE(l6, CAST(0 AS DOUBLE))
+        |   + CAST(0.0078125 AS DOUBLE) * COALESCE(l7, CAST(0 AS DOUBLE)))
+        |  / (CAST(1 AS DOUBLE)
+        |   + CASE WHEN l1 IS NULL THEN CAST(0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
+        |   + CASE WHEN l2 IS NULL THEN CAST(0 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END
+        |   + CASE WHEN l3 IS NULL THEN CAST(0 AS DOUBLE) ELSE CAST(0.125 AS DOUBLE) END
+        |   + CASE WHEN l4 IS NULL THEN CAST(0 AS DOUBLE) ELSE CAST(0.0625 AS DOUBLE) END
+        |   + CASE WHEN l5 IS NULL THEN CAST(0 AS DOUBLE) ELSE CAST(0.03125 AS DOUBLE) END
+        |   + CASE WHEN l6 IS NULL THEN CAST(0 AS DOUBLE) ELSE CAST(0.015625 AS DOUBLE) END
+        |   + CASE WHEN l7 IS NULL THEN CAST(0 AS DOUBLE) ELSE CAST(0.0078125 AS DOUBLE) END)
+        |  AS ewma
+        |FROM l ORDER BY event_id""".stripMargin,
+    "a29_gapfill_interp" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS h, value FROM events),
+        |hourly AS (
+        |  SELECT user_id, h,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |  FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM ev GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.h, hh.v FROM grid g LEFT JOIN hourly hh
+        |    ON hh.user_id = g.user_id AND hh.h = g.h),
+        |f AS (
+        |  SELECT user_id, h, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS nh
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING),
+        |         wf AS (PARTITION BY user_id ORDER BY h
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, h, v IS NULL AS is_gap,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE pv + (nv - pv) *
+        |         (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)) END
+        |    AS interp_value
+        |FROM f ORDER BY user_id, h""".stripMargin,
     "a21_weighted_median" ->
       """WITH t AS (
         |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS w,

@@ -61,16 +61,24 @@ object Nested {
 
   /** Oracle: the same scalars computed relationally — COUNT/SUM/argmin/
     * argmax/filtered COUNT per order. A mismatch in ANY column means the
-    * nested array was built in the wrong order or the fold drifted. */
+    * nested array was built in the wrong order or the fold drifted.
+    * The window ORDER BY lists every struct field in struct-comparison
+    * order: the synthetic lineitem has duplicate l_linenumber within an
+    * order, and `sort_array` breaks such ties by the remaining fields —
+    * an oracle ordering by line number alone would tie-break arbitrarily
+    * and disagree on first_part/last_qty. */
   def oracle: Map[String, String] = Map(
     "n1_nested_records" ->
       """WITH r AS (
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
         |    CAST(l_extendedprice AS DECIMAL(18,4)) AS price_d,
         |    row_number() OVER (PARTITION BY l_orderkey
-        |                       ORDER BY l_linenumber) AS rn_asc,
+        |                       ORDER BY l_linenumber, l_partkey,
+        |                                l_quantity, price_d) AS rn_asc,
         |    row_number() OVER (PARTITION BY l_orderkey
-        |                       ORDER BY l_linenumber DESC) AS rn_desc
+        |                       ORDER BY l_linenumber DESC, l_partkey DESC,
+        |                                l_quantity DESC, price_d DESC)
+        |      AS rn_desc
         |  FROM lineitem)
         |SELECT l_orderkey,
         |  CAST(COUNT(*) AS INT) AS n_items,
