@@ -3,15 +3,21 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional arg: comma-separated query-name filter for targeted local
+    // timing runs (the driver passes no args — full-bench behavior intact)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val spark = GraftSession() // one shared config for Verify/Bench/tests
     // Warmup: run every query once at the smallest SF so whole-stage
     // codegen compilation and JIT happen outside the timed region — the
     // timed numbers then measure dataflow, not first-touch compilation.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.values.foreach { fn =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => }
-      }
+      SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .values.foreach { fn =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => }
+        }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // A throwing query must surface as a failure, not masquerade as its
     // wall time: failed queries report -1 in `queries`, are excluded from
@@ -34,6 +40,7 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val best = scala.collection.mutable.LinkedHashMap[String, (Double, Boolean)]()
     ordered.foreach { case (name, fn) => best(name) = once(fn) }
     for (_ <- 1 to 2) {

@@ -59,7 +59,15 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(nsToMicrosTrunc("ts")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        // Fail at load, not at some downstream unix_micros/window call: an
+        // unrecognized encoding (TIMESTAMP millis, raw INT64 with the
+        // nanosAsLong flag unset, ...) means the normalization contract
+        // above doesn't hold and every events oracle would silently desync.
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected LongType " +
+            "(TIMESTAMP(NANOS) via nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
 

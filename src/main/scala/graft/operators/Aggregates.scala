@@ -459,15 +459,20 @@ object Aggregates {
     * explode where the bounds row lives, never a driver loop); the fill
     * needs BOTH neighbors, so two ignore-nulls windows over the one
     * (user_id) shuffle carry the previous and next observed value and
-    * hour. Interior gaps always have both neighbors (each user's grid is
-    * bounded by their first/last observed hour), so the interpolation
-    * expression — prev + (next−prev)·(h−hₚ)/(hₙ−hₚ), a fixed tree of
-    * correctly-rounded IEEE ops over exact inputs — never sees a null. */
+    * hour. A gap is an hour with NO events (`count(*) == 0`, matching
+    * [[a09ResampleFfill]]) — not a null sum, so an hour whose events all
+    * carry null values is "observed" (its reported value is the honest
+    * null sum), and the neighbor scan keys on observed NON-NULL values.
+    * Interior gaps always have both non-null neighbors when values are
+    * non-null (each user's grid is bounded by their first/last observed
+    * hour), so the interpolation expression — prev +
+    * (next−prev)·(h−hₚ)/(hₙ−hₚ), a fixed tree of correctly-rounded IEEE
+    * ops over exact inputs — never sees a null. */
   def a29GapfillInterp(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .withColumn("h", expr("unix_micros(ts) div 3600000000"))
     val hourly = e.groupBy("user_id", "h")
-      .agg(sum(dec(col("value"))).cast("double").as("v"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("v"))
     val bounds = e.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
     val grid = bounds.select(col("user_id"),
       explode(sequence(col("h0"), col("h1"))).as("h"))
@@ -476,15 +481,16 @@ object Aggregates {
     val wf = Window.partitionBy("user_id").orderBy("h")
       .rowsBetween(0, Window.unboundedFollowing)
     grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
       .withColumn("pv", last("v", ignoreNulls = true).over(wp))
       .withColumn("ph",
         last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wp))
       .withColumn("nv", first("v", ignoreNulls = true).over(wf))
       .withColumn("nh",
         first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wf))
-      .withColumn("is_gap", col("v").isNull)
+      .withColumn("is_gap", col("n") === 0)
       .withColumn("interp_value",
-        when(col("v").isNotNull, col("v"))
+        when(col("n") > 0, col("v"))
           .otherwise(col("pv") + (col("nv") - col("pv")) *
             ((col("h") - col("ph")).cast("double") /
               (col("nh") - col("ph")).cast("double"))))
@@ -549,16 +555,17 @@ object Aggregates {
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS h, value FROM events),
         |hourly AS (
-        |  SELECT user_id, h,
+        |  SELECT user_id, h, COUNT(*) AS n,
         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
         |  FROM ev GROUP BY 1, 2),
         |bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM ev GROUP BY 1),
         |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM bounds),
         |j AS (
-        |  SELECT g.user_id, g.h, hh.v FROM grid g LEFT JOIN hourly hh
+        |  SELECT g.user_id, g.h, COALESCE(hh.n, 0) AS n, hh.v
+        |  FROM grid g LEFT JOIN hourly hh
         |    ON hh.user_id = g.user_id AND hh.h = g.h),
         |f AS (
-        |  SELECT user_id, h, v,
+        |  SELECT user_id, h, n, v,
         |    last_value(v IGNORE NULLS) OVER wp AS pv,
         |    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
         |    first_value(v IGNORE NULLS) OVER wf AS nv,
@@ -567,8 +574,8 @@ object Aggregates {
         |  WINDOW wp AS (PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING),
         |         wf AS (PARTITION BY user_id ORDER BY h
         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT user_id, h, v IS NULL AS is_gap,
-        |  CASE WHEN v IS NOT NULL THEN v
+        |SELECT user_id, h, n = 0 AS is_gap,
+        |  CASE WHEN n > 0 THEN v
         |       ELSE pv + (nv - pv) *
         |         (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)) END
         |    AS interp_value

@@ -45,9 +45,14 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // Edge list joined with out-degree once; this is the reused big side.
-    // The vertex count doubles as the materializing action for the eager
-    // checkpoint, so setup costs one job total.
-    val withDeg = edges.join(deg, "src").localCheckpoint()
+    // The explicit fixed-width repartition pins hashpartitioning(src, N)
+    // onto the checkpointed frame REGARDLESS of how the setup join executed
+    // (AQE may broadcast `deg` at runtime, which would otherwise leave the
+    // checkpoint with the scan's unknown partitioning and force every
+    // iteration to re-shuffle the edge list — the exact failure mode the
+    // PlanSpec exchange pin guards). The vertex count doubles as the
+    // materializing action for the eager checkpoint, so setup is one job.
+    val withDeg = checkpointPartitioned(edges.join(deg, "src"), "src")
     val n = withDeg.select(countDistinct("src")).head().getLong(0)
     val teleport = (15L * Scale) / (100L * n)
     // LAZY checkpoints throughout the fixed-schedule loop: with no driver
@@ -60,16 +65,47 @@ object Graph {
       .localCheckpoint(false)
     var i = 0
     while (i < iterations) {
-      ranks = withDeg
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst"), expr("r div deg").as("c"))
-        .groupBy("dst").agg(sum("c").as("s"))
-        .select(col("dst").as("id"),
-          (lit(teleport) + expr("(85 * s) div 100")).as("r"))
-        .localCheckpoint(false)
+      ranks = pageRankStep(withDeg, ranks, teleport).localCheckpoint(false)
       i += 1
     }
     ranks
+  }
+
+  /** One power iteration against the pinned-partitioning edge frame —
+    * exposed so PlanSpec can count the exchanges a single round actually
+    * executes (the lazy-checkpoint chain hides upstream plans from the
+    * final frame's queryExecution). */
+  private[graft] def pageRankStep(withDeg: DataFrame, ranks: DataFrame,
+                                  teleport: Long): DataFrame =
+    withDeg
+      .join(ranks.withColumnRenamed("id", "src"), "src")
+      .select(col("dst"), expr("r div deg").as("c"))
+      .groupBy("dst").agg(sum("c").as("s"))
+      .select(col("dst").as("id"),
+        (lit(teleport) + expr("(85 * s) div 100")).as("r"))
+
+  /** The loop shuffle width: match the session's shuffle.partitions so the
+    * pinned edge partitioning co-locates with every iteration's rank-side
+    * exchange (same hash, same width → zero edge-side re-shuffle). */
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** Checkpoint `df` hash-partitioned on `key` with the partitioning CLAIM
+    * intact. Under AQE the checkpoint's physical plan is an
+    * `AdaptiveSparkPlanExec`, whose `outputPartitioning` is unknown at
+    * plan time — so a plain `repartition(key).localCheckpoint()` writes
+    * `UnknownPartitioning` into the `LogicalRDD` and EVERY downstream join
+    * re-shuffles the checkpointed frame (measured: each PageRank/BFS round
+    * re-exchanged the full edge list on src; PlanSpec now pins the absence).
+    * Building this one frame with AQE off keeps the plain shuffle's
+    * `hashpartitioning(key, n)` claim; consumers still run adaptive. */
+  private[graft] def checkpointPartitioned(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = shufflePartitions(df)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.repartition(n, col(key)).localCheckpoint()
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   /** Personalized (seeded) PageRank over WEIGHTED edges `(src, dst, w)`:
@@ -83,7 +119,8 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iterations: Int): DataFrame = {
     val wsum = edges.groupBy("src").agg(sum("w").as("wsum"))
-    val withW = edges.join(wsum, "src").localCheckpoint()
+    // Pinned hashpartitioning(src, N) — see [[checkpointPartitioned]].
+    val withW = checkpointPartitioned(edges.join(wsum, "src"), "src")
     val nSeeds = seeds.count()
     val teleport = (15L * Scale) / (100L * nSeeds)
     val seedSet = seeds.select(col("id"), lit(true).as("is_seed"))
@@ -98,19 +135,25 @@ object Graph {
       .localCheckpoint(false)
     var i = 0
     while (i < iterations) {
-      val contrib = withW
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst"), expr("(r * w) div wsum").as("c"))
-        .groupBy("dst").agg(sum("c").as("s"))
-      ranks = vertices
-        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"),
-          (when(col("is_seed"), lit(teleport)).otherwise(lit(0L)) +
-            expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
-        .localCheckpoint(false)
+      ranks = pprStep(withW, vertices, ranks, teleport).localCheckpoint(false)
       i += 1
     }
     ranks
+  }
+
+  /** One personalized-PageRank iteration — exposed for the PlanSpec
+    * exchange pin, like [[pageRankStep]]. */
+  private[graft] def pprStep(withW: DataFrame, vertices: DataFrame,
+                             ranks: DataFrame, teleport: Long): DataFrame = {
+    val contrib = withW
+      .join(ranks.withColumnRenamed("id", "src"), "src")
+      .select(col("dst"), expr("(r * w) div wsum").as("c"))
+      .groupBy("dst").agg(sum("c").as("s"))
+    vertices
+      .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+      .select(col("id"),
+        (when(col("is_seed"), lit(teleport)).otherwise(lit(0L)) +
+          expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
   }
 
   /** g1: PageRank over the symmetrized customer↔supplier purchase graph.
@@ -227,25 +270,32 @@ object Graph {
     // Materialize the edge list ONCE (eager, like pageRank's withDeg):
     // every round's frontier expansion joins it, and an unmaterialized
     // edge frame would re-run its derivation (scan + join + distinct)
-    // maxHops times.
-    val e = edges.localCheckpoint()
+    // maxHops times. The explicit repartition pins hashpartitioning(src, N)
+    // onto the checkpoint — a bare union-shaped edge list checkpoints with
+    // UNKNOWN partitioning and every round would re-shuffle all of E on
+    // src, turning the telescoping O(E)-total contract into O(E·maxHops).
+    val e = checkpointPartitioned(edges, "src")
     var dist = seeds.select(col("id"), lit(0).cast("int").as("hops"))
       .localCheckpoint(false)
     var frontier = dist.select("id")
     var h = 1
     while (h <= maxHops) {
-      val next = e
-        .join(frontier.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id")).distinct()
-        .join(dist, Seq("id"), "left_anti")
-        .withColumn("hops", lit(h).cast("int"))
-        .localCheckpoint(false)
+      val next = bfsStep(e, frontier, dist, h).localCheckpoint(false)
       dist = dist.unionByName(next).localCheckpoint(false)
       frontier = next.select("id")
       h += 1
     }
     dist
   }
+
+  /** One frontier expansion — exposed for the PlanSpec exchange pin, like
+    * [[pageRankStep]]. */
+  private[graft] def bfsStep(e: DataFrame, frontier: DataFrame,
+                             dist: DataFrame, h: Int): DataFrame =
+    e.join(frontier.withColumnRenamed("id", "src"), "src")
+      .select(col("dst").as("id")).distinct()
+      .join(dist, Seq("id"), "left_anti")
+      .withColumn("hops", lit(h).cast("int"))
 
   /** g3: hop distance from the BUILDING-segment customers to every entity in
     * the symmetrized co-purchase graph (the [[g1PageRank]] vertex space) —

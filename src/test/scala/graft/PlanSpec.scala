@@ -302,4 +302,53 @@ class PlanSpec extends SparkSpec {
     val p = planOf("sql_frontend7")
     assert(p.contains("UnionLoop"), s"sql_frontend7 lost the recursive plan:\n$p")
   }
+
+  /** The iterative graph chains' whole 100 TB cost model rests on one claim:
+    * the checkpointed edge frame enters EVERY iteration already partitioned
+    * on src, so per-round shuffles touch only vertex-sized frames, never the
+    * edge list. Under AQE a plain `localCheckpoint()` silently claims
+    * UnknownPartitioning (AdaptiveSparkPlanExec hides the final plan's
+    * partitioning) and every round re-exchanged all of E — this pin is what
+    * caught that. It asserts (a) the LogicalRDD's partitioning claim itself
+    * and (b) the exact exchange count of one iteration's plan, with
+    * auto-broadcast off so the declared shuffle intent is visible. */
+  test("graph iteration steps never re-shuffle the checkpointed edge frame") {
+    import graft.operators.Graph
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.get(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      import spark.implicits._
+      val edges = (0L until 400L).map(i => (i % 20, (i * 7 + 3) % 20))
+        .toDF("src", "dst")
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val withDeg = Graph.checkpointPartitioned(edges.join(deg, "src"), "src")
+      val claim = withDeg.queryExecution.analyzed.asInstanceOf[LogicalRDD]
+        .outputPartitioning
+      assert(claim.isInstanceOf[HashPartitioning] &&
+        claim.asInstanceOf[HashPartitioning].expressions.map(_.sql) == Seq("src"),
+        s"checkpointed edge frame lost its partitioning claim: $claim")
+
+      val ranks = deg.select(col("src").as("id"), lit(1000L).as("r"))
+        .localCheckpoint(false)
+      val pr = plan(Graph.pageRankStep(withDeg, ranks, 7L))
+      // exactly: the rank-side join exchange + the dst aggregation — an
+      // edge-side exchange would make it 3
+      assert("Exchange hashpartitioning".r.findAllIn(pr).size === 2,
+        s"pageRank step re-shuffles the edge frame:\n$pr")
+
+      val e = Graph.checkpointPartitioned(edges, "src")
+      val dist = edges.select(col("src").as("id")).distinct().limit(3)
+        .select(col("id"), lit(0).cast("int").as("hops")).localCheckpoint(false)
+      val bfs = plan(Graph.bfsStep(e, dist.select("id"), dist, 1))
+      // exactly: frontier-side join exchange + the distinct + the settled
+      // side of the anti join — all vertex/frontier-sized
+      assert("Exchange hashpartitioning".r.findAllIn(bfs).size === 3,
+        s"bfs step re-shuffles the edge frame:\n$bfs")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }

@@ -83,6 +83,37 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("s3_knn_ivf output matches the committed sf0.01 golden cell-exactly") {
+    // s3's k-means centroids are MLlib-internal (not SQL-expressible), so
+    // the driver records it rows-only; this golden file is its correctness
+    // gate — the full sf0.01 output (the driver-gate scale), rendered
+    // canonically one row per line and compared exactly, the same treatment
+    // mm1_media_features got in round 5. Every reported dot is additionally
+    // verified exact against brute force by the recall tests above, so the
+    // golden pins the quantizer/probe pipeline, not just the arithmetic.
+    // Regenerate deliberately with
+    //   GRAFT_GOLDEN_REGEN=true sbt "testOnly graft.similarity.IvfSpec"
+    // and review the diff before committing.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val golden = Paths.get("src/test/resources/golden/s3_sf0.01.csv")
+    val got = Ivf.s3KnnIvf(spark, sf001)
+      .collect()
+      // explicit interpolation, NOT Seq(...).mkString — a Seq of mixed
+      // numerics infers Seq[Double] and silently widens the long ids
+      .map(r => s"${r.getLong(0)},${r.getInt(1)},${r.getLong(2)},${r.getDouble(3)}")
+      .toSeq
+    if (sys.env.get("GRAFT_GOLDEN_REGEN").contains("true")) {
+      Files.createDirectories(golden.getParent)
+      Files.write(golden, got.asJava)
+      fail(s"golden regenerated at $golden — rerun without regen to verify")
+    }
+    assert(Files.exists(golden), s"missing golden fixture $golden")
+    val want = Files.readAllLines(golden).asScala.toSeq
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+
   test("centroids are exact quantized per-label means, partition-invariant") {
     val df = Seq(
       (0L, Array(1.0f, -2.0f), 0),
