@@ -14,6 +14,7 @@ object Profile {
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("g2")) { profileG2(dir); return }
     val spark = GraftSession(s"local[8]", "8")
     import graft.text.TextAnalysis.{shingles, tokens}
 
@@ -47,6 +48,49 @@ object Profile {
     t("d5 neardup")(graft.similarity.Knn.cosineNearDupPairs(Tables.embeddings(spark, dir), 0.3))
     t("a07 coa")(graft.operators.Aggregates.coaClassify(spark, dir))
     t("j02 twophase")(graft.operators.Joins.j02TwoPhaseEnrich(spark, dir))
+    spark.stop()
+  }
+
+  /** Stage-by-stage timing of g2_triangles at bench parallelism. */
+  def profileG2(dir: String): Unit = {
+    val spark = GraftSession()
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.count() // warm
+    val edgesPlan = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    t("edges derivation")(edgesPlan)
+    val edges = edgesPlan.localCheckpoint()
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    t("deg")(deg)
+    val key = (d: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =>
+      d * lit(4294967296L) + id
+    val orientedPlan = edges
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(key(col("du"), col("u")) < key(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            key(col("dv"), col("v")).as("tk")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"),
+          key(col("du"), col("u")).as("tk"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.tk").as("tk"))
+    t("oriented build")(orientedPlan)
+    val oriented = orientedPlan.localCheckpoint()
+    val w1 = oriented.select(col("s"), col("t").as("t1"), col("tk").as("k1"))
+    val w2 = oriented.select(col("s"), col("t").as("t2"), col("tk").as("k2"))
+    val wedges = w1.join(w2, Seq("s")).filter(col("k1") < col("k2"))
+    t("wedges (generate only)")(wedges)
+    val closed = wedges.join(
+      oriented.select(col("s").as("t1"), col("t").as("t2")), Seq("t1", "t2"))
+    t("closing join")(closed)
+    t("per-part counts")(closed
+      .select(explode(array(col("s"), col("t1"), col("t2"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_triangles")))
+    t("g2 end-to-end (current impl)")(graft.operators.Graph.g2Triangles(spark, dir))
     spark.stop()
   }
 }
