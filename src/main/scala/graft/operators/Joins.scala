@@ -326,6 +326,70 @@ object Joins {
       .limit(10)
   }
 
+  /** Q9-shape 6-table profit DAG: per (region, nation, order-year) revenue
+    * minus a supply-cost proxy for one part type. The plan this pins at
+    * scale: the broadcast-side dimension chain (part filter → supplier →
+    * nation → region) prunes the lineitem stream BEFORE the only
+    * fact-to-fact shuffle (lineitem⋈orders on the order key) — one sixth of
+    * the fact table reaches the shuffle, the dims never shuffle at all.
+    * Money discipline: both sums ride the DECIMAL(18,4) product carrier;
+    * `profit` is ONE decimal subtraction of the two exact sums, cast to
+    * double at the boundary — never double−double. */
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val promoParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    // both carriers stay two-factor DECIMAL(18,4) products (exact, the
+    // proven engine-agreement shape) — no scalar factor, whose triple
+    // product would cross the precision-38 scale-reduction cliff
+    val rev = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+    val cost = dec(col("p_retailprice")) * dec(col("l_quantity"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("r_name"), col("n_name"), col("o_year"))
+      .agg(
+        Aggregates.sumMoney(rev).as("revenue"),
+        Aggregates.sumMoney(cost).as("supply_cost"),
+        (sum(rev).cast(DecimalType(38, 4)) - sum(cost).cast(DecimalType(38, 4)))
+          .cast("double").as("profit"))
+      .orderBy("r_name", "n_name", "o_year")
+  }
+
+  /** Q18-shape large-order lookup: orders whose total quantity exceeds a
+    * threshold, with customer context — the aggregate-then-semi-join DAG
+    * (lineitem groupBy HAVING → join back to orders ⋈ lineitem). The big
+    * aggregate and the join-back share the l_orderkey shuffle key, so at
+    * scale the HAVING filter reduces the fact table to a handful of hot
+    * orders BEFORE any customer data moves; customer stays broadcast. */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), dec(col("o_totalprice")).cast("double").as("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** J10 (extension): SCD2 point-in-time lookup — the consumption side of
     * the [[Aggregates.scd2]] dimension build: each purchase event is
     * enriched with the dimension version valid AT its event time. Because
@@ -399,7 +463,9 @@ object Joins {
     "j08_interval_overlap" -> (j08IntervalOverlap _),
     "j09_fuzzy_pairs" -> (j09FuzzyPairs _),
     "q5_local_supplier" -> (q5LocalSupplier _),
-    "q3_shipping_priority" -> (q3ShippingPriority _)
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q9_profit_by_nation" -> (q9ProfitByNation _),
+    "q18_big_orders" -> (q18BigOrders _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -519,6 +585,41 @@ object Joins {
         |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q9_profit_by_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                 CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |       AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4)) *
+        |                 CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |       AS DOUBLE) AS supply_cost,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                 CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) -
+        |       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4)) *
+        |                 CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |       AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY r_name, n_name, o_year
+        |ORDER BY r_name, n_name, o_year""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
+        |  CAST(total_qty AS BIGINT) AS total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "j01_exact_enrich" ->
       """SELECT p_brand, COUNT(*) AS n_items,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue

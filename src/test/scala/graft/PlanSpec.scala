@@ -303,6 +303,55 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("UnionLoop"), s"sql_frontend7 lost the recursive plan:\n$p")
   }
 
+  test("q9 deep DAG: dims broadcast and prune the fact before its only shuffle") {
+    val p = planNoAutoBroadcast("q9_profit_by_nation")
+    // part/supplier/nation/region ride explicit broadcast hints; the one
+    // fact-to-fact join (lineitem⋈orders) must shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("SortMergeJoin [l_orderkey"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q18 big-order filter reuses the orderkey shuffle for the join-back") {
+    val p = planNoAutoBroadcast("q18_big_orders")
+    // exactly: the lineitem aggregate's orderkey exchange + the orders side
+    // of the join-back — the HAVING side must NOT re-shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"q18 must reuse the aggregate's l_orderkey partitioning:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  /** At 100 TB a handful of hot order keys WILL dwarf the median shuffle
+    * partition; the engine's declared answer is AQE skew-join splitting
+    * (GraftSession leaves it on), not manual salting of every join. This
+    * pins that the mechanism actually fires on this session's config: a
+    * synthetic hot-key join with test-scaled thresholds must show a skewed
+    * AQEShuffleRead in the final adaptive plan. */
+  test("AQE splits a skewed fact join at runtime (q9/q18 shape)") {
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(0, 60000)
+        .select(when(col("id") < 50000, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"))
+      val j = fact.join(dim, "k")
+      // execute j ITSELF (not a derived count plan) so the adaptive plan
+      // finalizes and the skew decision is visible on j's queryExecution
+      assert(j.collect().length === 50000) // only the hot key matches the dim
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skewed"),
+        s"AQE skew-join split did not fire on the hot key:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   /** The iterative graph chains' whole 100 TB cost model rests on one claim:
     * the checkpointed edge frame enters EVERY iteration already partitioned
     * on src, so per-round shuffles touch only vertex-sized frames, never the
