@@ -26,6 +26,35 @@ class StorageSpec extends SparkSpec {
     assert(!scanned.contains("event_type=purchase"))
   }
 
+  test("S8 month-partitioned landing prunes to one month at read") {
+    // The S8 attachment-landing layout (Ingest.withMonthPartition) writes
+    // month=yyyy-MM directories; at 100 TB the whole point is that a
+    // single-month read lists one directory. Drive the real helper over the
+    // events table (ts standing in for modificationTime), write partitioned,
+    // and assert the scan's PartitionFilters prune to exactly that month.
+    val out = tmp("s8month")
+    // sf0.001 events sit inside one calendar month — spread the landing
+    // times across three months so pruning has something to skip
+    val landed = graft.sources.Ingest.withMonthPartition(
+      Tables.events(spark, sf0001)
+        .withColumn("modificationTime",
+          add_months(col("ts"), (col("user_id") % 3).cast("int")).cast("timestamp"))
+        .drop("ts"))
+    landed.write.partitionBy("month").parquet(out)
+    val months = landed.select("month").distinct().orderBy("month")
+      .collect().map(_.getString(0))
+    assert(months.length > 1, s"fixture must span months: ${months.toSeq}")
+    val one = spark.read.parquet(out).filter(col("month") === months.head)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(month"), plan)
+    assert(one.count() ===
+      landed.filter(col("month") === months.head).count())
+    // the file listing actually skipped every other month's directory
+    val scanned = one.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    months.tail.foreach(m => assert(!scanned.contains(s"month=$m"), m))
+  }
+
   test("ns→µs conversion truncates toward zero (pre-1970 parity with DuckDB)") {
     import spark.implicits._
     // Pinned against DuckDB 1.0.0's empirically-verified TIMESTAMP(NANOS)
