@@ -15,6 +15,7 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("g2")) { profileG2(dir); return }
+    if (args.headOption.contains("g1b")) { profileG1b(dir); return }
     val spark = GraftSession(s"local[8]", "8")
     import graft.text.TextAnalysis.{shingles, tokens}
 
@@ -48,6 +49,28 @@ object Profile {
     t("d5 neardup")(graft.similarity.Knn.cosineNearDupPairs(Tables.embeddings(spark, dir), 0.3))
     t("a07 coa")(graft.operators.Aggregates.coaClassify(spark, dir))
     t("j02 twophase")(graft.operators.Joins.j02TwoPhaseEnrich(spark, dir))
+    spark.stop()
+  }
+
+  /** Stage-by-stage timing of g1b_ppr at bench parallelism. */
+  def profileG1b(dir: String): Unit = {
+    val spark = GraftSession()
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    li.count(); ord.count() // warm
+    val pw = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(countDistinct("o_orderkey").as("w"))
+    t("pw (pair weights)")(pw)
+    val edges = pw.select(col("c").as("src"), col("s").as("dst"), col("w"))
+      .unionByName(pw.select(col("s").as("src"), col("c").as("dst"), col("w")))
+    t("edges")(edges)
+    val t0 = System.nanoTime()
+    val n = graft.operators.Graph.personalizedPageRank(edges,
+      Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select((col("c_custkey") * 2).as("id")), 5).count()
+    println(f"${(System.nanoTime() - t0) / 1e9}%8.2fs  ppr 5 iters ($n rows)")
+    t("g1b end-to-end")(graft.operators.Graph.g1bPersonalized(spark, dir))
     spark.stop()
   }
 

@@ -43,7 +43,13 @@ object Graph {
     * Returns `(id, r)` with `r` the scaled-integer rank after `iterations`
     * rounds of `r' = T + ⌊85 · Σ_{u→v} ⌊r_u / deg_u⌋ / 100⌋`. */
   def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // Materialize the (possibly expensive) edge derivation ONCE: `edges`
+    // feeds both the degree aggregate and the join below, and Spark does
+    // not share common subplans — uncheckpointed, the caller's whole
+    // derivation (for g1: a 6M-row join + distinct + union) executes twice
+    // inside setup (measured ~2.4 s of the 7 s g1b budget at sf0.1).
+    val e0 = edges.localCheckpoint()
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
     // Edge list joined with out-degree once; this is the reused big side.
     // The explicit fixed-width repartition pins hashpartitioning(src, N)
     // onto the checkpointed frame REGARDLESS of how the setup join executed
@@ -52,7 +58,7 @@ object Graph {
     // iteration to re-shuffle the edge list — the exact failure mode the
     // PlanSpec exchange pin guards). The vertex count doubles as the
     // materializing action for the eager checkpoint, so setup is one job.
-    val withDeg = checkpointPartitioned(edges.join(deg, "src"), "src")
+    val withDeg = checkpointPartitioned(e0.join(deg, "src"), "src")
     val n = withDeg.select(countDistinct("src")).head().getLong(0)
     val teleport = (15L * Scale) / (100L * n)
     // LAZY checkpoints throughout the fixed-schedule loop: with no driver
@@ -118,9 +124,11 @@ object Graph {
     * flows outward from the seeds only. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iterations: Int): DataFrame = {
-    val wsum = edges.groupBy("src").agg(sum("w").as("wsum"))
+    // One materialization of the edge derivation — see [[pageRank]].
+    val e0 = edges.localCheckpoint()
+    val wsum = e0.groupBy("src").agg(sum("w").as("wsum"))
     // Pinned hashpartitioning(src, N) — see [[checkpointPartitioned]].
-    val withW = checkpointPartitioned(edges.join(wsum, "src"), "src")
+    val withW = checkpointPartitioned(e0.join(wsum, "src"), "src")
     val nSeeds = seeds.count()
     val teleport = (15L * Scale) / (100L * nSeeds)
     val seedSet = seeds.select(col("id"), lit(true).as("is_seed"))
