@@ -41,10 +41,15 @@ object Clusters {
     * component. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
-    // symmetrize once; both directions participate in every round
-    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
+    // symmetrize once; both directions participate in every round. The
+    // checkpoint pins hashpartitioning(dst, N) — the key every round's
+    // label join probes — so iterations re-shuffle only the vertex-sized
+    // label frame, never the pair list (see graft.util.Checkpoints for the
+    // AQE claim-loss this guards against).
+    val sym = graft.util.Checkpoints.partitioned(
+      edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst"))),
+      "dst")
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

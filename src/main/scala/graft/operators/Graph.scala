@@ -90,29 +90,10 @@ object Graph {
       .select(col("dst").as("id"),
         (lit(teleport) + expr("(85 * s) div 100")).as("r"))
 
-  /** The loop shuffle width: match the session's shuffle.partitions so the
-    * pinned edge partitioning co-locates with every iteration's rank-side
-    * exchange (same hash, same width → zero edge-side re-shuffle). */
-  private def shufflePartitions(df: DataFrame): Int =
-    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-
-  /** Checkpoint `df` hash-partitioned on `key` with the partitioning CLAIM
-    * intact. Under AQE the checkpoint's physical plan is an
-    * `AdaptiveSparkPlanExec`, whose `outputPartitioning` is unknown at
-    * plan time — so a plain `repartition(key).localCheckpoint()` writes
-    * `UnknownPartitioning` into the `LogicalRDD` and EVERY downstream join
-    * re-shuffles the checkpointed frame (measured: each PageRank/BFS round
-    * re-exchanged the full edge list on src; PlanSpec now pins the absence).
-    * Building this one frame with AQE off keeps the plain shuffle's
-    * `hashpartitioning(key, n)` claim; consumers still run adaptive. */
-  private[graft] def checkpointPartitioned(df: DataFrame, key: String): DataFrame = {
-    val spark = df.sparkSession
-    val n = shufflePartitions(df)
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try df.repartition(n, col(key)).localCheckpoint()
-    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
-  }
+  /** Partitioning-preserving checkpoint — see [[graft.util.Checkpoints]]
+    * for why a plain localCheckpoint loses its claim under AQE. */
+  private[graft] def checkpointPartitioned(df: DataFrame, key: String): DataFrame =
+    graft.util.Checkpoints.partitioned(df, key)
 
   /** Personalized (seeded) PageRank over WEIGHTED edges `(src, dst, w)`:
     * teleport mass returns only to the seed set (uniformly), and each

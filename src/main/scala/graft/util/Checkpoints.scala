@@ -1,0 +1,34 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Partitioning-preserving checkpoint for iterative-join loops
+  * (PageRank/BFS in [[graft.operators.Graph]], min-label propagation in
+  * [[graft.dedup.Clusters]]).
+  *
+  * Under AQE a plain `localCheckpoint()` records UnknownPartitioning in its
+  * `LogicalRDD` — `AdaptiveSparkPlanExec` cannot expose the final plan's
+  * partitioning at plan time — so every downstream join re-shuffles the
+  * checkpointed frame. For a loop that joins the same corpus-scaled frame
+  * once per round, that silently turns an O(E)-total shuffle contract into
+  * O(E·rounds) (measured: each PageRank/BFS round re-exchanged the full
+  * edge list before this existed; PlanSpec pins the absence). Building the
+  * one checkpoint with AQE off keeps the claim: when the input is already
+  * hash-partitioned on `key` the explicit repartition is elided as
+  * redundant (EnsureRequirements) and the claim even carries the upstream
+  * sort order; otherwise the plain shuffle's `hashpartitioning(key, n)` is
+  * recorded. Consumers still run fully adaptive. */
+object Checkpoints {
+
+  /** Eagerly checkpoint `df` hash-partitioned on `key`, with the
+    * partitioning claim preserved in the resulting plan. */
+  def partitioned(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.repartition(n, col(key)).localCheckpoint()
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
