@@ -163,8 +163,11 @@ object Joins {
         sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "session_id")
       .agg(min(unix_micros(col("ts"))).as("t0"), max(unix_micros(col("ts"))).as("t1"))
-    val bucketed = iv.withColumn("bucket",
-      explode(sequence(expr(s"t0 div $bucketUs"), expr(s"t1 div $bucketUs"))))
+    // Cached: BOTH sides of the self-join read this frame, and Spark does
+    // not share common subplans — uncached, the sessionization window +
+    // groupBy chain over the full events table executes twice.
+    val bucketed = graft.util.Caches.scoped(iv.withColumn("bucket",
+      explode(sequence(expr(s"t0 div $bucketUs"), expr(s"t1 div $bucketUs")))))
     val a = bucketed.select(col("bucket"), col("user_id").as("a_user"),
       col("session_id").as("a_session"), col("t0").as("a_t0"), col("t1").as("a_t1"))
     val b = bucketed.select(col("bucket"), col("user_id").as("b_user"),
