@@ -158,16 +158,20 @@ object Dedup {
     * weight = occurrence count (unweighted distinct-token SimHash cannot
     * separate docs drawn from one small vocabulary: their token *sets* all
     * coincide; their frequency profiles don't). One wide aggregation (60
-    * signed bit-sums per doc), no bit-row explosion. */
+    * signed bit-sums per doc), no bit-row explosion — and ONE shuffle:
+    * summing ±1 per token OCCURRENCE is identical to summing ±count per
+    * distinct token (Σ_tok ±cnt = Σ_occ ±1), so the per-(doc, token)
+    * counting aggregate an earlier version ran first was a redundant full
+    * shuffle of the token table; the 60 bit-sums are map-side partials
+    * straight off the explode. */
   def simHash(docs: DataFrame): DataFrame = {
     val bitSums = (0 until simHashBits).map { j =>
-      sum(when(expr(s"(h >> $j) & 1") === 1, col("cnt")).otherwise(-col("cnt"))).as(s"s$j")
+      sum(when(expr(s"(h >> $j) & 1") === 1, lit(1L)).otherwise(lit(-1L))).as(s"s$j")
     }
     val code = (0 until simHashBits)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5Hash60(col("tok")))
       .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), code.as("simhash"))
