@@ -188,19 +188,27 @@ object Dedup {
     * production near-dup thresholds (≤3 of 64) give 16-bit blocks and
     * proportionally sparser buckets. */
   def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val codes = graft.util.Caches.scoped(simHash(docs))
-    val cand = simHashCandidates(codes, maxHamming)
-    cand.join(codes.toDF("a_id", "ha"), "a_id")
-      .join(codes.toDF("b_id", "hb"), "b_id")
+    // The codes travel WITH the block rows through the band equi-join, so
+    // the exact-Hamming verify runs inline on the raw candidate stream and
+    // the distinct pass dedups only the SURVIVORS. The previous shape
+    // (candidates → distinct → two code join-backs → verify) shuffled the
+    // near-n²/2^blockBits candidate stream three more times — at the loose
+    // demo threshold that was 9.3M rows through a distinct plus two joins
+    // for 334k surviving pairs at sf0.1.
+    val blocks = graft.util.Caches.scoped(
+      simHashBlocks(simHash(docs), maxHamming + 1))
+    blocks.toDF("a_id", "ha", "blk", "bv")
+      .join(blocks.toDF("b_id", "hb", "blk", "bv"), Seq("blk", "bv"))
+      .filter(col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("bigint"))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
+      .distinct()
   }
 
-  /** The pigeonhole candidate stage of [[simHashPairs]], exposed so Profile
-    * can report candidate volume vs n²/2. `codes` = (doc_id, simhash). */
-  def simHashCandidates(codes: DataFrame, maxHamming: Int): DataFrame = {
-    val nBlocks = maxHamming + 1
+  /** Pigeonhole block decomposition of the code table: one row per
+    * (doc, block) carrying the full code for inline verification. */
+  private def simHashBlocks(codes: DataFrame, nBlocks: Int): DataFrame = {
     val bounds = (0 until nBlocks).scanLeft(0) { (acc, b) =>
       acc + simHashBits / nBlocks + (if (b < simHashBits % nBlocks) 1 else 0)
     }
@@ -210,9 +218,17 @@ object Dedup {
       struct(lit(b).as("blk"),
         expr(s"(simhash >> $start) & ${(1L << width) - 1}").as("bv"))
     }
-    val blocks = codes
-      .select(col("doc_id"), explode(array(blockStructs: _*)).as("s"))
-      .select(col("doc_id"), col("s.blk").as("blk"), col("s.bv").as("bv"))
+    codes.select(col("doc_id"), col("simhash"),
+        explode(array(blockStructs: _*)).as("s"))
+      .select(col("doc_id"), col("simhash"),
+        col("s.blk").as("blk"), col("s.bv").as("bv"))
+  }
+
+  /** The pigeonhole candidate stage of [[simHashPairs]], exposed so Profile
+    * can report candidate volume vs n²/2. `codes` = (doc_id, simhash). */
+  def simHashCandidates(codes: DataFrame, maxHamming: Int): DataFrame = {
+    val blocks = simHashBlocks(codes, maxHamming + 1)
+      .select("doc_id", "blk", "bv")
     blocks.toDF("a_id", "blk", "bv")
       .join(blocks.toDF("b_id", "blk", "bv"), Seq("blk", "bv"))
       .filter(col("a_id") < col("b_id"))
