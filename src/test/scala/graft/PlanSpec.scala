@@ -365,7 +365,7 @@ class PlanSpec extends SparkSpec {
     import graft.operators.Graph
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.execution.LogicalRDD
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
     val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
     val prev = keys.map(k => k -> spark.conf.get(k))
@@ -398,6 +398,17 @@ class PlanSpec extends SparkSpec {
       // side of the anti join — all vertex/frontier-sized
       assert("Exchange hashpartitioning".r.findAllIn(bfs).size === 3,
         s"bfs step re-shuffles the edge frame:\n$bfs")
+
+      val wedges = edges.withColumn("w", lit(1L))
+      val wsum = wedges.groupBy("src").agg(sum(col("w")).as("wsum"))
+      val withW = Graph.checkpointPartitioned(wedges.join(wsum, "src"), "src")
+      val vertices = wsum.select(col("src").as("id"), lit(false).as("is_seed"))
+        .localCheckpoint(false)
+      val ppr = plan(Graph.pprStep(withW, vertices, ranks, 7L))
+      // exactly: the rank-side contrib exchange + the dst aggregation + the
+      // vertices side of the attach join — never the weighted edge frame
+      assert("Exchange hashpartitioning".r.findAllIn(ppr).size === 3,
+        s"ppr step re-shuffles the edge frame:\n$ppr")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 }
