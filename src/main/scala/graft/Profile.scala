@@ -35,7 +35,8 @@ object Profile {
       sh.toDF("a_id", "s").join(sh.toDF("b_id", "s2"),
           col("s") === col("s2") && col("a_id") < col("b_id"))
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("common")))
-    t("d2 current (prefix+verify)")(graft.dedup.Dedup.ngramJaccardPairs(docs, 0.5))
+    t("d2 plain (inverted+verify)")(graft.dedup.Dedup.ngramJaccardPairs(docs, 0.5))
+    t("d2 prefix-filtered")(graft.dedup.Dedup.ngramJaccardPairsPrefix(docs, 0.5))
     t("d3 bands")(graft.dedup.Dedup.minHashBands(
       graft.text.TextAnalysis.shingleRows(docs)))
     t("d3 full")(graft.dedup.Dedup.minHashLshPairs(docs, 0.5))
