@@ -113,11 +113,15 @@ object Graph {
     val nSeeds = seeds.count()
     val teleport = (15L * Scale) / (100L * nSeeds)
     val seedSet = seeds.select(col("id"), lit(true).as("is_seed"))
-    // Lazy checkpoints: fixed schedule, no driver reads — see [[pageRank]].
-    val vertices = wsum.select(col("src").as("id"))
-      .join(seedSet, Seq("id"), "left")
-      .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .localCheckpoint(false)
+    // vertices joins the contrib frame EVERY iteration on id — pin its
+    // partitioning (contrib's dst-aggregate output is already hash(id), so
+    // a pinned vertices side makes the per-round attach join exchange-free;
+    // a lazy checkpoint would claim Unknown and re-shuffle it each round).
+    val vertices = graft.util.Checkpoints.partitioned(
+      wsum.select(col("src").as("id"))
+        .join(seedSet, Seq("id"), "left")
+        .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed")),
+      "id")
     var ranks = vertices
       .select(col("id"),
         when(col("is_seed"), lit(Scale / nSeeds)).otherwise(lit(0L)).as("r"))

@@ -402,13 +402,14 @@ class PlanSpec extends SparkSpec {
       val wedges = edges.withColumn("w", lit(1L))
       val wsum = wedges.groupBy("src").agg(sum(col("w")).as("wsum"))
       val withW = Graph.checkpointPartitioned(wedges.join(wsum, "src"), "src")
-      val vertices = wsum.select(col("src").as("id"), lit(false).as("is_seed"))
-        .localCheckpoint(false)
+      val vertices = graft.util.Checkpoints.partitioned(
+        wsum.select(col("src").as("id"), lit(false).as("is_seed")), "id")
       val ppr = plan(Graph.pprStep(withW, vertices, ranks, 7L))
-      // exactly: the rank-side contrib exchange + the dst aggregation + the
-      // vertices side of the attach join — never the weighted edge frame
-      assert("Exchange hashpartitioning".r.findAllIn(ppr).size === 3,
-        s"ppr step re-shuffles the edge frame:\n$ppr")
+      // exactly: the rank-side contrib exchange + the dst aggregation — the
+      // pinned vertices side and the edge frame never re-shuffle (contrib's
+      // aggregate output is already hash(id))
+      assert("Exchange hashpartitioning".r.findAllIn(ppr).size === 2,
+        s"ppr step re-shuffles the edge or vertices frame:\n$ppr")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 }
