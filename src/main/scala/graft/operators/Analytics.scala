@@ -590,7 +590,62 @@ object Analytics {
       .orderBy("touch_hour")
   }
 
+  /** a30: U-SHAPED (position-based) multi-touch attribution — the standard
+    * sibling of [[a27Attribution]]'s last-touch: the FIRST and LAST click
+    * in a purchase's trailing 10-minute window each earn 40% of the value,
+    * the middle clicks split the remaining 20%; one click takes 100%, two
+    * clicks split 50/50, no-click purchases stay in the 'direct' bucket.
+    *
+    * Engine-exact division: per-touch credit is a SCALED-INTEGER weight in
+    * parts-per-million (the [[Graph]] determinism trick) — middles get
+    * ⌊200000/(n−2)⌋ ppm and the remainder goes one ppm each to the
+    * earliest middles, so weights are integers, Σ ppm = 1000000 exactly
+    * per purchase (credit conservation holds bit-for-bit), and credited
+    * revenue is Σ value·ppm on the exact decimal carrier — division by
+    * 10⁶ happens ONCE, in double, at the output boundary. No
+    * order-dependent float sum ever crosses a shuffle. Same dataflow cost
+    * as a27: one user-key interval join + two purchase-key windows + the
+    * hour rollup. */
+  def a30AttributionUshape(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), dec(col("value")).as("v"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val joined = p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+      "left")
+    val byTouch = Window.partitionBy("p_id")
+      .orderBy(col("c_ts").asc_nulls_last, col("c_id").asc_nulls_last)
+    val perPurchase = Window.partitionBy("p_id")
+    joined
+      .withColumn("rk", row_number().over(byTouch))
+      .withColumn("n", count(col("c_id")).over(perPurchase))
+      .withColumn("ppm",
+        when(col("c_id").isNull, lit(1000000L))         // direct: full credit
+          .when(col("n") === 1, lit(1000000L))
+          .when(col("n") === 2, lit(500000L))
+          .when(col("rk") === 1 || col("rk") === col("n"), lit(400000L))
+          .otherwise(expr("200000 div (n - 2)") +
+            when(col("rk") - 2 < expr("200000 % (n - 2)"), lit(1L))
+              .otherwise(lit(0L))))
+      .withColumn("touch_hour",
+        when(col("c_id").isNull, lit(-1))
+          .otherwise(hour(col("c_ts"))).cast("int"))
+      .groupBy("touch_hour")
+      .agg(count(lit(1)).as("n_touches"),
+        (sum(col("v") * col("ppm")).cast("decimal(38,4)").cast("double")
+          / lit(1000000.0)).as("credited_revenue"))
+      .orderBy("touch_hour")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a30_attribution_ushape" -> (a30AttributionUshape _),
     "a27_attribution" -> (a27Attribution _),
     "kmv_distinct" -> (kmvDistinct _),
     "hll_distinct" -> (hllDistinct _),
@@ -621,6 +676,39 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "a30_attribution_ushape" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_ts,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.p_id, p.v, c.c_id, c.c_ts,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |      ORDER BY c.c_ts ASC NULLS LAST, c.c_id ASC NULLS LAST) AS rk,
+        |    COUNT(c.c_id) OVER (PARTITION BY p.p_id) AS n
+        |  FROM p LEFT JOIN c
+        |    ON p.user_id = c.c_user
+        |   AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE AND c.c_ts <= p.p_ts),
+        |w AS (
+        |  SELECT v, c_ts,
+        |    CASE WHEN c_id IS NULL THEN 1000000
+        |         WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN rk = 1 OR rk = n THEN 400000
+        |         ELSE 200000 // (n - 2)
+        |              + CASE WHEN rk - 2 < 200000 % (n - 2) THEN 1 ELSE 0 END
+        |    END AS ppm,
+        |    CASE WHEN c_id IS NULL THEN -1
+        |         ELSE EXTRACT(hour FROM c_ts) END AS touch_hour
+        |  FROM j)
+        |SELECT CAST(touch_hour AS INT) AS touch_hour,
+        |  COUNT(*) AS n_touches,
+        |  CAST(CAST(SUM(v * ppm) AS DECIMAL(38,4)) AS DOUBLE) / 1000000.0
+        |    AS credited_revenue
+        |FROM w GROUP BY 1 ORDER BY touch_hour""".stripMargin,
     "a27_attribution" ->
       """WITH p AS (
         |  SELECT event_id AS p_id, user_id, ts AS p_ts,

@@ -44,6 +44,25 @@ class InvariantsSpec extends SparkSpec {
       (r.getInt(0) >= 0 && r.getInt(0) <= 23)))
   }
 
+  test("a30: U-shaped attribution conserves total revenue to the ppm") {
+    val e = graft.Tables.events(spark, sf0001)
+    val purchases = e.filter(col("event_type") === "purchase")
+    val total = purchases
+      .agg(sum(Aggregates.dec(col("value"))).cast("double")).head.getDouble(0)
+    val rows = Analytics.a30AttributionUshape(spark, sf0001).collect()
+    // the integer ppm weights sum to exactly 1000000 per purchase (the
+    // remainder distribution makes the split exact, not approximate), so
+    // credited revenue reconstructs total purchase revenue to fp precision
+    assert(math.abs(rows.map(_.getDouble(2)).sum - total) < 1e-6,
+      s"sum=${rows.map(_.getDouble(2)).sum} total=$total")
+    assert(rows.forall(r => r.getInt(0) == -1 ||
+      (r.getInt(0) >= 0 && r.getInt(0) <= 23)))
+    // multi-touch purchases credit MORE touches than purchases: n_touches
+    // strictly exceeds a27's purchase count unless every window has ≤1 click
+    val nP = purchases.count()
+    assert(rows.map(_.getLong(1)).sum >= nP)
+  }
+
   test("a19: WAU dominates DAU on every day, both positive") {
     val rows = Aggregates.a19ActiveUsers(spark, sf0001).collect()
     assert(rows.nonEmpty)
