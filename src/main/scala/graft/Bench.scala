@@ -18,7 +18,10 @@ object Bench {
         .values.foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => }
         }
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // The full-pipeline entry warmup only pays off when every query runs;
+    // a targeted `only` run skips it so single-query timings stay cheap.
+    if (only.isEmpty)
+      try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // A throwing query must surface as a failure, not masquerade as its
     // wall time: failed queries report -1 in `queries`, are excluded from
     // `value`, and are listed by name under `failed`.

@@ -56,8 +56,9 @@ object Graph {
     // (AQE may broadcast `deg` at runtime, which would otherwise leave the
     // checkpoint with the scan's unknown partitioning and force every
     // iteration to re-shuffle the edge list — the exact failure mode the
-    // PlanSpec exchange pin guards). The vertex count doubles as the
-    // materializing action for the eager checkpoint, so setup is one job.
+    // PlanSpec exchange pin guards). Setup runs three jobs: the eager e0
+    // checkpoint, the eager partitioned checkpoint of withDeg, and the
+    // vertex count below (which reads the already-materialized checkpoint).
     val withDeg = checkpointPartitioned(e0.join(deg, "src"), "src")
     val n = withDeg.select(countDistinct("src")).head().getLong(0)
     val teleport = (15L * Scale) / (100L * n)
@@ -231,11 +232,20 @@ object Graph {
             key(col("dv"), col("v")).as("tk")))
         .otherwise(struct(col("v").as("s"), col("u").as("t"),
           key(col("du"), col("u")).as("tk"))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.tk").as("tk")))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.tk").as("tk"))
+      // One comparison per EDGE (not per wedge) enforces the packing
+      // contract — cheaper than letting a violation corrupt counts.
+      .where(assert_true(
+        col("s").between(0L, 2147483647L) && col("t").between(0L, 2147483647L),
+        lit("triangleCounts: vertex ids must lie in [0, 2^31) for key packing"))
+        .isNull))
     // wedges at apex s: out-neighbor pairs ordered by orientation key, so
     // the closing edge (t1→t2) is probed in ITS oriented direction. The
-    // candidate pair is PACKED into one long (t1·2³² + t2 — ids are unique
-    // longs below 2³², the same bound the orientation key already assumes),
+    // candidate pair is PACKED into one long (t1·2³² + t2 — requires ids in
+    // [0, 2³¹): the HIGH word must stay below 2³¹ or the signed-long product
+    // overflows; the low word below 2³² would merely collide. Same contract
+    // as the orientation key's deg·2³² + id. Violations would silently
+    // corrupt counts, so the bound is asserted on the degree frame below),
     // so the wedge frame that feeds the biggest shuffle of the query is two
     // longs per row ((s, ck), 16 bytes) instead of three columns, the join
     // hashes one key instead of two, and both endpoints are recovered

@@ -22,13 +22,24 @@ import org.apache.spark.sql.functions.col
 object Checkpoints {
 
   /** Eagerly checkpoint `df` hash-partitioned on `key`, with the
-    * partitioning claim preserved in the resulting plan. */
+    * partitioning claim preserved in the resulting plan.
+    *
+    * NOT concurrency-transparent: the AQE flip is session-global, so a query
+    * COMPILED on the same session while this runs would plan with AQE off.
+    * The `synchronized` below serializes concurrent `partitioned` calls
+    * (so two of them cannot race the save/restore and strand AQE disabled)
+    * at zero cost on the single-threaded Verify/Bench/test drivers, but it
+    * cannot fence unrelated concurrent query submission — callers running a
+    * multi-threaded driver should route those through `spark.newSession()`
+    * (separate conf view, shared catalog/state). */
   def partitioned(df: DataFrame, key: String): DataFrame = {
     val spark = df.sparkSession
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try df.repartition(n, col(key)).localCheckpoint()
-    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    spark.synchronized {
+      val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try df.repartition(n, col(key)).localCheckpoint()
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
   }
 }
