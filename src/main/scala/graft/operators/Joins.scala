@@ -393,6 +393,54 @@ object Joins {
       .limit(100)
   }
 
+  /** Q21-shape correlated semi + anti self-join: suppliers who were the
+    * SOLE returned-line supplier in a finished multi-supplier order (this
+    * schema has no receipt/commit dates, so `l_returnflag = 'R'` is the
+    * "kept the order waiting" predicate; the EXISTS / NOT-EXISTS structure
+    * is Q21's verbatim). The oracle runs the literal correlated form —
+    * this side runs the plan decorrelation has to reach for the query to
+    * survive at scale: both subqueries fold into ONE pass over lineitem.
+    *
+    * Plan contract (PlanSpec-pinned at exactly 3 hash exchanges): lineitem
+    * is shuffled ONCE on l_orderkey; the per-(order, supplier) rollup and
+    * the per-order verdict both reuse that partitioning (hash(l_orderkey)
+    * clusters any key set containing it), so the semi branch (another
+    * supplier exists: n_supp > 1) and the anti branch (no other returned
+    * supplier: n_ret_supp = 1) are decided with zero extra exchanges and —
+    * unlike the textbook rewrite — zero join-backs: the sole supplier's
+    * identity and line count ride OUT of the aggregate itself. The only
+    * other fact exchange is the orders side of the status join; supplier
+    * and nation broadcast. Naive execution (two correlated re-scans of
+    * lineitem per outer row, or even two decorrelated self-joins) is the
+    * difference between one fact shuffle and three at 100 TB. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .repartition(n, col("l_orderkey"))
+    val perSupp = li.groupBy("l_orderkey", "l_suppkey")
+      .agg(count(when(col("l_returnflag") === "R", 1)).as("ret_lines"))
+    val verdicts = perSupp.groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_supp"),
+        count(when(col("ret_lines") > 0, 1)).as("n_ret_supp"),
+        max(when(col("ret_lines") > 0, col("l_suppkey"))).as("sole_supp"),
+        sum(when(col("ret_lines") > 0, col("ret_lines"))).as("ret_cnt"))
+      .filter(col("n_supp") > 1 && col("n_ret_supp") === 1)
+    val ordF = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    verdicts.join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("sole_supp") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "s_name")
+      .agg(sum("ret_cnt").as("numwait"))
+      .orderBy(col("numwait").desc, col("n_name"), col("s_name"))
+      .limit(100)
+  }
+
   /** J10 (extension): SCD2 point-in-time lookup — the consumption side of
     * the [[Aggregates.scd2]] dimension build: each purchase event is
     * enriched with the dimension version valid AT its event time. Because
@@ -468,7 +516,8 @@ object Joins {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q9_profit_by_nation" -> (q9ProfitByNation _),
-    "q18_big_orders" -> (q18BigOrders _)
+    "q18_big_orders" -> (q18BigOrders _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -622,6 +671,29 @@ object Joins {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    // The literal correlated EXISTS / NOT-EXISTS form — the oracle replays
+    // the SPEC, not the decorrelated plan, so the single-pass rewrite above
+    // is cross-checked against the subquery semantics it claims to equal.
+    "q21_waiting_suppliers" ->
+      """SELECT n_name, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey
+        |GROUP BY n_name, s_name
+        |ORDER BY numwait DESC, n_name, s_name
         |LIMIT 100""".stripMargin,
     "j01_exact_enrich" ->
       """SELECT p_brand, COUNT(*) AS n_items,

@@ -321,6 +321,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q21 decorrelates both EXISTS branches into one lineitem exchange") {
+    val p = planNoAutoBroadcast("q21_waiting_suppliers")
+    // exactly: lineitem's one l_orderkey repartition (both rollups and the
+    // orders join reuse it), the orders side of the status join, and the
+    // final tiny (n_name, s_name) aggregate — a second lineitem-scaled
+    // exchange means a subquery branch stopped sharing the pass
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 3,
+      s"q21 must decide both correlated branches on one lineitem shuffle:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p) // supplier + nation
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   /** At 100 TB a handful of hot order keys WILL dwarf the median shuffle
     * partition; the engine's declared answer is AQE skew-join splitting
     * (GraftSession leaves it on), not manual salting of every join. This
