@@ -41,52 +41,58 @@ object Graph {
     * as BOTH a src and a dst, so there is no dangling mass and the
     * per-iteration `groupBy("dst")` reaches the full vertex set.
     * Returns `(id, r)` with `r` the scaled-integer rank after `iterations`
-    * rounds of `r' = T + ⌊85 · Σ_{u→v} ⌊r_u / deg_u⌋ / 100⌋`. */
+    * rounds of `r' = T + ⌊85 · Σ_{u→v} ⌊r_u / deg_u⌋ / 100⌋`.
+    *
+    * Edge representation: ADJACENCY LISTS, not edge rows. Setup folds the
+    * caller's edge derivation into one `groupBy(src)` that collects each
+    * vertex's out-neighbors into an array (out-degree = array size, so the
+    * old separate degree aggregate + join + second checkpoint are gone),
+    * then checkpoints the V-row result with its hash(src) partitioning
+    * pinned. The payoff is per-round: the iteration joins two VERTEX-sized
+    * frames — under sort-merge the edge-row formulation re-sorted all of E
+    * every round (the checkpoint preserves partitioning, not sort order)
+    * — and the E-row stream exists only between the `explode` and the
+    * map-side partial aggregation that consumes it in the same stage, so
+    * raw edges never shuffle. Per-round shuffle traffic: O(V) rank rows in,
+    * O(V·partitions) combined partials out.
+    *
+    * Hub caveat at 100 TB: one row holds a vertex's whole neighbor list.
+    * For graphs with hubs beyond array limits, split each hub's adjacency
+    * across k rows (carrying the TOTAL degree in each) — per-edge terms
+    * ⌊r/deg⌋ are row-local, so split rows sum to the identical result. */
   def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
-    // Materialize the (possibly expensive) edge derivation ONCE: `edges`
-    // feeds both the degree aggregate and the join below, and Spark does
-    // not share common subplans — uncheckpointed, the caller's whole
-    // derivation (for g1: a 6M-row join + distinct + union) executes twice
-    // inside setup (measured ~2.4 s of the 7 s g1b budget at sf0.1).
-    val e0 = edges.localCheckpoint()
-    val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
-    // Edge list joined with out-degree once; this is the reused big side.
-    // The explicit fixed-width repartition pins hashpartitioning(src, N)
-    // onto the checkpointed frame REGARDLESS of how the setup join executed
-    // (AQE may broadcast `deg` at runtime, which would otherwise leave the
-    // checkpoint with the scan's unknown partitioning and force every
-    // iteration to re-shuffle the edge list — the exact failure mode the
-    // PlanSpec exchange pin guards). Setup runs three jobs: the eager e0
-    // checkpoint, the eager partitioned checkpoint of withDeg, and the
-    // vertex count below (which reads the already-materialized checkpoint).
-    val withDeg = checkpointPartitioned(e0.join(deg, "src"), "src")
-    val n = withDeg.select(countDistinct("src")).head().getLong(0)
+    val adj = checkpointPartitioned(
+      edges.groupBy("src").agg(collect_list(col("dst")).as("adj")), "src")
+    val n = adj.count()
     val teleport = (15L * Scale) / (100L * n)
-    // LAZY checkpoints throughout the fixed-schedule loop: with no driver
-    // convergence read (unlike Clusters.connectedComponents), all five
-    // iterations execute inside the consumer's single action — the
-    // checkpoints still truncate lineage at materialization, but there is
-    // no per-round job-launch overhead (measured 7.8 s → one-job cost at
-    // sf0.1 when the per-round eager barriers were removed).
-    var ranks = deg.select(col("src").as("id"), lit(Scale / n).as("r"))
-      .localCheckpoint(false)
+    // LAZY checkpoints throughout the fixed-schedule loop (no per-round job
+    // launch; everything executes inside the consumer's single action), in
+    // the PARTITIONING-PRESERVING variant: each round's rank frame already
+    // ends hash-partitioned on its group key, so carrying that claim into
+    // the next round makes the rank-side join exchange VANISH — one round
+    // moves nothing but its own combined aggregation partials.
+    var ranks = graft.util.Checkpoints.partitionedLazy(
+      adj.select(col("src").as("id"), lit(Scale / n).as("r")), "id")
     var i = 0
     while (i < iterations) {
-      ranks = pageRankStep(withDeg, ranks, teleport).localCheckpoint(false)
+      ranks = graft.util.Checkpoints.partitionedLazy(
+        pageRankStep(adj, ranks, teleport), "id")
       i += 1
     }
     ranks
   }
 
-  /** One power iteration against the pinned-partitioning edge frame —
+  /** One power iteration against the pinned-partitioning adjacency frame —
     * exposed so PlanSpec can count the exchanges a single round actually
     * executes (the lazy-checkpoint chain hides upstream plans from the
-    * final frame's queryExecution). */
-  private[graft] def pageRankStep(withDeg: DataFrame, ranks: DataFrame,
+    * final frame's queryExecution). The per-vertex share ⌊r/deg⌋ is
+    * computed ONCE before the explode; each exploded row carries it to its
+    * dst. */
+  private[graft] def pageRankStep(adj: DataFrame, ranks: DataFrame,
                                   teleport: Long): DataFrame =
-    withDeg
+    adj
       .join(ranks.withColumnRenamed("id", "src"), "src")
-      .select(col("dst"), expr("r div deg").as("c"))
+      .select(expr("r div size(adj)").as("c"), explode(col("adj")).as("dst"))
       .groupBy("dst").agg(sum("c").as("s"))
       .select(col("dst").as("id"),
         (lit(teleport) + expr("(85 * s) div 100")).as("r"))
@@ -95,6 +101,16 @@ object Graph {
     * for why a plain localCheckpoint loses its claim under AQE. */
   private[graft] def checkpointPartitioned(df: DataFrame, key: String): DataFrame =
     graft.util.Checkpoints.partitioned(df, key)
+
+  /** Emit both directions of each undirected pair `(c, s)` in ONE pass —
+    * the union formulation re-runs the pair derivation per branch (Spark
+    * shares no common subplans). */
+  private def symmetrize(pairs: DataFrame): DataFrame =
+    pairs
+      .select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst")),
+        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
   /** Personalized (seeded) PageRank over WEIGHTED edges `(src, dst, w)`:
     * teleport mass returns only to the seed set (uniformly), and each
@@ -106,11 +122,15 @@ object Graph {
     * flows outward from the seeds only. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iterations: Int): DataFrame = {
-    // One materialization of the edge derivation — see [[pageRank]].
-    val e0 = edges.localCheckpoint()
-    val wsum = e0.groupBy("src").agg(sum("w").as("wsum"))
-    // Pinned hashpartitioning(src, N) — see [[checkpointPartitioned]].
-    val withW = checkpointPartitioned(e0.join(wsum, "src"), "src")
+    // Weighted adjacency: one groupBy(src) collects (dst, w) structs AND
+    // the out-weight total in the same aggregate — the edge derivation runs
+    // once, with no separate wsum join (see [[pageRank]] for the per-round
+    // payoff of the V-row adjacency representation).
+    val adj = checkpointPartitioned(
+      edges.groupBy("src").agg(
+        collect_list(struct(col("dst"), col("w"))).as("adj"),
+        sum("w").as("wsum")),
+      "src")
     val nSeeds = seeds.count()
     val teleport = (15L * Scale) / (100L * nSeeds)
     val seedSet = seeds.select(col("id"), lit(true).as("is_seed"))
@@ -119,29 +139,34 @@ object Graph {
     // a pinned vertices side makes the per-round attach join exchange-free;
     // a lazy checkpoint would claim Unknown and re-shuffle it each round).
     val vertices = graft.util.Checkpoints.partitioned(
-      wsum.select(col("src").as("id"))
+      adj.select(col("src").as("id"))
         .join(seedSet, Seq("id"), "left")
         .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed")),
       "id")
-    var ranks = vertices
-      .select(col("id"),
-        when(col("is_seed"), lit(Scale / nSeeds)).otherwise(lit(0L)).as("r"))
-      .localCheckpoint(false)
+    // partitioning-preserving lazy round checkpoints — see [[pageRank]]
+    var ranks = graft.util.Checkpoints.partitionedLazy(
+      vertices.select(col("id"),
+        when(col("is_seed"), lit(Scale / nSeeds)).otherwise(lit(0L)).as("r")),
+      "id")
     var i = 0
     while (i < iterations) {
-      ranks = pprStep(withW, vertices, ranks, teleport).localCheckpoint(false)
+      ranks = graft.util.Checkpoints.partitionedLazy(
+        pprStep(adj, vertices, ranks, teleport), "id")
       i += 1
     }
     ranks
   }
 
   /** One personalized-PageRank iteration — exposed for the PlanSpec
-    * exchange pin, like [[pageRankStep]]. */
-  private[graft] def pprStep(withW: DataFrame, vertices: DataFrame,
+    * exchange pin, like [[pageRankStep]]. The weighted share
+    * ⌊r·w/wsum⌋ is per-EDGE (unlike pageRank's per-vertex share), so it is
+    * computed after the explode; r and wsum ride along per row. */
+  private[graft] def pprStep(adj: DataFrame, vertices: DataFrame,
                              ranks: DataFrame, teleport: Long): DataFrame = {
-    val contrib = withW
+    val contrib = adj
       .join(ranks.withColumnRenamed("id", "src"), "src")
-      .select(col("dst"), expr("(r * w) div wsum").as("c"))
+      .select(col("r"), col("wsum"), explode(col("adj")).as("e"))
+      .select(col("e.dst").as("dst"), expr("(r * e.w) div wsum").as("c"))
       .groupBy("dst").agg(sum("c").as("s"))
     vertices
       .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
@@ -161,8 +186,10 @@ object Graph {
     val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    // symmetrize via explode, not union: a union's two branches would each
+    // re-run the pair derivation (no common-subplan sharing) — the explode
+    // reads it once and emits both directions in the same pass
+    val edges = symmetrize(pairs)
     pageRank(edges, 5)
       .select(
         when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
@@ -184,8 +211,12 @@ object Graph {
     val pw = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .agg(countDistinct("o_orderkey").as("w"))
-    val edges = pw.select(col("c").as("src"), col("s").as("dst"), col("w"))
-      .unionByName(pw.select(col("s").as("src"), col("c").as("dst"), col("w")))
+    // one-pass symmetrization — see [[g1PageRank]]
+    val edges = pw
+      .select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst"), col("w")),
+        struct(col("s").as("src"), col("c").as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
     val seeds = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING")
       .select((col("c_custkey") * 2).as("id"))
@@ -279,20 +310,28 @@ object Graph {
     * Seeds not present in the edge list are legal: they surface at hops 0
     * and expand nothing. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    // Materialize the edge list ONCE (eager, like pageRank's withDeg):
-    // every round's frontier expansion joins it, and an unmaterialized
-    // edge frame would re-run its derivation (scan + join + distinct)
-    // maxHops times. The explicit repartition pins hashpartitioning(src, N)
-    // onto the checkpoint — a bare union-shaped edge list checkpoints with
-    // UNKNOWN partitioning and every round would re-shuffle all of E on
-    // src, turning the telescoping O(E)-total contract into O(E·maxHops).
-    val e = checkpointPartitioned(edges, "src")
+    // Adjacency build, as in [[pageRank]]: one groupBy(src) materializes
+    // the edge derivation ONCE into a V-row frame with pinned
+    // hashpartitioning(src, N) — every round's frontier join is then
+    // vertex-sized on both sides (a bare edge list would re-sort E rows
+    // per round under sort-merge, and an unpinned checkpoint would
+    // re-SHUFFLE them, turning the telescoping O(E)-total contract into
+    // O(E·maxHops)).
+    val adjE = checkpointPartitioned(
+      edges.groupBy("src").agg(collect_list(col("dst")).as("adj")), "src")
     var dist = seeds.select(col("id"), lit(0).cast("int").as("hops"))
       .localCheckpoint(false)
     var frontier = dist.select("id")
     var h = 1
     while (h <= maxHops) {
-      val next = bfsStep(e, frontier, dist, h).localCheckpoint(false)
+      // the frontier checkpoint carries hash(id) (the step ends in a
+      // distinct on id; the anti join preserves it), so the next round's
+      // adjacency join is exchange-free on the frontier side too. The
+      // settled set stays a plain lazy checkpoint: its union has no single
+      // partitioning to carry, and repartitioning it per round would cost
+      // exactly the exchange it saves in the anti probe.
+      val next = graft.util.Checkpoints.partitionedLazy(
+        bfsStep(adjE, frontier, dist, h), "id")
       dist = dist.unionByName(next).localCheckpoint(false)
       frontier = next.select("id")
       h += 1
@@ -302,10 +341,10 @@ object Graph {
 
   /** One frontier expansion — exposed for the PlanSpec exchange pin, like
     * [[pageRankStep]]. */
-  private[graft] def bfsStep(e: DataFrame, frontier: DataFrame,
+  private[graft] def bfsStep(adjE: DataFrame, frontier: DataFrame,
                              dist: DataFrame, h: Int): DataFrame =
-    e.join(frontier.withColumnRenamed("id", "src"), "src")
-      .select(col("dst").as("id")).distinct()
+    adjE.join(frontier.withColumnRenamed("id", "src"), "src")
+      .select(explode(col("adj")).as("id")).distinct()
       .join(dist, Seq("id"), "left_anti")
       .withColumn("hops", lit(h).cast("int"))
 
@@ -321,8 +360,7 @@ object Graph {
     val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val edges = symmetrize(pairs)
     val seeds = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING")
       .select((col("c_custkey") * 2).as("id"))

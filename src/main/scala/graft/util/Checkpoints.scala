@@ -32,13 +32,30 @@ object Checkpoints {
     * cannot fence unrelated concurrent query submission — callers running a
     * multi-threaded driver should route those through `spark.newSession()`
     * (separate conf view, shared catalog/state). */
-  def partitioned(df: DataFrame, key: String): DataFrame = {
+  def partitioned(df: DataFrame, key: String): DataFrame =
+    build(df, key, eager = true)
+
+  /** Lazy sibling of [[partitioned]]: same preserved hash(`key`) claim, but
+    * materialization happens inside the consumer's action — the shape
+    * fixed-schedule iteration loops need (an eager barrier per round costs
+    * a job launch per round; measured 7.8 s of pure overhead on the g1
+    * five-round loop). When `df` already claims hash(`key`) — e.g. it ends
+    * in a `groupBy(key)` whose plan was captured with AQE off — the
+    * explicit repartition is elided and the checkpoint is a free claim
+    * carrier: the next round's join against another hash(`key`) frame
+    * needs NO exchange on either side. */
+  def partitionedLazy(df: DataFrame, key: String): DataFrame =
+    build(df, key, eager = false)
+
+  private def build(df: DataFrame, key: String, eager: Boolean): DataFrame = {
     val spark = df.sparkSession
     spark.synchronized {
       val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val prev = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try df.repartition(n, col(key)).localCheckpoint()
+      // the PLAN (and with it the partitioning claim) is captured here for
+      // both variants; `eager` only controls when the RDD materializes
+      try df.repartition(n, col(key)).localCheckpoint(eager)
       finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     }
   }

@@ -384,44 +384,59 @@ class PlanSpec extends SparkSpec {
     keys.foreach(spark.conf.set(_, "-1"))
     try {
       import spark.implicits._
+      import org.apache.spark.sql.functions.{collect_list, struct}
       val edges = (0L until 400L).map(i => (i % 20, (i * 7 + 3) % 20))
         .toDF("src", "dst")
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val withDeg = Graph.checkpointPartitioned(edges.join(deg, "src"), "src")
-      val claim = withDeg.queryExecution.analyzed.asInstanceOf[LogicalRDD]
+      val adj = Graph.checkpointPartitioned(
+        edges.groupBy("src").agg(collect_list(col("dst")).as("adj")), "src")
+      val claim = adj.queryExecution.analyzed.asInstanceOf[LogicalRDD]
         .outputPartitioning
       assert(claim.isInstanceOf[HashPartitioning] &&
         claim.asInstanceOf[HashPartitioning].expressions.map(_.sql) == Seq("src"),
-        s"checkpointed edge frame lost its partitioning claim: $claim")
+        s"checkpointed adjacency frame lost its partitioning claim: $claim")
 
-      val ranks = deg.select(col("src").as("id"), lit(1000L).as("r"))
-        .localCheckpoint(false)
-      val pr = plan(Graph.pageRankStep(withDeg, ranks, 7L))
-      // exactly: the rank-side join exchange + the dst aggregation — an
-      // edge-side exchange would make it 3
-      assert("Exchange hashpartitioning".r.findAllIn(pr).size === 2,
-        s"pageRank step re-shuffles the edge frame:\n$pr")
+      // ranks built the production way: a partitioning-preserving lazy
+      // checkpoint, so the rank-side claim makes the round join
+      // exchange-free — ONE exchange per round (the combined dst partials)
+      val ranks0 = graft.util.Checkpoints.partitionedLazy(
+        adj.select(col("src").as("id"), lit(1000L).as("r")), "id")
+      val pr0 = plan(Graph.pageRankStep(adj, ranks0, 7L))
+      assert("Exchange hashpartitioning".r.findAllIn(pr0).size === 1,
+        s"pageRank round 1 re-shuffles a frame it should not:\n$pr0")
+      // steady state (round 2+): the previous round's OUTPUT re-enters
+      val ranks1 = graft.util.Checkpoints.partitionedLazy(
+        Graph.pageRankStep(adj, ranks0, 7L), "id")
+      val pr1 = plan(Graph.pageRankStep(adj, ranks1, 7L))
+      assert("Exchange hashpartitioning".r.findAllIn(pr1).size === 1,
+        s"pageRank steady-state round re-shuffles a frame it should not:\n$pr1")
 
-      val e = Graph.checkpointPartitioned(edges, "src")
       val dist = edges.select(col("src").as("id")).distinct().limit(3)
         .select(col("id"), lit(0).cast("int").as("hops")).localCheckpoint(false)
-      val bfs = plan(Graph.bfsStep(e, dist.select("id"), dist, 1))
-      // exactly: frontier-side join exchange + the distinct + the settled
-      // side of the anti join — all vertex/frontier-sized
-      assert("Exchange hashpartitioning".r.findAllIn(bfs).size === 3,
-        s"bfs step re-shuffles the edge frame:\n$bfs")
+      // steady state: round 2 consumes a claim-carrying frontier — its
+      // adjacency join is exchange-free; exactly the new-candidate distinct
+      // + the settled side of the anti probe remain
+      val next1 = graft.util.Checkpoints.partitionedLazy(
+        Graph.bfsStep(adj, dist.select("id"), dist, 1), "id")
+      val dist1 = dist.unionByName(next1).localCheckpoint(false)
+      val bfs = plan(Graph.bfsStep(adj, next1.select("id"), dist1, 2))
+      assert("Exchange hashpartitioning".r.findAllIn(bfs).size === 2,
+        s"bfs steady-state round re-shuffles the adjacency or frontier:\n$bfs")
 
       val wedges = edges.withColumn("w", lit(1L))
-      val wsum = wedges.groupBy("src").agg(sum(col("w")).as("wsum"))
-      val withW = Graph.checkpointPartitioned(wedges.join(wsum, "src"), "src")
+      val adjW = Graph.checkpointPartitioned(
+        wedges.groupBy("src").agg(
+          collect_list(struct(col("dst"), col("w"))).as("adj"),
+          sum(col("w")).as("wsum")), "src")
       val vertices = graft.util.Checkpoints.partitioned(
-        wsum.select(col("src").as("id"), lit(false).as("is_seed")), "id")
-      val ppr = plan(Graph.pprStep(withW, vertices, ranks, 7L))
-      // exactly: the rank-side contrib exchange + the dst aggregation — the
-      // pinned vertices side and the edge frame never re-shuffle (contrib's
+        adjW.select(col("src").as("id"), lit(false).as("is_seed")), "id")
+      val ranksW = graft.util.Checkpoints.partitionedLazy(
+        vertices.select(col("id"), lit(1000L).as("r")), "id")
+      val ppr = plan(Graph.pprStep(adjW, vertices, ranksW, 7L))
+      // exactly: the dst aggregation — the rank-side contrib join AND the
+      // pinned-vertices attach join are both exchange-free (contrib's
       // aggregate output is already hash(id))
-      assert("Exchange hashpartitioning".r.findAllIn(ppr).size === 2,
-        s"ppr step re-shuffles the edge or vertices frame:\n$ppr")
+      assert("Exchange hashpartitioning".r.findAllIn(ppr).size === 1,
+        s"ppr step re-shuffles the adjacency, rank, or vertices frame:\n$ppr")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 }
