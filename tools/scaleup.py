@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Key-offset replication of a testdata SF dir to N x its size (default 10x).
+
+Usage:
+  python3 tools/scaleup.py [--base /root/testdata/sf0.1] [--factor 10] \
+      [--out target/scale/sf1]
+
+Produces an FK-consistent scaled copy: every fact/dim table is replicated
+`factor` times with each replica's keys offset by `i * keyspace` (keyspaces
+are contiguous 0-based in the driver data, so replicas never collide and
+every FK still joins to exactly one parent). `region`/`nation` are fixed
+enumerations and are copied as-is.
+
+Two tables get DECORRELATED payloads so similarity workloads scale the way a
+real 10x corpus does instead of the way 10 identical copies do:
+
+- documents.text — every word token is salted with the replica id
+  (`foo` -> `foo3` in replica 3). Within-replica near-dup structure is
+  preserved exactly; across replicas token sets are disjoint, so shingle /
+  minhash / simhash candidate pairs grow linearly with the factor. Unsalted
+  replication would put 10 identical copies of every doc in every LSH
+  bucket and inflate candidate pairs ~quadratically — an artifact, not a
+  measurement.
+- embeddings.embedding — replica i's vector is rotated by i positions
+  (dim 64 >> factor). Rotations of the same vector are mutually
+  near-orthogonal in expectation, so replicas do not become each other's
+  nearest neighbors and SRP/IVF bucket occupancy scales linearly.
+
+Writing stays inside the repo (target/ is git-ignored); /root/testdata is
+never touched.
+"""
+import argparse
+import os
+
+import duckdb
+
+# table -> (key column -> offset keyspace). Offsets are the driver data's
+# contiguous keyspace sizes (max key + 1), asserted against the base dir.
+KEYSPACES = {
+    "customer": {"c_custkey": 15000},
+    "supplier": {"s_suppkey": 1000},
+    "part": {"p_partkey": 20000},
+    "orders": {"o_orderkey": 150000, "o_custkey": 15000},
+    "lineitem": {"l_orderkey": 150000, "l_partkey": 20000, "l_suppkey": 1000},
+    "events": {"event_id": 100000, "user_id": 1500},
+    "documents": {"doc_id": 5000},
+    "embeddings": {"vec_id": 2000},
+}
+COPY_AS_IS = ["region", "nation"]
+# primary key per table, for the keyspace assertion
+PK = {"customer": "c_custkey", "supplier": "s_suppkey", "part": "p_partkey",
+      "orders": "o_orderkey", "lineitem": "l_orderkey", "events": "event_id",
+      "documents": "doc_id", "embeddings": "vec_id"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default="target/scale/sf1")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    con = duckdb.connect()
+
+    for t in COPY_AS_IS:
+        src, dst = f"{args.base}/{t}.parquet", f"{args.out}/{t}.parquet"
+        con.execute(f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)")
+        print(f"{t}: copied as-is")
+
+    for t, keys in KEYSPACES.items():
+        src, dst = f"{args.base}/{t}.parquet", f"{args.out}/{t}.parquet"
+        cols = [c[0] for c in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
+        # keyspace sizes are a contract with the driver data — verify, don't trust
+        mx = con.sql(f"SELECT max({PK[t]}) FROM '{src}'").fetchone()[0]
+        assert mx < keys[PK[t]], f"{t}.{PK[t]} max {mx} >= keyspace {keys[PK[t]]}"
+        exprs = []
+        for c in cols:
+            if c in keys:
+                exprs.append(f"{c} + i * {keys[c]} AS {c}")
+            elif t == "documents" and c == "text":
+                # salt every word token with the replica id (replica 0 keeps
+                # the original text bit-for-bit: '' suffix)
+                exprs.append(
+                    r"regexp_replace(text, '(\w+)', "
+                    r"'\1' || CASE WHEN i = 0 THEN '' ELSE i::VARCHAR END, 'g')"
+                    " AS text")
+            elif t == "embeddings" and c == "embedding":
+                # rotate by i positions; i=0 is the identity
+                exprs.append(
+                    "CASE WHEN i = 0 THEN embedding ELSE "
+                    "list_concat(embedding[i + 1:], embedding[:i]) END"
+                    " AS embedding")
+            else:
+                exprs.append(c)
+        sql = (f"COPY (SELECT {', '.join(exprs)} FROM '{src}', "
+               f"(SELECT unnest(range({args.factor}))::INT AS i)) "
+               f"TO '{dst}' (FORMAT PARQUET)")
+        con.execute(sql)
+        n0 = con.sql(f"SELECT count(*) FROM '{src}'").fetchone()[0]
+        n1 = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+        assert n1 == n0 * args.factor, (t, n0, n1)
+        print(f"{t}: {n0} -> {n1}")
+
+    total = sum(os.path.getsize(f"{args.out}/{f}") for f in os.listdir(args.out))
+    print(f"done: {args.out} ({total / 1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()
