@@ -19,6 +19,7 @@ table is a round-over-round diffable artifact: regenerate with one command
 after each bench instead of re-deriving ratios by hand.
 """
 import argparse
+import hashlib
 import json
 import os
 import sys
@@ -75,6 +76,11 @@ def main():
     lines.append("")
     lines.append(f"- sf dir: `{args.sf_dir}`  |  bench: `{args.bench_out}`  "
                  f"|  DuckDB runs per query: {args.runs} (min)")
+    with open(args.bench_out, "rb") as f:
+        bench_md5 = hashlib.md5(f.read()).hexdigest()
+    lines.append(f"- bench fingerprint: md5 `{bench_md5}`  |  "
+                 f"{len(bench.get('queries', {}))} benched queries  |  "
+                 f"generated {time.strftime('%Y-%m-%d %H:%M:%S %Z')}")
     bench_sf = bench.get("sf", "")
     if bench_sf and os.path.normpath(bench_sf) != os.path.normpath(args.sf_dir):
         lines.append(f"- **WARNING: bench ran at `{bench_sf}` but DuckDB is "
