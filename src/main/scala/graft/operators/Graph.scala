@@ -45,10 +45,14 @@ object Graph {
     *
     * Edge representation: ADJACENCY LISTS, not edge rows. Setup folds the
     * caller's edge derivation into one `groupBy(src)` that collects each
-    * vertex's out-neighbors into an array (out-degree = array size, so the
+    * vertex's out-neighbors into a SET (out-degree = array size, so the
     * old separate degree aggregate + join + second checkpoint are gone),
     * then checkpoints the V-row result with its hash(src) partitioning
-    * pinned. The payoff is per-round: the iteration joins two VERTEX-sized
+    * pinned. `collect_set` means edges are SET-semantics (a repeated
+    * (src, dst) row counts once) — so callers can feed the raw,
+    * non-deduplicated pair stream and skip their own `distinct()`: the
+    * map-side partial sets dedup in-stage, folding what used to be two
+    * full shuffles (distinct + adjacency groupBy) into one. The payoff is per-round: the iteration joins two VERTEX-sized
     * frames — under sort-merge the edge-row formulation re-sorted all of E
     * every round (the checkpoint preserves partitioning, not sort order)
     * — and the E-row stream exists only between the `explode` and the
@@ -62,7 +66,7 @@ object Graph {
     * ⌊r/deg⌋ are row-local, so split rows sum to the identical result. */
   def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
     val adj = checkpointPartitioned(
-      edges.groupBy("src").agg(collect_list(col("dst")).as("adj")), "src")
+      edges.groupBy("src").agg(collect_set(col("dst")).as("adj")), "src")
     val n = adj.count()
     val teleport = (15L * Scale) / (100L * n)
     // LAZY checkpoints throughout the fixed-schedule loop (no per-round job
@@ -183,9 +187,12 @@ object Graph {
   def g1PageRank(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    // NO .distinct() on the pairs: pageRank's collect_set adjacency build
+    // dedups map-side inside its one shuffle — a pre-dedup here would add a
+    // second full exchange of the pair stream for nothing (measured: the
+    // distinct + adjacency-groupBy pair was the old two-shuffle setup).
     val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
     // symmetrize via explode, not union: a union's two branches would each
     // re-run the pair derivation (no common-subplan sharing) — the explode
     // reads it once and emits both directions in the same pass
@@ -208,9 +215,18 @@ object Graph {
   def g1bPersonalized(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    // One exchange computes the per-pair order weight instead of the two a
+    // `groupBy(c, s).agg(countDistinct(ok))` plans (dedup on hash(c, s, ok),
+    // then re-shuffle to hash(c, s)): an explicit repartition on (c, s)
+    // satisfies the clustered-distribution requirement of BOTH downstream
+    // aggregates — hash(c, s) co-locates every (c, s, ok) triple of a pair —
+    // so the distinct AND the count run in-stage on top of it.
     val pw = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      .agg(countDistinct("o_orderkey").as("w"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"),
+        col("o_orderkey").as("ok"))
+      .repartition(col("c"), col("s"))
+      .distinct()
+      .groupBy("c", "s").agg(count(lit(1)).as("w"))
     // one-pass symmetrization — see [[g1PageRank]]
     val edges = pw
       .select(explode(array(
@@ -318,7 +334,7 @@ object Graph {
     // re-SHUFFLE them, turning the telescoping O(E)-total contract into
     // O(E·maxHops)).
     val adjE = checkpointPartitioned(
-      edges.groupBy("src").agg(collect_list(col("dst")).as("adj")), "src")
+      edges.groupBy("src").agg(collect_set(col("dst")).as("adj")), "src")
     var dist = seeds.select(col("id"), lit(0).cast("int").as("hops"))
       .localCheckpoint(false)
     var frontier = dist.select("id")
@@ -357,9 +373,10 @@ object Graph {
   def g3BfsHops(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    // no pre-dedup — bfsHops' collect_set adjacency dedups in its one
+    // shuffle (see [[g1PageRank]])
     val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
     val edges = symmetrize(pairs)
     val seeds = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING")

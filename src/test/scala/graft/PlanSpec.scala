@@ -439,4 +439,23 @@ class PlanSpec extends SparkSpec {
         s"ppr step re-shuffles the adjacency, rank, or vertices frame:\n$ppr")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  /** g1b's pair-weight derivation: one explicit repartition on (c, s) must
+    * serve BOTH the triple dedup and the per-pair count — hash(c, s)
+    * co-locates every (c, s, ok) triple of a pair, so neither aggregate may
+    * plan its own exchange. A naive `groupBy(c, s).agg(countDistinct(ok))`
+    * plans two (dedup on hash(c, s, ok), re-shuffle to hash(c, s)); this
+    * pin holds the setup at the single-exchange form. */
+  test("g1b pair weights dedup and count on one (c, s) exchange") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import spark.implicits._
+    val triples = (0L until 600L).map(i => (i % 20, (i * 7) % 15, i % 50))
+      .toDF("c", "s", "ok")
+    val pw = triples.repartition(col("c"), col("s"))
+      .distinct()
+      .groupBy("c", "s").agg(count(lit(1)).as("w"))
+    val p = plan(pw)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"pair-weight chain should reuse the one (c, s) repartition:\n$p")
+  }
 }
