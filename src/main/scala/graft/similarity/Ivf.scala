@@ -48,8 +48,8 @@ object Ivf {
     IvfIndex(assigned, model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
   }
 
-  /** Search: for query vectors (`vec_id % 20 = 0`), probe the nprobe nearest
-    * cells and rank candidates by exact dot product. */
+  /** Search: for the given query vectors, probe the nprobe nearest cells
+    * and rank candidates by exact dot product. */
   def search(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -81,7 +81,10 @@ object Ivf {
       .select("a_id", "rk", "b_id", "dot")
   }
 
-  /** Driver query: IVF top-5 for the `vec_id % 20 = 0` query stratum.
+  /** Driver query: IVF top-5 for the fixed-count query stratum
+    * ([[Knn.queryIds]] — a constant-size query set, so search cost is
+    * queryN·nprobe·√n, sub-linear in the corpus; the old fractional
+    * stratum made it O(n²/80) and measured 13.2× at 10× data).
     * nlist ≈ √n keeps cells at √n vectors, so a probe touches
     * nprobe·√n candidates — the standard IVF cost curve; nprobe = nlist/4
     * trades ~4× scan reduction for recall (IvfSpec pins the recall floor
@@ -101,7 +104,9 @@ object Ivf {
     // the fit cost stays O(nlist) while assignment stays one full pass
     val fitFrac = math.min(1.0, 50.0 * nlist / n.toDouble)
     val index = build(emb, nlist, fitFrac = fitFrac)
-    search(index, emb.filter(col("vec_id") % 20 === 0), k = 5, nprobe = nprobe)
+    // stratum semi-join: Knn.queryIds is ≤ queryN rows by construction
+    search(index, emb.join(broadcast(Knn.queryIds(emb)), "vec_id"),
+        k = 5, nprobe = nprobe)
       .orderBy("a_id", "rk")
   }
 
@@ -135,7 +140,7 @@ object Ivf {
           Window.partitionBy("vec_id").orderBy(col("adot").desc, col("cell").asc))))
     val assign = ranked.filter(col("ark") === 1)
       .select(col("vec_id").as("b_id"), col("cell"))
-    val probes = ranked.filter(col("vec_id") % 20 === 0)
+    val probes = ranked.join(broadcast(Knn.queryIds(emb)), "vec_id")
       .filter(col("ark") <= nprobe)
       .select(col("vec_id").as("a_id"), col("cell"))
     // each b sits in exactly one cell and each (a, cell) probe is unique, so
@@ -226,10 +231,12 @@ object Ivf {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY adot DESC, cell) AS ark
         |  FROM adots),
         |assign AS (SELECT vec_id AS b_id, cell FROM ranked WHERE ark = 1),
+        |${Knn.queryIdsSql},
         |probes AS (
         |  SELECT r.vec_id AS a_id, r.cell
         |  FROM ranked r CROSS JOIN params
-        |  WHERE r.vec_id % 20 = 0 AND r.ark <= params.nprobe),
+        |  WHERE r.vec_id IN (SELECT vec_id FROM q_ids)
+        |    AND r.ark <= params.nprobe),
         |cand AS (
         |  SELECT a_id, b_id FROM probes JOIN assign USING (cell)
         |  WHERE a_id <> b_id),

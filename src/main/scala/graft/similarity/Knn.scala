@@ -39,15 +39,63 @@ object Knn {
       lit(0.0),
       (acc, x) => acc + x)
 
-  /** Exact top-k inner-product neighbors for query vectors (`vec_id % 20 = 0`).
-    * Norms are one fold per *vector* (broadcast-joined in), not per pair —
-    * per-pair norm recomputation cost |queries|·|corpus| redundant folds. */
+  /** Query-stratum size: a fixed COUNT, deliberately NOT a fraction of the
+    * corpus. Round 7's empirical scale curve measured the old fractional
+    * stratum (`vec_id % 20 = 0`) at 89.6×/84.2× wall-time growth for 10×
+    * data on the exact/quantized tiers — |queries| and |corpus| both grew,
+    * making the scan O(n²/20) and the broadcast side unbounded. With a
+    * constant query count the exact tiers are O(queryN · n): linear in the
+    * corpus, and the broadcast side is ≤ queryN rows by construction at ANY
+    * scale. This is the production shape — an audit/eval query set is a
+    * fixed workload, not a census of the corpus. */
+  val queryN = 100
+
+  private def queryKey(id: Column): Column =
+    graft.dedup.Dedup.md5Hash60(concat(lit("knnq|"), id.cast("string")))
+
+  /** The deterministic fixed-count query stratum: the [[queryN]] vectors
+    * whose md5-derived key is smallest (ties broken by id — keys are
+    * 60-bit md5 prefixes, so collisions are negligible but the order is
+    * total either way). `orderBy.limit(n)` plans as TakeOrderedAndProject:
+    * a per-partition top-N then one N-row merge — an O(n) scan with no
+    * global sort, safe at any corpus size. Returns `(a_id, ea)` so exact
+    * tiers can broadcast the vectors directly. */
+  def queryVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        queryKey(col("vec_id")).as("qk"))
+      .orderBy(col("qk"), col("a_id")).limit(queryN)
+      .select("a_id", "ea")
+
+  /** Just the stratum ids (single `vec_id` column), for semi-join
+    * filtering of code/probe frames in the sketch tiers. */
+  def queryIds(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), queryKey(col("vec_id")).as("qk"))
+      .orderBy(col("qk"), col("vec_id")).limit(queryN)
+      .select("vec_id")
+
+  /** The same stratum as a DuckDB CTE (`q_ids(vec_id)`) — md5 prefix→int64
+    * is the engine-portable hash idiom shared with the dedup tier, so both
+    * engines pick the identical [[queryN]] ids at every corpus size. */
+  private[similarity] val queryIdsSql: String =
+    s"""q_ids AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY
+       |        CAST('0x' || substr(md5('knnq|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |        vec_id) AS qr
+       |    FROM embeddings)
+       |  WHERE qr <= $queryN)""".stripMargin
+
+  /** Exact top-k inner-product neighbors for the fixed-count query stratum
+    * ([[queryVectors]]). Norms are one fold per *vector* (broadcast-joined
+    * in), not per pair — per-pair norm recomputation cost
+    * |queries|·|corpus| redundant folds. */
   def bruteForceTopK(emb: DataFrame, k: Int): DataFrame = {
-    val q = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-      .filter(col("a_id") % 20 === 0)
+    val q = queryVectors(emb)
     val c = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     val norms = emb.select(col("vec_id").as("id"),
       dotFold(col("embedding"), col("embedding")).as("n2"))
+    // q broadcasts BY DESIGN and is bounded: ≤ queryN rows by construction
+    // at any corpus size (the non-equi pairing needs one resident side).
     val scored = c.join(broadcast(q), col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), dotFold(col("ea"), col("eb")).as("dot"))
     val rk = Window.partitionBy("a_id").orderBy(col("dot").desc, col("b_id").asc)
@@ -140,7 +188,10 @@ object Knn {
     // query-side filter differentiates the subtrees and defeats exchange
     // reuse, so cache the sketch (a few KB per thousand vectors)
     val codes = graft.util.Caches.scoped(srpCodes(emb, bits))
-    val qc = codes.filter(col("id") % 20 === 0).toDF("a_id", "t", "code")
+    // stratum semi-join: queryIds is ≤ queryN rows by construction, the one
+    // legitimately-broadcast frame in this family
+    val qc = codes.join(broadcast(queryIds(emb).withColumnRenamed("vec_id", "id")), "id")
+      .toDF("a_id", "t", "code")
     val bc = codes.toDF("b_id", "t", "code")
     val cand = qc.join(bc, Seq("t", "code")).filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
@@ -157,7 +208,7 @@ object Knn {
   def lshTopKMultiprobe(emb: DataFrame, k: Int, bits: Int = lshBits): DataFrame = {
     val codes = graft.util.Caches.scoped(srpCodes(emb, bits))
     val probes = (0 until bits).map(j => col("code").bitwiseXOR(lit(1L << j))) :+ col("code")
-    val qc = codes.filter(col("id") % 20 === 0)
+    val qc = codes.join(broadcast(queryIds(emb).withColumnRenamed("vec_id", "id")), "id")
       .select(col("id").as("a_id"), col("t"), explode(array(probes: _*)).as("code"))
     val bc = codes.toDF("b_id", "t", "code")
     val cand = qc.join(bc, Seq("t", "code")).filter(col("a_id") =!= col("b_id"))
@@ -184,12 +235,14 @@ object Knn {
     * scan traffic than [[bruteForceTopK]] for the same access pattern),
     * stage 2 touches |queries|·k·rerank full vectors instead of the corpus.
     * Same by-design query-stratum broadcast as the exact baseline (the
-    * non-equi scan needs one resident side; batching the query stratum is
-    * the production cost knob); the rerank joins are plain shuffle
-    * equi-joins — candidate frames only. */
+    * non-equi scan needs one resident side), and the stratum is a FIXED
+    * COUNT ([[queryN]]) — so the broadcast is bounded and the int8 scan is
+    * O(queryN · n), linear in the corpus; the rerank joins are plain
+    * shuffle equi-joins — candidate frames only. */
   def quantizedTopK(emb: DataFrame, k: Int, rerank: Int = 4): DataFrame = {
     val qc = emb.select(col("vec_id").as("b_id"), quantize(col("embedding")).as("qb"))
-    val qq = qc.toDF("a_id", "qa").filter(col("a_id") % 20 === 0)
+    val qq = qc.toDF("a_id", "qa")
+      .join(broadcast(queryIds(emb).withColumnRenamed("vec_id", "a_id")), "a_id")
     val approx = qc.join(broadcast(qq), col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), intDotFold(col("qa"), col("qb")).as("qdot"))
     val w1 = Window.partitionBy("a_id").orderBy(col("qdot").desc, col("b_id").asc)
@@ -232,20 +285,20 @@ object Knn {
       .filter(col("cosine") >= threshold)
   }
 
-  /** Exact cosine pairs over the `vec_id % 20 = 0` query stratum — the
-    * sampled brute-force audit for the sketch tier: at 100 TB you never run
-    * all-pairs, you run exact cosine for a fixed sample of queries and
-    * measure sketch recall against it. Same broadcast + ordered-fold shape
-    * as [[bruteForceTopK]], so it is oracle-exact. */
+  /** Exact cosine pairs over the fixed-count query stratum
+    * ([[queryVectors]]) — the sampled brute-force audit for the sketch
+    * tier: at 100 TB you never run all-pairs, you run exact cosine for a
+    * fixed sample of queries and measure sketch recall against it. Same
+    * broadcast + ordered-fold shape as [[bruteForceTopK]], so it is
+    * oracle-exact. */
   def cosineExactPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val q = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-      .filter(col("a_id") % 20 === 0)
+    val q = queryVectors(emb)
     val c = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     val norms = emb.select(col("vec_id").as("id"),
       sqrt(dotFold(col("embedding"), col("embedding"))).as("nrm"))
-    // q broadcasts BY DESIGN: the non-equi pairing needs one side resident,
-    // and the sampled stratum is the audit's cost knob. norms is corpus-
-    // sized, so its joins are plain shuffle equi-joins — no hint.
+    // q broadcasts BY DESIGN and is bounded (≤ queryN rows): the non-equi
+    // pairing needs one side resident. norms is corpus-sized, so its joins
+    // are plain shuffle equi-joins — no hint.
     c.join(broadcast(q), col("a_id") =!= col("b_id"))
       .join(norms.toDF("a_id", "na"), "a_id")
       .join(norms.toDF("b_id", "nb"), "b_id")
@@ -347,8 +400,10 @@ object Knn {
 
   def oracle: Map[String, String] = Map(
     "s1_knn_exact" ->
-      """WITH q AS (
-        |  SELECT vec_id AS a_id, embedding AS ea FROM embeddings WHERE vec_id % 20 = 0),
+      s"""WITH $queryIdsSql,
+        |q AS (
+        |  SELECT vec_id AS a_id, embedding AS ea FROM embeddings
+        |  WHERE vec_id IN (SELECT vec_id FROM q_ids)),
         |norms AS (
         |  SELECT vec_id AS id,
         |    list_reduce(list_transform(range(1, len(embedding) + 1),
@@ -371,10 +426,11 @@ object Knn {
         |WHERE rk <= 5 ORDER BY a_id, rk""".stripMargin,
     "s2_knn_lsh" ->
       s"""WITH $codesSql,
+        |$queryIdsSql,
         |cand AS (
         |  SELECT DISTINCT qc.id AS a_id, c.id AS b_id
         |  FROM codes qc JOIN codes c ON c.t = qc.t AND c.code = qc.code AND c.id <> qc.id
-        |  WHERE qc.id % 20 = 0),
+        |  WHERE qc.id IN (SELECT vec_id FROM q_ids)),
         |dots AS (
         |  SELECT cand.a_id, cand.b_id,
         |    $dotSql AS dot
@@ -388,13 +444,14 @@ object Knn {
         |ORDER BY a_id, rk""".stripMargin,
     "s2b_knn_multiprobe" ->
       s"""WITH $codesSql,
+        |$queryIdsSql,
         |qp AS (
         |  SELECT c.id AS a_id, c.t,
         |    CASE WHEN p.k = w.width THEN c.code
         |         ELSE xor(c.code, CAST(1 AS BIGINT) << p.k) END AS code
         |  FROM codes c CROSS JOIN (SELECT unnest(range(0, ${maxOracleBits + 1})) AS k) p
         |       CROSS JOIN w
-        |  WHERE c.id % 20 = 0 AND p.k <= w.width),
+        |  WHERE c.id IN (SELECT vec_id FROM q_ids) AND p.k <= w.width),
         |cand AS (
         |  SELECT DISTINCT qp.a_id, b.id AS b_id
         |  FROM qp JOIN codes b ON b.t = qp.t AND b.code = qp.code AND b.id <> qp.a_id),
@@ -424,7 +481,8 @@ object Knn {
         |WHERE $dotSql / (na.nrm * nb.nrm) >= 0.3
         |ORDER BY cand.a_id, cand.b_id""".stripMargin,
     "s4_knn_quantized" ->
-      s"""WITH qc AS (
+      s"""WITH $queryIdsSql,
+        |qc AS (
         |  SELECT vec_id,
         |    list_transform(embedding,
         |      x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale) AS BIGINT)) AS q
@@ -434,7 +492,7 @@ object Knn {
         |    list_reduce(list_transform(range(1, len(a.q) + 1),
         |      i -> a.q[i] * b.q[i]), (acc, x) -> acc + x) AS qdot
         |  FROM qc a JOIN qc b ON b.vec_id <> a.vec_id
-        |  WHERE a.vec_id % 20 = 0),
+        |  WHERE a.vec_id IN (SELECT vec_id FROM q_ids)),
         |cand AS (
         |  SELECT a_id, b_id, qdot,
         |    row_number() OVER (PARTITION BY a_id ORDER BY qdot DESC, b_id) AS qrk
@@ -452,8 +510,9 @@ object Knn {
         |SELECT a_id, rk, b_id, qdot, dot FROM ranked WHERE rk <= 5
         |ORDER BY a_id, rk""".stripMargin,
     "d5b_cosine_exact" ->
-      s"""WITH q AS (
-        |  SELECT vec_id AS a_id FROM embeddings WHERE vec_id % 20 = 0),
+      s"""WITH $queryIdsSql,
+        |q AS (
+        |  SELECT vec_id AS a_id FROM q_ids),
         |$normsSql
         |SELECT q.a_id, b.vec_id AS b_id,
         |  $dotSql / (na.nrm * nb.nrm) AS cosine

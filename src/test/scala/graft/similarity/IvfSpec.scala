@@ -7,7 +7,9 @@ class IvfSpec extends SparkSpec {
   import spark.implicits._
 
   lazy val emb = Tables.embeddings(spark, sf0001)
-  lazy val queries = emb.filter(col("vec_id") % 20 === 0)
+  // the engine's fixed-count query stratum, so recall comparisons against
+  // bruteForceTopK (which picks the same stratum internally) line up
+  lazy val queries = emb.join(Knn.queryIds(emb), "vec_id")
   lazy val index = Ivf.build(emb, nlist = 8)
 
   test("index assigns every vector to exactly one of nlist cells") {

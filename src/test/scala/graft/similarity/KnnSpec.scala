@@ -101,8 +101,10 @@ class KnnSpec extends SparkSpec {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
+    // same fixed-count stratum the engine picks (md5-ranked top queryN)
+    val qset = Knn.queryIds(emb).as[Long].collect().toSet
     val want = (for {
-      (ia, va) <- e if ia % 20 == 0
+      (ia, va) <- e if qset.contains(ia)
       (ib, vb) <- e if ib != ia
       c = cos(va, vb) if c >= 0.3
     } yield (ia, ib) -> c).toMap
