@@ -128,19 +128,29 @@ object Ivf {
       .select(col("vec_id").as("cell"), col("embedding").as("ce"), ak.as("ak"))
       .orderBy(col("ak"), col("cell")).limit(nlist)
       .select("cell", "ce")
-    // one corpus pass scores every vector against the broadcast anchors;
-    // the embedding column is dropped BEFORE the window, so the cached frame
-    // is (id, cell, adot, ark) — never n·nlist copies of the vectors
-    val ranked = graft.util.Caches.scoped(
-      emb.select(col("vec_id"), col("embedding"))
+    // n·nlist anchor dots per side, scored against the BROADCAST anchor
+    // table (nlist ≈ √n ⇒ a few MB even at 10⁹ vectors)
+    def scored(vecs: DataFrame): DataFrame =
+      vecs.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(anchors))
         .select(col("vec_id"), col("cell"),
           Knn.dotFold(col("embedding"), col("ce")).as("adot"))
-        .withColumn("ark", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("adot").desc, col("cell").asc))))
-    val assign = ranked.filter(col("ark") === 1)
-      .select(col("vec_id").as("b_id"), col("cell"))
-    val probes = ranked.join(broadcast(Knn.queryIds(emb)), "vec_id")
+    // Assignment argmax as ONE map-side-complete aggregate: the anchors are
+    // broadcast, so every (vec, anchor) score of a vector sits in the same
+    // input partition and the max_by partial finishes in-stage — the only
+    // shuffle is n 2-column rows. (The old formulation cached the full
+    // n·nlist scored frame and ranked it with a window: a shuffle + sort of
+    // the whole O(n^1.5) frame just to pick each vector's max. max_by's
+    // (adot, -cell) struct key replays the window's exact tie-break:
+    // highest dot, then LOWEST cell.)
+    val assign = scored(emb)
+      .groupBy(col("vec_id").as("b_id"))
+      .agg(max_by(col("cell"), struct(col("adot"), (-col("cell")).as("nc"))).as("cell"))
+    // probe ranking needs top-nprobe PER QUERY only — score just the
+    // queryN-row stratum (queryN·nlist rows; the window sort is trivial)
+    val probes = scored(emb.join(broadcast(Knn.queryIds(emb)), "vec_id"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("adot").desc, col("cell").asc)))
       .filter(col("ark") <= nprobe)
       .select(col("vec_id").as("a_id"), col("cell"))
     // each b sits in exactly one cell and each (a, cell) probe is unique, so
