@@ -45,15 +45,18 @@ object SemDedup {
       .orderBy(col("ak"), col("cell")).limit(nlist)
       .select("cell", "ce")
     // one corpus pass; plain dot, not cosine — the per-row argmax only needs
-    // a consistent score, and s3b's oracle-shared convention is raw dot
+    // a consistent score, and s3b's oracle-shared convention is raw dot.
+    // Argmax as a map-side-complete max_by aggregate (anchors are broadcast,
+    // so all of a vector's anchor scores sit in one input partition): the
+    // only shuffle is n 2-column rows — the old window formulation shuffled
+    // and sorted the whole n·nlist scored frame. The (s, -cell) struct key
+    // replays the window's tie-break (highest dot, then lowest cell).
     val assign = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(anchors))
       .select(col("vec_id"), col("cell"),
         Knn.dotFold(col("embedding"), col("ce")).as("s"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("s").desc, col("cell").asc)))
-      .filter(col("rk") === 1)
-      .select("vec_id", "cell")
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("s"), (-col("cell")).as("nc"))).as("cell"))
     val norms = emb.select(col("vec_id"),
       sqrt(Knn.dotFold(col("embedding"), col("embedding"))).as("nrm"))
     // members is corpus-sized and feeds both sides of the cell self-join —
