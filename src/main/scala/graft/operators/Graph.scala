@@ -126,27 +126,33 @@ object Graph {
     * flows outward from the seeds only. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iterations: Int): DataFrame = {
+    val nSeeds = seeds.count()
+    val teleport = (15L * Scale) / (100L * nSeeds)
+    val seedSet = seeds.select(col("id").as("src"), lit(true).as("is_seed"))
     // Weighted adjacency: one groupBy(src) collects (dst, w) structs AND
     // the out-weight total in the same aggregate — the edge derivation runs
     // once, with no separate wsum join (see [[pageRank]] for the per-round
-    // payoff of the V-row adjacency representation).
+    // payoff of the V-row adjacency representation). The seed flag is
+    // folded into the SAME checkpoint: the left join's build side is the
+    // vertex-sized seed frame (its small shuffle is the only traffic; the
+    // groupBy output is already hash(src), which the checkpoint's
+    // repartition then elides), so one eager materialization carries
+    // adjacency, out-weight AND seed flag — the old separate `vertices`
+    // checkpoint was a second full V-row materialization job for a column
+    // this join attaches in-stage.
     val adj = checkpointPartitioned(
       edges.groupBy("src").agg(
         collect_list(struct(col("dst"), col("w"))).as("adj"),
-        sum("w").as("wsum")),
+        sum("w").as("wsum"))
+        .join(seedSet, Seq("src"), "left")
+        .select(col("src"), col("adj"), col("wsum"),
+          coalesce(col("is_seed"), lit(false)).as("is_seed")),
       "src")
-    val nSeeds = seeds.count()
-    val teleport = (15L * Scale) / (100L * nSeeds)
-    val seedSet = seeds.select(col("id"), lit(true).as("is_seed"))
-    // vertices joins the contrib frame EVERY iteration on id — pin its
-    // partitioning (contrib's dst-aggregate output is already hash(id), so
-    // a pinned vertices side makes the per-round attach join exchange-free;
-    // a lazy checkpoint would claim Unknown and re-shuffle it each round).
-    val vertices = graft.util.Checkpoints.partitioned(
-      adj.select(col("src").as("id"))
-        .join(seedSet, Seq("id"), "left")
-        .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed")),
-      "id")
+    // vertices joins the contrib frame EVERY iteration on id — it is a
+    // PROJECTION of the pinned adj frame (no second checkpoint): the
+    // hash(src) claim rewrites through the alias to hash(id), so the
+    // per-round attach join stays exchange-free on this side.
+    val vertices = adj.select(col("src").as("id"), col("is_seed"))
     // partitioning-preserving lazy round checkpoints — see [[pageRank]]
     var ranks = graft.util.Checkpoints.partitionedLazy(
       vertices.select(col("id"),
@@ -212,21 +218,33 @@ object Graph {
     * source-weighting pipelines use. Seeds with no orders are not graph
     * vertices; the teleport mass addressed to them is dropped identically
     * in both engines (they still count in the seed normalizer). */
-  def g1bPersonalized(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
-    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-    // One exchange computes the per-pair order weight instead of the two a
-    // `groupBy(c, s).agg(countDistinct(ok))` plans (dedup on hash(c, s, ok),
-    // then re-shuffle to hash(c, s)): an explicit repartition on (c, s)
-    // satisfies the clustered-distribution requirement of BOTH downstream
-    // aggregates — hash(c, s) co-locates every (c, s, ok) triple of a pair —
-    // so the distinct AND the count run in-stage on top of it.
-    val pw = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"),
-        col("o_orderkey").as("ok"))
+  /** Per-pair distinct count on ONE exchange: the explicit repartition on
+    * (c, s) satisfies the clustered-distribution requirement of BOTH
+    * downstream aggregates — hash(c, s) co-locates every (c, s, ok) triple
+    * of a pair — so the distinct AND the count run in-stage on top of it.
+    * A naive `groupBy(c, s).agg(countDistinct(ok))` plans two (dedup on
+    * hash(c, s, ok), then re-shuffle to hash(c, s)). PlanSpec pins the
+    * single-exchange form on THIS function, so a refactor cannot silently
+    * reintroduce the second exchange. */
+  private[graft] def pairWeightsFrom(triples: DataFrame): DataFrame =
+    triples
       .repartition(col("c"), col("s"))
       .distinct()
       .groupBy("c", "s").agg(count(lit(1)).as("w"))
+
+  /** g1b's pair-weight derivation: order-count weight per (customer,
+    * supplier) pair in the interleaved vertex space. */
+  private[graft] def pairWeights(li: DataFrame, ord: DataFrame): DataFrame =
+    pairWeightsFrom(
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"),
+          col("o_orderkey").as("ok")))
+
+  def g1bPersonalized(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val pw = pairWeights(li, ord)
     // one-pass symmetrization — see [[g1PageRank]]
     val edges = pw
       .select(explode(array(

@@ -137,35 +137,64 @@ class PlanSpec extends SparkSpec {
   }
 
   test("similarity tier never hints a corpus-scaled broadcast (100 TB safety)") {
-    // equi-join-only ANN paths: candidate gen, scoring, and verify must all
-    // shuffle — zero hints allowed anywhere in the plan
-    for (n <- Seq("s2_knn_lsh", "s2b_knn_multiprobe", "d5_embedding_neardup",
-                  "s3_knn_ivf")) {
+    // Every allowed hint is BOUNDED BY CONSTRUCTION: the ≤queryN-row
+    // stratum (orderBy.limit — a TakeOrdered subplan) or the nlist-row
+    // anchor table. Corpus-sized frames (codes, embeddings, norms, rerank
+    // lookups) must all shuffle, so each query's BroadcastExchange count is
+    // pinned exactly.
+    // ANN candidate paths: ONE hint — the stratum semi-join (a
+    // BroadcastHashJoin over the limit-bounded id list); candidate gen,
+    // scoring, and verify all shuffle
+    for (n <- Seq("s2_knn_lsh", "s2b_knn_multiprobe")) {
       val p = planNoAutoBroadcast(n)
+      assert("BroadcastExchange".r.findAllIn(p).size === 1,
+        s"$n: expected exactly the bounded query-stratum semi-join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+    }
+    // s3: the stratum frame feeds TWO consumers (probe-cell selection and
+    // the query embedding lookup), each printing its own exchange of the
+    // same limit-bounded id list
+    locally {
+      val p = planNoAutoBroadcast("s3_knn_ivf")
+      val bx = "BroadcastExchange".r.findAllIn(p).size
+      assert(bx >= 1 && bx <= 2,
+        s"s3_knn_ivf: expected only stratum semi-join broadcasts, got $bx:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"s3_knn_ivf:\n$p")
+    }
+    // the near-dup pair tier has NO query stratum: zero hints anywhere
+    locally {
+      val p = planNoAutoBroadcast("d5_embedding_neardup")
       assert(!p.contains("BroadcastExchange"),
-        s"$n: corpus-scaled broadcast hint crept back in:\n$p")
+        s"d5_embedding_neardup: corpus-scaled broadcast hint crept back in:\n$p")
     }
     // exact/scan baselines: the ONLY hint is the by-design query-stratum
-    // side of the non-equi BNLJ; every other join must shuffle (for s4 that
-    // means both full-precision rerank lookups)
-    for (n <- Seq("s1_knn_exact", "d5b_cosine_exact", "s4_knn_quantized")) {
+    // side of the non-equi BNLJ; every other join must shuffle
+    for (n <- Seq("s1_knn_exact", "d5b_cosine_exact")) {
       val p = planNoAutoBroadcast(n)
       assert("BroadcastExchange".r.findAllIn(p).size === 1,
         s"$n: expected exactly the query-stratum broadcast:\n$p")
       assert(p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
     }
-    // anchor IVF: the ONLY hint is the nlist-row anchor table feeding the
-    // assignment cross join (whose cached subtree prints once per consumer);
-    // probe/assign/rerank joins must all shuffle — so every BroadcastExchange
-    // in the text pairs 1:1 with a printed anchor cross join, and no
-    // BroadcastHashJoin exists anywhere
+    // s4: the stratum id list builds the quantized query side (hash
+    // semi-join) AND that bounded side feeds the int8 scan's BNLJ — two
+    // hints, both ≤queryN rows; both full-precision rerank lookups shuffle
+    locally {
+      val p = planNoAutoBroadcast("s4_knn_quantized")
+      assert("BroadcastExchange".r.findAllIn(p).size === 2,
+        s"s4_knn_quantized: expected the stratum semi-join + quantized BNLJ:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"), s"s4_knn_quantized:\n$p")
+    }
+    // anchor IVF: the nlist-row anchor table feeds one cross join per
+    // scored() consumer (assignment + probes), plus the one stratum
+    // semi-join on the probe side; assign/rerank joins all shuffle
     locally {
       val p = planNoAutoBroadcast("s3b_knn_ivf_anchor")
       val bx = "BroadcastExchange".r.findAllIn(p).size
       val cross = "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size
-      assert(bx === cross && cross >= 1,
-        s"s3b_knn_ivf_anchor: broadcast beyond the anchor cross join ($bx vs $cross):\n$p")
-      assert(!p.contains("BroadcastHashJoin"), s"s3b_knn_ivf_anchor:\n$p")
+      val strat = "BroadcastHashJoin".r.findAllIn(p).size
+      assert(cross >= 1 && strat === 1 && bx === cross + strat,
+        s"s3b_knn_ivf_anchor: broadcast beyond anchors + stratum " +
+          s"($bx vs $cross cross + $strat stratum):\n$p")
     }
   }
 
@@ -377,7 +406,7 @@ class PlanSpec extends SparkSpec {
     import graft.operators.Graph
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.execution.LogicalRDD
-    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
     val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
     val prev = keys.map(k => k -> spark.conf.get(k))
@@ -422,18 +451,26 @@ class PlanSpec extends SparkSpec {
       assert("Exchange hashpartitioning".r.findAllIn(bfs).size === 2,
         s"bfs steady-state round re-shuffles the adjacency or frontier:\n$bfs")
 
+      // the PRODUCTION adjacency shape: seed flag folded into the one
+      // checkpoint, vertices a mere projection of it (its hash(src) claim
+      // must rewrite through the alias to hash(id) for the attach join to
+      // stay exchange-free — exactly what this pin protects)
       val wedges = edges.withColumn("w", lit(1L))
+      val seedF = edges.select(col("src")).distinct().limit(3)
+        .withColumn("is_seed", lit(true))
       val adjW = Graph.checkpointPartitioned(
         wedges.groupBy("src").agg(
           collect_list(struct(col("dst"), col("w"))).as("adj"),
-          sum(col("w")).as("wsum")), "src")
-      val vertices = graft.util.Checkpoints.partitioned(
-        adjW.select(col("src").as("id"), lit(false).as("is_seed")), "id")
+          sum(col("w")).as("wsum"))
+          .join(seedF, Seq("src"), "left")
+          .select(col("src"), col("adj"), col("wsum"),
+            coalesce(col("is_seed"), lit(false)).as("is_seed")), "src")
+      val vertices = adjW.select(col("src").as("id"), col("is_seed"))
       val ranksW = graft.util.Checkpoints.partitionedLazy(
         vertices.select(col("id"), lit(1000L).as("r")), "id")
       val ppr = plan(Graph.pprStep(adjW, vertices, ranksW, 7L))
       // exactly: the dst aggregation — the rank-side contrib join AND the
-      // pinned-vertices attach join are both exchange-free (contrib's
+      // projected-vertices attach join are both exchange-free (contrib's
       // aggregate output is already hash(id))
       assert("Exchange hashpartitioning".r.findAllIn(ppr).size === 1,
         s"ppr step re-shuffles the adjacency, rank, or vertices frame:\n$ppr")
@@ -447,13 +484,13 @@ class PlanSpec extends SparkSpec {
     * plans two (dedup on hash(c, s, ok), re-shuffle to hash(c, s)); this
     * pin holds the setup at the single-exchange form. */
   test("g1b pair weights dedup and count on one (c, s) exchange") {
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import graft.operators.Graph
     import spark.implicits._
     val triples = (0L until 600L).map(i => (i % 20, (i * 7) % 15, i % 50))
       .toDF("c", "s", "ok")
-    val pw = triples.repartition(col("c"), col("s"))
-      .distinct()
-      .groupBy("c", "s").agg(count(lit(1)).as("w"))
+    // the PRODUCTION chain (g1bPersonalized's pair-weight derivation), not
+    // a re-spelled copy — a refactor of pairWeightsFrom fails this pin
+    val pw = Graph.pairWeightsFrom(triples)
     val p = plan(pw)
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       s"pair-weight chain should reuse the one (c, s) repartition:\n$p")

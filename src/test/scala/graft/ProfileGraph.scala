@@ -46,11 +46,11 @@ object ProfileGraph {
     t("final sort+limit") {
       ranks.orderBy(desc("r"), col("id")).limit(100).collect().length
     }
-    // ---- g1b phase breakdown ----
+    // ---- g1b phase breakdown (the PRODUCTION chains — pairWeights and
+    // the seed-folded adjacency checkpoint — so the phase attribution
+    // cannot drift from what g1bPersonalized actually plans) ----
     val pw = t("b: pair-weight agg") {
-      val f = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-        .agg(countDistinct("o_orderkey").as("w"))
+      val f = graft.operators.Graph.pairWeights(li, ord)
       f.count(); f
     }
     val wedges = pw
@@ -58,26 +58,22 @@ object ProfileGraph {
         struct(col("c").as("src"), col("s").as("dst"), col("w")),
         struct(col("s").as("src"), col("c").as("dst"), col("w")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
-    val badj = t("b: weighted adjacency ckpt") {
-      graft.util.Checkpoints.partitioned(
-        wedges.groupBy("src").agg(
-          collect_list(struct(col("dst"), col("w"))).as("adj"),
-          sum("w").as("wsum")),
-        "src")
-    }
     val seeds = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING")
       .select((col("c_custkey") * 2).as("id"))
     val nSeeds = t("b: seed count") { seeds.count() }
-    val seedSet = seeds.select(col("id"), lit(true).as("is_seed"))
-    val vertices = t("b: vertices ckpt") {
+    val seedSet = seeds.select(col("id").as("src"), lit(true).as("is_seed"))
+    val badj = t("b: adjacency+seed ckpt") {
       graft.util.Checkpoints.partitioned(
-        badj.select(col("src").as("id"))
-          .join(seedSet, Seq("id"), "left")
-          .select(col("id"),
+        wedges.groupBy("src").agg(
+          collect_list(struct(col("dst"), col("w"))).as("adj"),
+          sum("w").as("wsum"))
+          .join(seedSet, Seq("src"), "left")
+          .select(col("src"), col("adj"), col("wsum"),
             coalesce(col("is_seed"), lit(false)).as("is_seed")),
-        "id")
+        "src")
     }
+    val vertices = badj.select(col("src").as("id"), col("is_seed"))
     val btel = (15L * graft.operators.Graph.Scale) / (100L * nSeeds)
     var branks = graft.util.Checkpoints.partitionedLazy(
       vertices.select(col("id"),
