@@ -60,14 +60,21 @@ object Graph {
     * raw edges never shuffle. Per-round shuffle traffic: O(V) rank rows in,
     * O(V·partitions) combined partials out.
     *
-    * Hub caveat at 100 TB: one row holds a vertex's whole neighbor list.
-    * For graphs with hubs beyond array limits, split each hub's adjacency
-    * across k rows (carrying the TOTAL degree in each) — per-edge terms
-    * ⌊r/deg⌋ are row-local, so split rows sum to the identical result. */
-  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
-    val adj = checkpointPartitioned(
-      edges.groupBy("src").agg(collect_set(col("dst")).as("adj")), "src")
-    val n = adj.count()
+    * Hub safety at 100 TB: one row would otherwise hold a vertex's whole
+    * neighbor list, so [[adjacency]] splits any list longer than
+    * `maxAdjLen` across k rows — each carrying the vertex's TOTAL degree,
+    * which keeps the per-edge share ⌊r/deg⌋ row-local and the split rows'
+    * contributions summing to the identical result (GraphSpec pins the
+    * equality on a synthetic hub). The split happens in-stage after the
+    * aggregate: no extra shuffle, and the checkpoint's per-row size is
+    * bounded by maxAdjLen regardless of hub degree. */
+  def pageRank(edges: DataFrame, iterations: Int,
+               maxAdjLen: Int = defaultMaxAdjLen): DataFrame = {
+    val adj = checkpointPartitioned(adjacency(edges, maxAdjLen), "src")
+    // split rows carry part > 0 — vertex count is the part-0 row count
+    // (map-side countable; a distinct would cost the shuffle the split
+    // representation exists to avoid)
+    val n = adj.filter(col("part") === 0).count()
     val teleport = (15L * Scale) / (100L * n)
     // LAZY checkpoints throughout the fixed-schedule loop (no per-round job
     // launch; everything executes inside the consumer's single action), in
@@ -76,7 +83,8 @@ object Graph {
     // the next round makes the rank-side join exchange VANISH — one round
     // moves nothing but its own combined aggregation partials.
     var ranks = graft.util.Checkpoints.partitionedLazy(
-      adj.select(col("src").as("id"), lit(Scale / n).as("r")), "id")
+      adj.filter(col("part") === 0)
+        .select(col("src").as("id"), lit(Scale / n).as("r")), "id")
     var i = 0
     while (i < iterations) {
       ranks = graft.util.Checkpoints.partitionedLazy(
@@ -86,17 +94,38 @@ object Graph {
     ranks
   }
 
+  /** Default neighbor-list split length: 2²⁰ longs ≈ 8 MB per adjacency
+    * row — far above any vertex in the driver data, low enough that a
+    * power-law hub can never make a single row unmanageable. */
+  val defaultMaxAdjLen: Int = 1 << 20
+
+  /** SET-semantics adjacency in ONE `groupBy(src)` shuffle (map-side
+    * partial sets dedup in-stage), split into ≤`maxAdjLen`-element rows:
+    * `(src, deg, part, adj)` with `deg` the vertex's TOTAL out-degree on
+    * every split row and `part` the 0-based slice index. The slice
+    * transform runs in the aggregate's output stage — no extra exchange. */
+  private[graft] def adjacency(edges: DataFrame, maxAdjLen: Int): DataFrame = {
+    require(maxAdjLen > 0, s"maxAdjLen must be positive, got $maxAdjLen")
+    edges.groupBy("src").agg(collect_set(col("dst")).as("all"))
+      .select(col("src"), size(col("all")).as("deg"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(all) - 1) div $maxAdjLen), " +
+            s"i -> slice(all, i * $maxAdjLen + 1, $maxAdjLen))"))
+          .as(Seq("part", "adj")))
+  }
+
   /** One power iteration against the pinned-partitioning adjacency frame —
     * exposed so PlanSpec can count the exchanges a single round actually
     * executes (the lazy-checkpoint chain hides upstream plans from the
     * final frame's queryExecution). The per-vertex share ⌊r/deg⌋ is
-    * computed ONCE before the explode; each exploded row carries it to its
-    * dst. */
+    * computed ONCE per adjacency row before the explode (using the carried
+    * TOTAL degree, so hub-split rows contribute identically); each
+    * exploded row carries it to its dst. */
   private[graft] def pageRankStep(adj: DataFrame, ranks: DataFrame,
                                   teleport: Long): DataFrame =
     adj
       .join(ranks.withColumnRenamed("id", "src"), "src")
-      .select(expr("r div size(adj)").as("c"), explode(col("adj")).as("dst"))
+      .select(expr("r div deg").as("c"), explode(col("adj")).as("dst"))
       .groupBy("dst").agg(sum("c").as("s"))
       .select(col("dst").as("id"),
         (lit(teleport) + expr("(85 * s) div 100")).as("r"))
@@ -344,15 +373,17 @@ object Graph {
     * Seeds not present in the edge list are legal: they surface at hops 0
     * and expand nothing. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    // Adjacency build, as in [[pageRank]]: one groupBy(src) materializes
-    // the edge derivation ONCE into a V-row frame with pinned
+    // Adjacency build, as in [[pageRank]] (same hub-split builder — the
+    // step is degree-free, and split rows' exploded neighbors are unioned
+    // by the distinct anyway): one groupBy(src) materializes the edge
+    // derivation ONCE into a V-row frame with pinned
     // hashpartitioning(src, N) — every round's frontier join is then
     // vertex-sized on both sides (a bare edge list would re-sort E rows
     // per round under sort-merge, and an unpinned checkpoint would
     // re-SHUFFLE them, turning the telescoping O(E)-total contract into
     // O(E·maxHops)).
     val adjE = checkpointPartitioned(
-      edges.groupBy("src").agg(collect_set(col("dst")).as("adj")), "src")
+      adjacency(edges, defaultMaxAdjLen).select("src", "adj"), "src")
     var dist = seeds.select(col("id"), lit(0).cast("int").as("hops"))
       .localCheckpoint(false)
     var frontier = dist.select("id")

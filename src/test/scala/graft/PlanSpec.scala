@@ -416,8 +416,10 @@ class PlanSpec extends SparkSpec {
       import org.apache.spark.sql.functions.{collect_list, struct}
       val edges = (0L until 400L).map(i => (i % 20, (i * 7 + 3) % 20))
         .toDF("src", "dst")
+      // the PRODUCTION adjacency builder (hub-split representation): the
+      // posexplode must not break the groupBy's hash(src) claim
       val adj = Graph.checkpointPartitioned(
-        edges.groupBy("src").agg(collect_list(col("dst")).as("adj")), "src")
+        Graph.adjacency(edges, Graph.defaultMaxAdjLen), "src")
       val claim = adj.queryExecution.analyzed.asInstanceOf[LogicalRDD]
         .outputPartitioning
       assert(claim.isInstanceOf[HashPartitioning] &&
@@ -428,7 +430,8 @@ class PlanSpec extends SparkSpec {
       // checkpoint, so the rank-side claim makes the round join
       // exchange-free — ONE exchange per round (the combined dst partials)
       val ranks0 = graft.util.Checkpoints.partitionedLazy(
-        adj.select(col("src").as("id"), lit(1000L).as("r")), "id")
+        adj.filter(col("part") === 0)
+          .select(col("src").as("id"), lit(1000L).as("r")), "id")
       val pr0 = plan(Graph.pageRankStep(adj, ranks0, 7L))
       assert("Exchange hashpartitioning".r.findAllIn(pr0).size === 1,
         s"pageRank round 1 re-shuffles a frame it should not:\n$pr0")

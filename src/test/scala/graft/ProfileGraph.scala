@@ -30,13 +30,14 @@ object ProfileGraph {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val adj = t("adjacency-build+checkpoint") {
       graft.util.Checkpoints.partitioned(
-        edges.groupBy("src").agg(collect_set(col("dst")).as("adj")), "src")
+        graft.operators.Graph.adjacency(
+          edges, graft.operators.Graph.defaultMaxAdjLen), "src")
     }
-    val n = t("vertex count") { adj.count() }
+    val n = t("vertex count") { adj.filter(col("part") === 0).count() }
     println(s"PROF n=$n")
     val teleport = (15L * graft.operators.Graph.Scale) / (100L * n)
     var ranks = graft.util.Checkpoints.partitionedLazy(
-      adj.select(col("src").as("id"),
+      adj.filter(col("part") === 0).select(col("src").as("id"),
         lit(graft.operators.Graph.Scale / n).as("r")), "id")
     for (i <- 1 to 5) {
       ranks = graft.util.Checkpoints.partitionedLazy(

@@ -146,6 +146,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("hub-split adjacency reproduces unsplit ranks and BFS exactly") {
+    import org.apache.spark.sql.functions.col
+    // hub 0 ↔ 1..40 plus a tail chain — degree 41 at the hub, so a split
+    // length of 7 forces the hub's list across 6 rows while every other
+    // vertex stays single-row
+    val pairs = (1L to 40L).map(i => (0L, i)) ++ Seq((40L, 41L), (41L, 42L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val split = Graph.adjacency(edges, 7)
+    assert(split.filter(col("src") === 0L).count() === 6)
+    // every split row carries the TOTAL degree, and slices partition the set
+    val hubRows = split.filter(col("src") === 0L).collect()
+    assert(hubRows.forall(_.getAs[Int]("deg") === 40))
+    assert(hubRows.flatMap(_.getSeq[Long](3)).sorted === (1L to 40L))
+    // row-local ⌊r/deg⌋ makes the split exact: identical ranks either way
+    def ranks(maxLen: Int) = Graph.pageRank(edges, 5, maxLen)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ranks(7) === ranks(Graph.defaultMaxAdjLen))
+    // BFS is degree-free; split rows' neighbors union under the distinct
+    val hops = Graph.bfsHops(edges, Seq(0L).toDF("id"), 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hops(0L) === 0 && hops(1L) === 1 && hops(41L) === 2 && hops(42L) === 3)
+  }
+
   test("g1 runs on sf0.001 with full-rank tie-break ordering") {
     val out = Graph.g1PageRank(spark, sf0001).collect()
     assert(out.length == 100)
