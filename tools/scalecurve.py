@@ -18,14 +18,15 @@ import time
 
 
 def combined(paths):
-    best = {}
+    best, sfs = {}, set()
     for p in paths:
         with open(p) as f:
             b = json.load(f)
+        sfs.add(b.get("sf", "?"))
         for k, v in b.get("queries", {}).items():
             if v >= 0:
                 best[k] = min(best.get(k, float("inf")), v)
-    return best
+    return best, sfs
 
 
 def md5(path):
@@ -40,15 +41,17 @@ def main():
     ap.add_argument("--factor", type=float, default=10.0)
     ap.add_argument("--out", default="SCALECURVE.md")
     args = ap.parse_args()
-    s, l = combined(args.small), combined(args.large)
+    (s, ssf), (l, lsf) = combined(args.small), combined(args.large)
     names = sorted(set(s) & set(l))
     rows = [(n, s[n], l[n], l[n] / s[n]) for n in names]
     rows.sort(key=lambda r: -r[3])
 
     lines = ["# Empirical scale curve", ""]
-    lines.append(f"- data: `/root/testdata/sf0.1` vs `target/scale/sf1` "
-                 f"(tools/scaleup.py key-offset replication, {args.factor:g}x "
-                 "rows, decorrelated documents/embeddings)")
+    # provenance from the bench JSONs' own sf field, not a hardcoded pair
+    lines.append(f"- data: `{', '.join(sorted(ssf))}` vs "
+                 f"`{', '.join(sorted(lsf))}` ({args.factor:g}x rows; "
+                 "large side from tools/scaleup.py key-offset replication "
+                 "when under target/, decorrelated documents/embeddings)")
     fps = ", ".join(f"`{p}`:{md5(p)}" for p in args.small + args.large)
     lines.append(f"- inputs (md5): {fps}")
     lines.append(f"- per-query MIN over {len(args.small)} small / "
