@@ -17,7 +17,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -111,8 +111,29 @@ def main(sf_dir, out_dir):
     for n, msg in failures:
         print(f"FAIL  {n}: {msg}")
     print(f"\n{len(passed)} passed, {len(skipped)} rows-only, {len(failures)} failed")
+    if json_out:
+        # driver-format per-query record, so committed sf0.1 artifacts read
+        # like CORRECTNESS_r{N}.json
+        rec = {}
+        for n, rows in passed:
+            rec[n] = {"rows_match": True, "schema_match": True,
+                      "hash_match": True, "spark_rows": rows,
+                      "oracle_rows": rows, "err": None}
+        for n, rows in skipped:
+            rec[n] = {"rows_match": None, "schema_match": None,
+                      "hash_match": None, "spark_rows": rows,
+                      "oracle_rows": None,
+                      "err": "rows-only by design (no oracle)"}
+        for n, msg in failures:
+            rec[n] = {"rows_match": False, "schema_match": False,
+                      "hash_match": False, "spark_rows": None,
+                      "oracle_rows": None, "err": msg}
+        with open(json_out, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
