@@ -30,15 +30,35 @@ import graft.similarity.Knn
   *    (conservative ε-ball pruning — chains drop every non-maximal member).
   *    The audit row reports the strongest beating partner.
   *
-  * At 100 TB the one knob to add is a cell-size cap (re-split giant cells
-  * with a second anchor round) so a degenerate quantizer can never recreate
-  * the n² join — same safeguard the LSH tier documents for hot bands. */
+  * At 100 TB the `maxCell` knob bounds the self-join: cells past the cap
+  * are re-split by md5 rank so a degenerate quantizer can never recreate
+  * the n² join (candidate volume ≤ Σ min(|cell|, cap)² by construction).
+  * Pairs crossing a sub-cell boundary are pruned — the standard SemDeDup
+  * recall/cost trade; SemDedupSpec pins drops(capped) ⊆ drops(uncapped)
+  * and the hard size bound. Default off (`Int.MaxValue`): the plan gains
+  * no window and the d9 oracle is untouched. */
 object SemDedup {
+
+  /** Re-split any cell past `maxCell` into deterministic md5-ranked
+    * sub-cells of ≤ maxCell members: sub-cell id = cell·2³² + ⌊rank/cap⌋
+    * (cell ids are vec_ids ≥ 0 < 2³¹, so the packing is collision-free).
+    * One window over the n-row assignment frame, partitioned on cell —
+    * a single vertex-sized shuffle, only when the cap is enabled. */
+  private[dedup] def capCells(assign: DataFrame, maxCell: Int): DataFrame =
+    if (maxCell == Int.MaxValue) assign
+    else assign
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("cell").orderBy(
+          Dedup.md5Hash60(concat(lit("semcap|"), col("vec_id").cast("string"))),
+          col("vec_id"))))
+      .select(col("vec_id"),
+        (col("cell").cast("long") * lit(4294967296L) +
+          expr(s"(crk - 1) div $maxCell")).as("cell"))
 
   /** Dropped-document audit: one row per semantically-duplicated document,
     * with its strongest beating partner. */
   def semDedupDrops(emb: DataFrame, docs: DataFrame, nlist: Int,
-                    tau: Double): DataFrame = {
+                    tau: Double, maxCell: Int = Int.MaxValue): DataFrame = {
     val ak = Dedup.md5Hash60(concat(lit("semdedup|"), col("vec_id").cast("string")))
     val anchors = emb
       .select(col("vec_id").as("cell"), col("embedding").as("ce"), ak.as("ak"))
@@ -62,7 +82,7 @@ object SemDedup {
     // members is corpus-sized and feeds both sides of the cell self-join —
     // persist once; every join here is a shuffle equi-join (no hints:
     // embedding/norm/quality frames are all corpus-sized)
-    val members = graft.util.Caches.scoped(assign
+    val members = graft.util.Caches.scoped(capCells(assign, maxCell)
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .join(norms, "vec_id")
       .join(docs.select(col("doc_id").as("vec_id"), col("n_chars").as("q")),

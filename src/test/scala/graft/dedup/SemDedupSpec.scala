@@ -43,4 +43,34 @@ class SemDedupSpec extends SparkSpec {
     val cells = out.map(_._3).toSet
     assert(cells.subsetOf(anchorIds), "audit cells must be anchor ids")
   }
+
+  test("cell cap: hard size bound, drops a subset of uncapped, default off") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val n = emb.count()
+    val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    // sf0.001 has 500 vectors over ~23 cells — average ~22/cell, so an
+    // 8-member cap forces real re-splits
+    val capped = SemDedup.semDedupDrops(emb, docs, nlist, 0.3, maxCell = 8)
+      .as[(Long, Long, Long, Double)].collect()
+    val uncapped = SemDedup.semDedupDrops(emb, docs, nlist, 0.3)
+      .as[(Long, Long, Long, Double)].collect()
+    // capped candidate pairs are a subset ⇒ every capped drop also drops
+    // uncapped (possibly via a different strongest partner), and its
+    // reported cosine cannot exceed the uncapped strongest
+    val unc = uncapped.map(d => d._1 -> d._4).toMap
+    assert(capped.nonEmpty)
+    capped.foreach { case (dropped, _, _, cos) =>
+      assert(unc.contains(dropped), s"capped-only drop $dropped")
+      assert(cos <= unc(dropped) + 1e-12)
+    }
+    // the hard bound itself, on a synthetic 100-member hot cell: every
+    // sub-cell ≤ cap, membership partitioned exactly
+    val hot = (0L until 100L).map(i => (i, 7L)).toDF("vec_id", "cell")
+    val sizes = SemDedup.capCells(hot, 8)
+      .groupBy("cell").count().as[(Long, Long)].collect()
+    assert(sizes.map(_._2).sum === 100L)
+    assert(sizes.forall(_._2 <= 8L), s"cap violated: ${sizes.mkString(",")}")
+    assert(sizes.length === 13) // ⌈100/8⌉ sub-cells
+  }
 }
