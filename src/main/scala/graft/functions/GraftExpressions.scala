@@ -99,6 +99,122 @@ object VersionCmp {
   }
 }
 
+/** `dot_fold(a, b)`: ordered left-to-right dot product of two arrays — the
+  * codegen replacement for the `zip_with` + `aggregate` fold the similarity
+  * tier was built on. Higher-order functions are excluded from whole-stage
+  * codegen (interpreted lambda eval, one variable bind + box per element);
+  * this expression is a tight primitive loop with IDENTICAL arithmetic:
+  * products in index order, accumulated into 0.0 (or 0L), every term the
+  * same IEEE op the fold performed — so the DuckDB `list_reduce` oracles
+  * and the committed goldens are bit-for-bit unaffected.
+  *
+  * Shapes: two `array<float|double>` → double; two `array<long>` → long.
+  * `zeroNulls = false` replays strict fold semantics (a null element or a
+  * length mismatch nulls the whole sum — exactly what summing a
+  * null-padded zip_with yields); `zeroNulls = true` replays the
+  * `coalesce(x·p, 0.0)` plane-projection variant (null/missing terms add
+  * an explicit +0.0, preserving even the -0.0 corner). */
+case class DotFold(left: Expression, right: Expression, zeroNulls: Boolean)
+    extends BinaryExpression {
+
+  private def elem(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
+  private def isLong: Boolean = elem(left) == LongType && elem(right) == LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val fp = Seq(FloatType, DoubleType)
+    val ok = isLong ||
+      (fp.contains(elem(left)) && fp.contains(elem(right)))
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_fold expects two array<float|double> or two array<long>, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = if (isLong) LongType else DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_fold"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (isLong) DotFold.dotLL(a, b, zeroNulls)
+    else DotFold.dotDD(a, b, elem(left) == FloatType, elem(right) == FloatType, zeroNulls)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = DotFold.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    if (isLong)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |java.lang.Long graftDotRes = (java.lang.Long) $cls.dotLL($a, $b, $zeroNulls);
+           |${ev.isNull} = graftDotRes == null;
+           |if (!${ev.isNull}) ${ev.value} = graftDotRes.longValue();
+         """.stripMargin
+      })
+    else {
+      val (fa, fb) = (elem(left) == FloatType, elem(right) == FloatType)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |java.lang.Double graftDotRes = (java.lang.Double) $cls.dotDD($a, $b, $fa, $fb, $zeroNulls);
+           |${ev.isNull} = graftDotRes == null;
+           |if (!${ev.isNull}) ${ev.value} = graftDotRes.doubleValue();
+         """.stripMargin
+      })
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotFold =
+    copy(left = l, right = r)
+}
+
+object DotFold {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Shared by interpreted + codegen paths. Strict mode nulls the sum on a
+    * null element or length mismatch (the zip_with-padding semantics);
+    * zero mode adds an explicit +0.0 for each null/missing term over the
+    * MAX length, replaying `coalesce(term, 0.0)` exactly. */
+  def dotDD(a: ArrayData, b: ArrayData, fa: Boolean, fb: Boolean,
+            zeroNulls: Boolean): java.lang.Double = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    if (!zeroNulls && na != nb) return null
+    val n = if (zeroNulls) math.max(na, nb) else na
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (i >= na || i >= nb || a.isNullAt(i) || b.isNullAt(i)) {
+        if (!zeroNulls) return null
+        acc += 0.0
+      } else {
+        val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
+        acc += x * y
+      }
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  def dotLL(a: ArrayData, b: ArrayData, zeroNulls: Boolean): java.lang.Long = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    if (!zeroNulls && na != nb) return null
+    val n = if (zeroNulls) math.max(na, nb) else na
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (i >= na || i >= nb || a.isNullAt(i) || b.isNullAt(i)) {
+        if (!zeroNulls) return null
+      } else acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}
+
 object GraftFunctions {
   /** Column-API surface (inputs coerced to string). */
   def money_parse(c: Column): Column =
@@ -106,6 +222,10 @@ object GraftFunctions {
   def version_cmp(a: Column, b: Column): Column =
     Bridge.column(VersionCmp(
       Bridge.expression(a.cast("string")), Bridge.expression(b.cast("string"))))
+  def dot_fold(a: Column, b: Column): Column =
+    Bridge.column(DotFold(Bridge.expression(a), Bridge.expression(b), zeroNulls = false))
+  def dot_fold_zero(a: Column, b: Column): Column =
+    Bridge.column(DotFold(Bridge.expression(a), Bridge.expression(b), zeroNulls = true))
 
   /** SQL surface: register `money_parse` / `version_cmp` for spark.sql. */
   def register(spark: SparkSession): Unit = {
@@ -114,5 +234,7 @@ object GraftFunctions {
       exprs => MoneyParse(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("version_cmp",
       exprs => VersionCmp(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("dot_fold",
+      exprs => DotFold(exprs(0), exprs(1), zeroNulls = false), "scala_udf")
   }
 }

@@ -31,13 +31,16 @@ import graft.Tables
 object Knn {
 
   /** Ordered left-fold dot product of two float arrays, in double — the
-    * summation order is the array order in both Spark (`ArrayAggregate`)
-    * and DuckDB (`list_reduce`), making results engine-exact. */
+    * summation order is the array order in both engines, making results
+    * bit-exact vs DuckDB's `list_reduce`. Backed by the codegen
+    * [[graft.functions.DotFold]] expression (a tight primitive loop with
+    * the fold's exact arithmetic); the original `zip_with` + `aggregate`
+    * formulation computed the identical numbers but as an interpreted
+    * higher-order function — one lambda bind + box per element, excluded
+    * from whole-stage codegen — which dominated every exact-scan tier's
+    * profile at scale. */
   def dotFold(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot_fold(a, b)
 
   /** Query-stratum size: a fixed COUNT, deliberately NOT a fraction of the
     * corpus. Round 7's empirical scale curve measured the old fractional
@@ -152,10 +155,10 @@ object Knn {
     val codes = (0 until lshTables).map { t =>
       struct(lit(t).as("t"),
         (0 until bits).map { j =>
-          val proj = aggregate(
-            zip_with(col("embedding"), typedLit(planeRow(t, j)),
-              (x, p) => coalesce(x.cast("double") * p, lit(0.0))),
-            lit(0.0), (acc, x) => acc + x)
+          // zero-null variant of the codegen fold — replays the old
+          // coalesce(x·p, 0.0) zip_with arithmetic term-for-term
+          val proj = graft.functions.GraftFunctions.dot_fold_zero(
+            col("embedding"), typedLit(planeRow(t, j)))
           when(proj > 0, lit(1L << j)).otherwise(0L)
         }.reduce(_ + _).as("code"))
     }
@@ -226,7 +229,7 @@ object Knn {
     transform(e, x => floor(x.cast("double") * quantScale).cast("long"))
 
   private def intDotFold(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot_fold(a, b) // array<long> ⇒ BIGINT fold
 
   /** Two-stage quantized kNN: scan int8 codes for approximate scores, keep
     * `k · rerank` candidates per query, then re-score ONLY those at full

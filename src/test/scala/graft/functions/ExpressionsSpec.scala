@@ -55,6 +55,52 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), s"plan was:\n$plan")
   }
 
+  test("dot_fold matches the zip_with+aggregate fold bit-for-bit") {
+    // deterministic pseudo-random float arrays, including exact-zero and
+    // denormal-ish magnitudes — the fold order is what makes this exact
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      Array.fill(64)((rnd.nextGaussian() * math.pow(10, rnd.nextInt(6) - 3)).toFloat),
+      Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("a", "b")
+    val legacy = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val both = df.select(
+        GraftFunctions.dot_fold(col("a"), col("b")).as("fast"), legacy.as("slow"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (f, s) =>
+      assert(java.lang.Double.doubleToRawLongBits(f) ===
+        java.lang.Double.doubleToRawLongBits(s), s"$f != $s (bitwise)")
+    }
+    // zero-null variant vs the coalesce fold, with nulls and ragged lengths
+    val ragged = Seq(
+      (Array[java.lang.Float](1.5f, null, 2.5f), Seq(2.0, 3.0, 4.0, 5.0)),
+      (Array[java.lang.Float](0.5f), Seq(8.0))).toDF("a", "p")
+    val legacyZ = aggregate(
+      zip_with(col("a"), col("p"), (x, y) => coalesce(x.cast("double") * y, lit(0.0))),
+      lit(0.0), (acc, x) => acc + x)
+    val z = ragged.select(
+        GraftFunctions.dot_fold_zero(col("a"), col("p")).as("fast"), legacyZ.as("slow"))
+      .as[(Double, Double)].collect()
+    z.foreach { case (f, s) => assert(f === s) }
+    // strict semantics: null element or length mismatch nulls the sum
+    val bad = Seq(
+      (Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f)),
+      (Array[java.lang.Float](1.0f), Array[java.lang.Float](1.0f, 2.0f))).toDF("a", "b")
+    assert(bad.select(GraftFunctions.dot_fold(col("a"), col("b")))
+      .collect().forall(_.isNullAt(0)))
+    // long variant: exact integer fold
+    val lv = Seq((Array(3L, -4L, 5L), Array(2L, 10L, 100L))).toDF("a", "b")
+    assert(lv.select(GraftFunctions.dot_fold(col("a"), col("b")))
+      .as[Long].collect().head === 6L - 40L + 500L)
+    // and it codegens over a real scan (the whole point)
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val plan = emb.select(GraftFunctions.dot_fold(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"dot_fold fell out of codegen:\n$plan")
+  }
+
   test("typed Aggregator: MoneySum counts failures instead of dropping them") {
     val ds = Seq("$10.00", "5.50", "junk", "(2.25)").toDS()
     val r = ds.select(udaf(Aggregators.MoneySumAgg).apply($"value")).collect()
