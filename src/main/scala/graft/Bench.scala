@@ -36,22 +36,30 @@ object Bench {
     // re-timed in up to two later passes, minutes of other work apart, and
     // the per-query MIN is reported — the per-query form of the n=3-medians
     // rule used across rounds, bounded at 3 executions per slow query.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    def once(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       graft.util.Caches.releaseAll()
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      // a swallowed failure still surfaces as -1 in the JSON, but the cause
+      // must be diagnosable — a silent catch cost a round-8 sf1 run its
+      // g2 data point with nothing in the log to explain it
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+      }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val best = scala.collection.mutable.LinkedHashMap[String, (Double, Boolean)]()
-    ordered.foreach { case (name, fn) => best(name) = once(fn) }
+    ordered.foreach { case (name, fn) => best(name) = once(name, fn) }
     for (_ <- 1 to 2) {
       val slow = ordered.filter { case (name, _) =>
         val (t, ok) = best(name); ok && t > 5.0
       }
       slow.foreach { case (name, fn) =>
-        val (t2, ok2) = once(fn)
+        val (t2, ok2) = once(name, fn)
         if (ok2 && t2 < best(name)._1) best(name) = (t2, true)
       }
     }

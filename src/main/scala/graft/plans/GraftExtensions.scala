@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{MoneyParse, VersionCmp}
+import graft.functions.{DotFold, MoneyParse, VersionCmp}
 
 /** SparkSessionExtensions entry point: injects the engine's custom Catalyst
   * functions into any session built with
@@ -29,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VersionCmp].getName, "version_cmp"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VersionCmp(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_fold"),
+      new ExpressionInfo(classOf[DotFold].getName, "dot_fold"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotFold(exprs(0), exprs(1), zeroNulls = false)))
   }
 }

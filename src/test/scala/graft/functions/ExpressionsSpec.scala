@@ -39,10 +39,12 @@ class ExpressionsSpec extends SparkSpec {
   test("SQL registration works (spark.sql path)") {
     GraftFunctions.register(spark)
     val r = spark.sql(
-      "SELECT money_parse('$12.50') AS m, version_cmp('1.3.0', '1.2.9') AS v")
+      "SELECT money_parse('$12.50') AS m, version_cmp('1.3.0', '1.2.9') AS v, " +
+        "dot_fold(array(CAST(2 AS BIGINT), 3), array(CAST(10 AS BIGINT), 100)) AS d")
       .collect().head
     assert(r.getDecimal(0) === new java.math.BigDecimal("12.50"))
     assert(r.getInt(1) === 1)
+    assert(r.getLong(2) === 320L)
   }
 
   test("expressions participate in whole-stage codegen plans") {
