@@ -336,11 +336,79 @@ object Knn {
   def s4KnnQuantized(spark: SparkSession, dir: String): DataFrame =
     quantizedTopK(Tables.embeddings(spark, dir), 5).orderBy("a_id", "rk")
 
+  /** Reduced dimensionality for the s6 coarse stage — 24 of 64 dims cuts
+    * stage-1 multiplies 2.7×; on unit-norm gaussian corpora (the hardest
+    * JL case: every neighbor dot is close) fewer dims cost too much
+    * coarse-ranking signal for a 5-of-500 top-k (measured: 16 dims ⇒ 0.20
+    * recall at rerank 4; 24 dims + rerank 8 ⇒ see KnnSpec floor). */
+  val redDims = 24
+
+  /** Deterministic md5-derived REDUCTION plane component — a separate key
+    * family from the LSH hyperplanes ([[planeVal]]), same construction. */
+  def rplaneVal(j: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rplane|$j|$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0 - 0.5
+  }
+
+  def rplaneRow(j: Int): IndexedSeq[Double] =
+    (0 until maxDims).map(rplaneVal(j, _))
+
+  /** `(vec_id, red)`: the corpus projected to [[redDims]] dims by the fixed
+    * random-projection matrix — Johnson–Lindenstrauss: random projections
+    * approximately preserve inner products, so a cheap coarse ranking in
+    * 16-dim space recovers most of the true top-k, which an exact rerank
+    * then fixes. One corpus pass, [[redDims]] ordered [[dotFold]]s per row
+    * (codegen), every number engine-exact. */
+  def reduceVectors(emb: DataFrame): DataFrame = {
+    val comps = (0 until redDims).map { j =>
+      graft.functions.GraftFunctions.dot_fold_zero(
+        col("embedding"), typedLit(rplaneRow(j)))
+    }
+    emb.select(col("vec_id"), array(comps: _*).as("red"))
+  }
+
+  /** s6: two-stage kNN through the reduced space — coarse top `k · rerank`
+    * by reduced-space dot, exact full-precision rerank of only those
+    * candidates. The dimensionality-reduction sibling of [[quantizedTopK]]
+    * (compress the SCAN, rerank exactly): stage 1 is O(queryN·n·redDims)
+    * with the same bounded-broadcast query stratum; stage 2 touches
+    * |queries|·k·rerank full vectors through plain shuffle equi-joins. */
+  def reducedTopK(emb: DataFrame, k: Int, rerank: Int = 8): DataFrame = {
+    // the reduced frame is a SKETCH (24 doubles/row, smaller than the
+    // embeddings) read by both the query and corpus sides — cache it like
+    // the LSH codes frame, or the 24-fold reduction pass runs twice
+    val red = graft.util.Caches.scoped(reduceVectors(emb))
+    val rq = red.toDF("a_id", "ra")
+      .join(broadcast(queryIds(emb).withColumnRenamed("vec_id", "a_id")), "a_id")
+    val rc = red.toDF("b_id", "rb")
+    val approx = rc.join(broadcast(rq), col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), dotFold(col("ra"), col("rb")).as("rdot"))
+    val w1 = Window.partitionBy("a_id").orderBy(col("rdot").desc, col("b_id").asc)
+    val cand = approx.withColumn("qrk", row_number().over(w1))
+      .filter(col("qrk") <= k * rerank)
+      .select("a_id", "b_id", "rdot")
+    val q = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val c = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val w2 = Window.partitionBy("a_id").orderBy(col("dot").desc, col("b_id").asc)
+    cand.join(c, "b_id").join(q, "a_id")
+      .select(col("a_id"), col("b_id"), col("rdot"),
+        dotFold(col("ea"), col("eb")).as("dot"))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      .select("a_id", "rk", "b_id", "rdot", "dot")
+  }
+
+  def s6KnnReduced(spark: SparkSession, dir: String): DataFrame =
+    reducedTopK(Tables.embeddings(spark, dir), 5).orderBy("a_id", "rk")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_exact" -> (s1KnnExact _),
     "s2_knn_lsh" -> (s2KnnLsh _),
     "s2b_knn_multiprobe" -> (s2bKnnMultiprobe _),
     "s4_knn_quantized" -> (s4KnnQuantized _),
+    "s6_knn_reduced" -> (s6KnnReduced _),
     "d5_embedding_neardup" -> (d5EmbeddingNearDup _),
     "d5b_cosine_exact" -> (d5bCosineExact _)
   )
@@ -350,9 +418,16 @@ object Knn {
   private val maxOracleBits = 24
 
   /** DuckDB fold of `expr[i] · plane[i]` over the first maxDims positions —
-    * textual twin of the Spark zip_with/aggregate fold in [[srpCodes]]. */
+    * textual twin of the Spark [[graft.functions.DotFold]] zero-null fold.
+    * Literals are emitted in SCIENTIFIC notation: DuckDB types a plain
+    * decimal literal as DECIMAL(18,17) and its decimal→double conversion
+    * (scaled-int64 · 10⁻¹⁷ in float arithmetic) is NOT correctly rounded —
+    * measured 1-ulp wobble that broke s6's rdot column (the sign-only LSH
+    * code folds masked it). An e-notation literal is typed DOUBLE and
+    * parsed with correct rounding, so 17 significant digits round-trip to
+    * the exact double Spark inlines. */
   private def foldSql(arr: String, lits: IndexedSeq[Double]): String = {
-    val litList = lits.map(d => d.toString).mkString(", ")
+    val litList = lits.map(d => "%.17e".format(d)).mkString(", ")
     s"""list_reduce(list_transform(range(1, ${maxDims + 1}),
        |        i -> coalesce(CAST($arr[i] AS DOUBLE) * ([$litList])[i], 0.0)),
        |        (acc, x) -> acc + x)""".stripMargin
@@ -512,6 +587,37 @@ object Knn {
         |  FROM dots)
         |SELECT a_id, rk, b_id, qdot, dot FROM ranked WHERE rk <= 5
         |ORDER BY a_id, rk""".stripMargin,
+    "s6_knn_reduced" -> {
+      val redList = (0 until redDims)
+        .map(j => foldSql("embedding", rplaneRow(j))).mkString(",\n      ")
+      s"""WITH $queryIdsSql,
+        |red AS (
+        |  SELECT vec_id, [
+        |      $redList] AS red
+        |  FROM embeddings),
+        |approx AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    list_reduce(list_transform(range(1, $redDims + 1),
+        |      i -> a.red[i] * b.red[i]), (acc, x) -> acc + x) AS rdot
+        |  FROM red a JOIN red b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (SELECT vec_id FROM q_ids)),
+        |cand AS (
+        |  SELECT a_id, b_id, rdot,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY rdot DESC, b_id) AS qrk
+        |  FROM approx),
+        |dots AS (
+        |  SELECT cand.a_id, cand.b_id, cand.rdot,
+        |    $dotSql AS dot
+        |  FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
+        |            JOIN embeddings b ON b.vec_id = cand.b_id
+        |  WHERE cand.qrk <= 40),
+        |ranked AS (
+        |  SELECT a_id, b_id, rdot, dot,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
+        |  FROM dots)
+        |SELECT a_id, rk, b_id, rdot, dot FROM ranked WHERE rk <= 5
+        |ORDER BY a_id, rk""".stripMargin
+    },
     "d5b_cosine_exact" ->
       s"""WITH $queryIdsSql,
         |q AS (

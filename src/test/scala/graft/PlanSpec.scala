@@ -175,14 +175,14 @@ class PlanSpec extends SparkSpec {
         s"$n: expected exactly the query-stratum broadcast:\n$p")
       assert(p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
     }
-    // s4: the stratum id list builds the quantized query side (hash
-    // semi-join) AND that bounded side feeds the int8 scan's BNLJ — two
+    // s4/s6: the stratum id list builds the compressed query side (hash
+    // semi-join) AND that bounded side feeds the coarse scan's BNLJ — two
     // hints, both ≤queryN rows; both full-precision rerank lookups shuffle
-    locally {
-      val p = planNoAutoBroadcast("s4_knn_quantized")
+    for (n <- Seq("s4_knn_quantized", "s6_knn_reduced")) {
+      val p = planNoAutoBroadcast(n)
       assert("BroadcastExchange".r.findAllIn(p).size === 2,
-        s"s4_knn_quantized: expected the stratum semi-join + quantized BNLJ:\n$p")
-      assert(p.contains("BroadcastNestedLoopJoin"), s"s4_knn_quantized:\n$p")
+        s"$n: expected the stratum semi-join + coarse-scan BNLJ:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
     }
     // anchor IVF: the nlist-row anchor table feeds one cross join per
     // scored() consumer (assignment + probes), plus the one stratum
