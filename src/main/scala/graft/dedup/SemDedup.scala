@@ -40,20 +40,21 @@ import graft.similarity.Knn
 object SemDedup {
 
   /** Re-split any cell past `maxCell` into deterministic md5-ranked
-    * sub-cells of ≤ maxCell members: sub-cell id = cell·2³² + ⌊rank/cap⌋
-    * (cell ids are vec_ids ≥ 0 < 2³¹, so the packing is collision-free).
+    * sub-cells of ≤ maxCell members. The sub-cell is a SEPARATE `sub`
+    * column joined alongside `cell` — never arithmetically packed into the
+    * cell id, so arbitrary Long cell ids (vec_ids can exceed 2³¹ at the
+    * 100 TB design point) can never collide two cells into one bucket.
     * One window over the n-row assignment frame, partitioned on cell —
     * a single vertex-sized shuffle, only when the cap is enabled. */
   private[dedup] def capCells(assign: DataFrame, maxCell: Int): DataFrame =
-    if (maxCell == Int.MaxValue) assign
+    if (maxCell == Int.MaxValue) assign.withColumn("sub", lit(0L))
     else assign
       .withColumn("crk", row_number().over(
         Window.partitionBy("cell").orderBy(
           Dedup.md5Hash60(concat(lit("semcap|"), col("vec_id").cast("string"))),
           col("vec_id"))))
-      .select(col("vec_id"),
-        (col("cell").cast("long") * lit(4294967296L) +
-          expr(s"(crk - 1) div $maxCell")).as("cell"))
+      .select(col("vec_id"), col("cell"),
+        expr(s"CAST((crk - 1) div $maxCell AS BIGINT)").as("sub"))
 
   /** Dropped-document audit: one row per semantically-duplicated document,
     * with its strongest beating partner. */
@@ -87,10 +88,11 @@ object SemDedup {
       .join(norms, "vec_id")
       .join(docs.select(col("doc_id").as("vec_id"), col("n_chars").as("q")),
         "vec_id")
-      .select(col("vec_id").as("id"), col("cell"), col("embedding"),
-        col("nrm"), col("q")))
-    val pairs = members.toDF("ia", "cell", "ea", "na", "qa")
-      .join(members.toDF("ib", "cell", "eb", "nb", "qb"), Seq("cell"))
+      .select(col("vec_id").as("id"), col("cell"), col("sub"),
+        col("embedding"), col("nrm"), col("q")))
+    val pairs = members.toDF("ia", "cell", "sub", "ea", "na", "qa")
+      .join(members.toDF("ib", "cell", "sub", "eb", "nb", "qb"),
+        Seq("cell", "sub"))
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("qa"), col("ib"), col("qb"), col("cell"),
         (Knn.dotFold(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))

@@ -147,21 +147,27 @@ case class DotFold(left: Expression, right: Expression, zeroNulls: Boolean)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = DotFold.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    if (isLong)
+    // nullSafeCodeGen only brace-wraps when a child is nullable; with two
+    // non-nullable inputs several dot_folds share one scope, so the result
+    // local must be a freshName or Janino sees duplicate declarations and
+    // Spark silently falls back to interpreted execution.
+    if (isLong) {
+      val res = ctx.freshName("dotFoldRes")
       nullSafeCodeGen(ctx, ev, (a, b) => {
         s"""
-           |java.lang.Long graftDotRes = (java.lang.Long) $cls.dotLL($a, $b, $zeroNulls);
-           |${ev.isNull} = graftDotRes == null;
-           |if (!${ev.isNull}) ${ev.value} = graftDotRes.longValue();
+           |java.lang.Long $res = (java.lang.Long) $cls.dotLL($a, $b, $zeroNulls);
+           |${ev.isNull} = $res == null;
+           |if (!${ev.isNull}) ${ev.value} = $res.longValue();
          """.stripMargin
       })
-    else {
+    } else {
       val (fa, fb) = (elem(left) == FloatType, elem(right) == FloatType)
+      val res = ctx.freshName("dotFoldRes")
       nullSafeCodeGen(ctx, ev, (a, b) => {
         s"""
-           |java.lang.Double graftDotRes = (java.lang.Double) $cls.dotDD($a, $b, $fa, $fb, $zeroNulls);
-           |${ev.isNull} = graftDotRes == null;
-           |if (!${ev.isNull}) ${ev.value} = graftDotRes.doubleValue();
+           |java.lang.Double $res = (java.lang.Double) $cls.dotDD($a, $b, $fa, $fb, $zeroNulls);
+           |${ev.isNull} = $res == null;
+           |if (!${ev.isNull}) ${ev.value} = $res.doubleValue();
          """.stripMargin
       })
     }

@@ -48,6 +48,109 @@ object Ivf {
     IvfIndex(assigned, model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
   }
 
+  /** Just the fitted centroid table of [[build]] — the s3 pipeline wants the
+    * centroids as plain driver-side doubles so it can ship them BOTH to the
+    * Spark plan and into the DuckDB oracle as identical literals. */
+  def fitCentroids(emb: DataFrame, nlist: Int, seed: Long = 42L,
+                   fitFrac: Double = 1.0): Array[(Int, Array[Double])] =
+    build(emb, nlist, seed, fitFrac).centroids
+
+  /** IVF search against an EXPORTED literal centroid table — the arithmetic
+    * the DuckDB oracle replays verbatim. Assignment and probing both rank
+    * cells by `score = dot(e, c) − ½‖c‖²`, which orders cells exactly like
+    * euclidean distance (‖e−c‖² = ‖e‖² − 2·score with ‖e‖² constant per
+    * row), so this IS nearest-centroid IVF — but expressed with one ordered
+    * [[Knn.dotFold]] per (vector, cell) and a per-cell literal constant,
+    * arithmetic both engines reproduce bit-for-bit from the same `%.17e`
+    * literals. MLlib's own `model.transform` is deliberately NOT used for
+    * assignment: its triangle-inequality-pruned distance path computes
+    * different intermediate floats than any SQL twin could.
+    *
+    * Scale shape is s3b's: the centroid table broadcasts (nlist ≈ √n ⇒ a few
+    * MB at 10⁹ vectors), assignment is a map-side max_by (the only shuffle is
+    * n 2-column rows), probes rank only the fixed-count query stratum, and
+    * the rerank joins are plain shuffle equi-joins. */
+  def centroidTopK(emb: DataFrame, cents: Array[(Int, Array[Double])],
+                   nprobe: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val anchors = cents.toSeq
+      .map { case (c, v) => (c, v, 0.5 * v.map(x => x * x).sum) }
+      .toDF("cell", "ce", "hcc")
+    def scored(vecs: DataFrame): DataFrame =
+      vecs.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(anchors))
+        .select(col("vec_id"), col("cell"),
+          (Knn.dotFold(col("embedding"), col("ce")) - col("hcc")).as("s"))
+    val assign = scored(emb)
+      .groupBy(col("vec_id").as("b_id"))
+      .agg(max_by(col("cell"), struct(col("s"), (-col("cell")).as("nc"))).as("cell"))
+    val probes = scored(emb.join(broadcast(Knn.queryIds(emb)), "vec_id"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("s").desc, col("cell").asc)))
+      .filter(col("ark") <= nprobe)
+      .select(col("vec_id").as("a_id"), col("cell"))
+    val cand = probes.join(assign, "cell")
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+    Knn.scoredTopK(emb, cand, k)
+  }
+
+  private def litD(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(d))
+
+  /** The DuckDB twin of [[centroidTopK]] for a concrete fitted centroid
+    * table: cells, components, and the ½‖c‖² constants inlined as exact
+    * round-tripping e-notation literals, every fold in the engine's
+    * evaluation order. Built at query time (the fit depends on the data),
+    * registered for Verify's oracle dump — same mechanism as the
+    * hyperplane/anchor literals of s2/s3b, just with the literal table
+    * coming from the MLlib fit of THIS run. */
+  def s3OracleSql(cents: Array[(Int, Array[Double])], nprobe: Int, k: Int): String = {
+    val rows = cents.map { case (c, v) =>
+      val h = 0.5 * v.map(x => x * x).sum
+      s"($c, [${v.map(litD).mkString(", ")}], ${litD(h)})"
+    }.mkString(",\n    ")
+    s"""WITH cents(cell, ce, hcc) AS (VALUES
+       |    $rows),
+       |adots AS (
+       |  SELECT e.vec_id, c.cell,
+       |    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * c.ce[i]),
+       |      (acc, x) -> acc + x) - c.hcc AS s
+       |  FROM embeddings e CROSS JOIN cents c),
+       |ranked AS (
+       |  SELECT vec_id, cell, s,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS ark
+       |  FROM adots),
+       |assign AS (SELECT vec_id AS b_id, cell FROM ranked WHERE ark = 1),
+       |${Knn.queryIdsSql},
+       |probes AS (
+       |  SELECT vec_id AS a_id, cell FROM ranked
+       |  WHERE vec_id IN (SELECT vec_id FROM q_ids) AND ark <= $nprobe),
+       |cand AS (
+       |  SELECT a_id, b_id FROM probes JOIN assign USING (cell)
+       |  WHERE a_id <> b_id),
+       |dots AS (
+       |  SELECT cand.a_id, cand.b_id,
+       |    ${Knn.dotSql} AS dot
+       |  FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
+       |            JOIN embeddings b ON b.vec_id = cand.b_id),
+       |final AS (
+       |  SELECT a_id, b_id, dot,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
+       |  FROM dots)
+       |SELECT a_id, rk, b_id, dot FROM final WHERE rk <= $k
+       |ORDER BY a_id, rk""".stripMargin
+  }
+
+  /** Oracle SQL registered by the most recent [[s3KnnIvf]] run. Verify runs
+    * every query BEFORE dumping oracle_sql.json, so within a driver round the
+    * registered SQL carries exactly the centroids that produced the dumped
+    * parquet; if s3 never ran (filtered Verify invocation), the entry is
+    * simply omitted and the driver falls back to its rows-only record. */
+  @volatile private var s3FittedOracle: Option[String] = None
+
   /** Search: for the given query vectors, probe the nprobe nearest cells
     * and rank candidates by exact dot product. */
   def search(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
@@ -88,11 +191,10 @@ object Ivf {
     * nlist ≈ √n keeps cells at √n vectors, so a probe touches
     * nprobe·√n candidates — the standard IVF cost curve; nprobe = nlist/4
     * trades ~4× scan reduction for recall (IvfSpec pins the recall floor
-    * and exact-dot correctness). Rows-only at the driver: cell assignment
-    * is quantizer-internal (k-means centroids are not SQL-expressible), but
-    * every reported dot is verified exact against brute force in IvfSpec.
-    * The row COUNT is stable across runs — each probed stratum holds far
-    * more than k candidates, so the result is always |queries|·k rows. */
+    * and exact-dot correctness). ORACLE-GATED since round 9: the k-means
+    * fit exports its centroids as literals and [[centroidTopK]] /
+    * [[s3OracleSql]] replay identical arithmetic, so the driver checks
+    * rows+schema+hash against DuckDB like every other tier. */
   def s3KnnIvf(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val emb = graft.Tables.embeddings(spark, dir)
     val n = graft.Tables.cachedCount(spark, dir, "embeddings")
@@ -103,11 +205,9 @@ object Ivf {
     // driver gate at sf0.01 fits on all 500 vectors, unchanged), above it
     // the fit cost stays O(nlist) while assignment stays one full pass
     val fitFrac = math.min(1.0, 50.0 * nlist / n.toDouble)
-    val index = build(emb, nlist, fitFrac = fitFrac)
-    // stratum semi-join: Knn.queryIds is ≤ queryN rows by construction
-    search(index, emb.join(broadcast(Knn.queryIds(emb)), "vec_id"),
-        k = 5, nprobe = nprobe)
-      .orderBy("a_id", "rk")
+    val cents = fitCentroids(emb, nlist, fitFrac = fitFrac)
+    s3FittedOracle = Some(s3OracleSql(cents, nprobe, k = 5))
+    centroidTopK(emb, cents, nprobe, k = 5).orderBy("a_id", "rk")
   }
 
   /** Deterministic-anchor IVF ("IVF-flat with a hash-chosen coarse
@@ -203,7 +303,8 @@ object Ivf {
         "s3b_knn_ivf_anchor" -> (s3bKnnIvfAnchor _),
         "s5_centroids" -> (s5Centroids _))
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] =
+    s3FittedOracle.map("s3_knn_ivf" -> _).toMap ++ Map(
     "s5_centroids" ->
       """WITH e AS (
         |  SELECT label, embedding AS emb,

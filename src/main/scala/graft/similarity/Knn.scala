@@ -358,7 +358,7 @@ object Knn {
   /** `(vec_id, red)`: the corpus projected to [[redDims]] dims by the fixed
     * random-projection matrix — Johnson–Lindenstrauss: random projections
     * approximately preserve inner products, so a cheap coarse ranking in
-    * 16-dim space recovers most of the true top-k, which an exact rerank
+    * the [[redDims]]-dim space recovers most of the true top-k, which an exact rerank
     * then fixes. One corpus pass, [[redDims]] ordered [[dotFold]]s per row
     * (codegen), every number engine-exact. */
   def reduceVectors(emb: DataFrame): DataFrame = {
@@ -400,8 +400,15 @@ object Knn {
       .select("a_id", "rk", "b_id", "rdot", "dot")
   }
 
+  /** s6 defaults shared with the oracle SQL — the oracle interpolates
+    * `s6K * s6Rerank` so changing either can never silently desynchronize
+    * the engine and the DuckDB twin. */
+  private[similarity] val s6K = 5
+  private[similarity] val s6Rerank = 8
+
   def s6KnnReduced(spark: SparkSession, dir: String): DataFrame =
-    reducedTopK(Tables.embeddings(spark, dir), 5).orderBy("a_id", "rk")
+    reducedTopK(Tables.embeddings(spark, dir), s6K, s6Rerank)
+      .orderBy("a_id", "rk")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_exact" -> (s1KnnExact _),
@@ -427,7 +434,11 @@ object Knn {
     * parsed with correct rounding, so 17 significant digits round-trip to
     * the exact double Spark inlines. */
   private def foldSql(arr: String, lits: IndexedSeq[Double]): String = {
-    val litList = lits.map(d => "%.17e".format(d)).mkString(", ")
+    // Locale.ROOT: a JVM under a comma-decimal default locale (de_DE, …)
+    // would otherwise emit '1,23e-01', which DuckDB misparses.
+    val litList = lits
+      .map(d => String.format(java.util.Locale.ROOT, "%.17e", Double.box(d)))
+      .mkString(", ")
     s"""list_reduce(list_transform(range(1, ${maxDims + 1}),
        |        i -> coalesce(CAST($arr[i] AS DOUBLE) * ([$litList])[i], 0.0)),
        |        (acc, x) -> acc + x)""".stripMargin
@@ -610,12 +621,12 @@ object Knn {
         |    $dotSql AS dot
         |  FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
         |            JOIN embeddings b ON b.vec_id = cand.b_id
-        |  WHERE cand.qrk <= 40),
+        |  WHERE cand.qrk <= ${s6K * s6Rerank}),
         |ranked AS (
         |  SELECT a_id, b_id, rdot, dot,
         |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
         |  FROM dots)
-        |SELECT a_id, rk, b_id, rdot, dot FROM ranked WHERE rk <= 5
+        |SELECT a_id, rk, b_id, rdot, dot FROM ranked WHERE rk <= $s6K
         |ORDER BY a_id, rk""".stripMargin
     },
     "d5b_cosine_exact" ->

@@ -68,9 +68,17 @@ class SemDedupSpec extends SparkSpec {
     // sub-cell ≤ cap, membership partitioned exactly
     val hot = (0L until 100L).map(i => (i, 7L)).toDF("vec_id", "cell")
     val sizes = SemDedup.capCells(hot, 8)
-      .groupBy("cell").count().as[(Long, Long)].collect()
-    assert(sizes.map(_._2).sum === 100L)
-    assert(sizes.forall(_._2 <= 8L), s"cap violated: ${sizes.mkString(",")}")
+      .groupBy("cell", "sub").count().as[(Long, Long, Long)].collect()
+    assert(sizes.map(_._3).sum === 100L)
+    assert(sizes.forall(_._3 <= 8L), s"cap violated: ${sizes.mkString(",")}")
     assert(sizes.length === 13) // ⌈100/8⌉ sub-cells
+    assert(sizes.forall(_._1 === 7L), "base cell id preserved, never packed")
+    // cell ids beyond 2^31 must not collide sub-cells across cells
+    val big = ((0L until 20L).map(i => (i, 3000000000L)) ++
+      (20L until 40L).map(i => (i, 3000000001L))).toDF("vec_id", "cell")
+    val bigKeys = SemDedup.capCells(big, 8)
+      .select("cell", "sub").distinct().as[(Long, Long)].collect()
+    assert(bigKeys.map(_._1).distinct.length === 2,
+      "distinct big cells must stay distinct after capping")
   }
 }

@@ -85,14 +85,32 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("centroidTopK probing all cells reproduces exact brute-force top-k") {
+    // literal-centroid search must be exhaustive when every cell is probed,
+    // regardless of how good the fitted centroids are
+    val cents = Ivf.fitCentroids(emb, nlist = 8)
+    val full = Ivf.centroidTopK(emb, cents, nprobe = 8, k = 5)
+      .select("a_id", "rk", "b_id").as[(Long, Int, Long)].collect().toSet
+    val exact = Knn.bruteForceTopK(emb, 5)
+      .select("a_id", "rk", "b_id").as[(Long, Int, Long)].collect().toSet
+    assert(full === exact)
+  }
+
+  test("s3 registers a fitted-centroid oracle after running") {
+    Ivf.s3KnnIvf(spark, sf0001).collect()
+    val sql = Ivf.oracle.get("s3_knn_ivf")
+    assert(sql.isDefined, "s3 must register its oracle SQL at query time")
+    assert(sql.get.contains("cents(cell, ce, hcc) AS (VALUES"))
+    // every centroid row carries maxDims e-notation literals + the ½‖c‖²
+    // constant; spot-check the literal format round-trips (no locale commas)
+    assert(!sql.get.contains("e-0,") && !sql.get.contains(",0e"))
+  }
+
   test("s3_knn_ivf output matches the committed sf0.01 golden cell-exactly") {
-    // s3's k-means centroids are MLlib-internal (not SQL-expressible), so
-    // the driver records it rows-only; this golden file is its correctness
-    // gate — the full sf0.01 output (the driver-gate scale), rendered
-    // canonically one row per line and compared exactly, the same treatment
-    // mm1_media_features got in round 5. Every reported dot is additionally
-    // verified exact against brute force by the recall tests above, so the
-    // golden pins the quantizer/probe pipeline, not just the arithmetic.
+    // Since round 9 s3 is ALSO oracle-gated (fitted centroids inlined as
+    // literals); the golden stays as a second, in-repo gate over the full
+    // quantizer/probe pipeline at the driver-gate scale. Every reported dot
+    // is additionally verified exact against brute force above.
     // Regenerate deliberately with
     //   GRAFT_GOLDEN_REGEN=true sbt "testOnly graft.similarity.IvfSpec"
     // and review the diff before committing.
