@@ -3,14 +3,14 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Driver-visible multimodal queries. mm1's histogram half has no SQL
-  * oracle (mapPartitions byte-level featurization isn't SQL-expressible) →
-  * rows-only at the driver, semantics pinned by MultimodalSpec
-  * (determinism, partition invariance, batch shape). mm1b splits out the
-  * metadata half — media type, UTF-8 byte count, dimensions, duration —
-  * which IS pure metadata math and therefore oracle-gated, shrinking the
-  * stub surface to the honest codec-only residue. mm2 touches no bytes at
-  * all — frame sampling is integer metadata math — so it IS oracle-gated. */
+/** Driver-visible multimodal queries — ALL oracle-gated since round 9.
+  * mm1's stub featurizer is a byte-value histogram, and DuckDB can fold the
+  * same UTF-8 bytes via `hex(encode(text))` + 2-char slices, so even the
+  * byte-level half now carries a full rows+schema+hash gate (the
+  * mapPartitions batching itself is additionally pinned by MultimodalSpec:
+  * determinism, partition invariance, batch shape). mm1b is the metadata
+  * half — media type, UTF-8 byte count, dimensions, duration. mm2 touches
+  * no bytes at all — frame sampling is integer metadata math. */
 object MultimodalQueries {
 
   /** mm1: batched featurization over the synthetic binary media table —
@@ -61,6 +61,35 @@ object MultimodalQueries {
     * [0, duration) — `sequence(0, d-1, 5000)` has ⌊(d-1)/5000⌋ + 1
     * elements. */
   def oracle: Map[String, String] = Map(
+    "mm1_media_features" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, strlen(text) AS n
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, n,
+        |    unnest(list_transform(range(0, CAST(n AS BIGINT)),
+        |      i -> CAST(('0x' || substr(h, CAST(2*i+1 AS INT), 2)) AS INT)
+        |             // ${256 / Multimodal.histogramBins})) AS bin
+        |  FROM b WHERE n > 0),
+        |counts AS (
+        |  SELECT doc_id, bin, COUNT(*) AS c FROM bytes GROUP BY doc_id, bin),
+        |grid AS (
+        |  SELECT d.doc_id, d.n, g.bin, coalesce(c.c, 0) AS c
+        |  FROM b d CROSS JOIN (SELECT unnest(range(0, ${Multimodal.histogramBins})) AS bin) g
+        |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = g.bin),
+        |ranked AS (
+        |  SELECT doc_id, n, bin, c,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bin ASC) AS rk
+        |  FROM grid)
+        |SELECT r.doc_id,
+        |  CASE CAST(r.doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(r.n AS BIGINT) AS n_bytes,
+        |  CAST(r.bin AS INT) AS dominant_bin,
+        |  CASE WHEN r.n = 0 THEN 0.0
+        |       ELSE CAST(CAST(r.c AS FLOAT) / CAST(r.n AS FLOAT) AS DOUBLE)
+        |  END AS dominant_frac
+        |FROM ranked r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "mm1b_media_meta" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
