@@ -500,7 +500,110 @@ object Joins {
       .orderBy("o_custkey")
   }
 
+  /** Q4-shape EXISTS-with-aggregate: order-priority counts over a date
+    * window, keeping only orders with at least one returned line (this
+    * schema's stand-in for Q4's `l_commitdate < l_receiptdate` — same
+    * correlated-EXISTS structure). The decorrelated plan is a LEFT SEMI
+    * join on the order key: lineitem's predicate pushes to the scan, the
+    * key set is distinct-projected BEFORE the join (semi join needs no
+    * payload), and the final aggregate is 5 rows. At 100 TB: one shuffle
+    * of each fact on o_orderkey, no join-back, no re-scan per outer row. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-07-01"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val ret = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    ord.join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The NOT-EXISTS twin of [[q4OrderPriority]] — the anti-join-with-agg
+    * decorrelation shape the EXISTS form never exercises: orders in the
+    * window with NO returned line at all. Identical one-pass scale story;
+    * Spark plans the NOT EXISTS as a LEFT ANTI join on the same key. */
+  def q4bPriorityClean(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-07-01"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val ret = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    ord.join(ret, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q16-shape nested-distinct + NOT IN: distinct supplier count per part
+    * descriptor, over the (part, supplier) relationships implied by
+    * lineitem (this schema has no partsupp), excluding one brand, one type
+    * family, a size list, and every "complaint" supplier (negative account
+    * balance) via NOT IN. Scale shape: the pair-distinct collapses
+    * lineitem to ≤ |part|·|supplier| rows BEFORE any join (one shuffle on
+    * the pair), part's predicates push to its scan and the filtered part
+    * table broadcasts, the complaint exclusion is a broadcast ANTI join
+    * (never a per-row subquery), and count(DISTINCT) runs on the already
+    * pair-distinct frame. */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 4, 9, 14, 19, 23, 36, 45)
+    val pairs = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#45" &&
+        !col("p_type").like("MEDIUM%") && col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val complaints = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("l_suppkey"))
+    pairs.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complaints), Seq("l_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** Q20-shape nested semi over a grouped HAVING subquery: suppliers in one
+    * nation who shipped MORE than half of their lifetime volume of some
+    * 'small%' part during 1996 (the schema's stand-in for Q20's
+    * availqty > ½·yearly-shipped — same IN (SELECT … GROUP BY … HAVING)
+    * nesting). The half comparison is kept in integers (2·q96 > q_all) so
+    * both engines decide ties identically. Scale shape: part's name filter
+    * broadcasts into lineitem, ONE shuffle on (l_suppkey, l_partkey) for
+    * the rollup, the qualifying supplier set is distinct-projected and
+    * semi-joined (AQE broadcasts it — it is ≤ |supplier| by construction),
+    * and nation broadcasts into supplier. */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val pk = Tables.part(spark, dir)
+      .filter(col("p_name").like("small%")).select("p_partkey")
+    val qual = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"), col("l_shipdate"))
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(
+        sum(when(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"), col("qty")).otherwise(0L)).as("q96"),
+        sum(col("qty")).as("q_all"))
+      .filter(col("q96") * 2 > col("q_all"))
+      .select("l_suppkey").distinct()
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name") === "NATION_3").select("n_nationkey")
+    Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q4b_priority_clean" -> (q4bPriorityClean _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "q20_excess_suppliers" -> (q20ExcessSuppliers _),
     "j12_full_outer_recon" -> (j12FullOuterRecon _),
     "j06_asof_join" -> (j06AsOfJoin _),
     "j10_scd2_lookup" -> (j10Scd2Lookup _),
@@ -521,6 +624,51 @@ object Joins {
   )
 
   def oracle: Map[String, String] = Map(
+    // q4/q4b/q16/q20 oracles run the LITERAL correlated/nested forms — the
+    // engine side runs the decorrelated semi/anti-join plans, so a hash
+    // match proves the rewrite preserves the spec's semantics.
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q4b_priority_clean" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey
+        |                    AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = ps.l_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND ps.l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        |    WHERE p_name LIKE 'small%'
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING 2 * sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |                         AND l_shipdate < TIMESTAMP '1997-01-01'
+        |                        THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+        |         > sum(CAST(l_quantity AS BIGINT)))
+        |ORDER BY s_suppkey""".stripMargin,
     "j12_full_outer_recon" ->
       """WITH a AS (
         |  SELECT o_custkey, COUNT(*) AS n_1996,

@@ -219,6 +219,33 @@ object Knn {
     scoredTopK(emb, cand, k)
   }
 
+  /** s7: the all-corpus approximate kNN GRAPH — top-k neighbors for EVERY
+    * vector, not just the fixed query stratum. This is the production
+    * primitive behind SemDeDup-quality curation and graph-based dedup: the
+    * corpus IS the query set, so an exact build is n² and off the table at
+    * any real scale. Multiprobe LSH candidate generation (same Hamming-1
+    * probes as [[lshTopKMultiprobe]], over every vector) keeps candidate
+    * volume O(n·L·b) with b = [[codeBits]] ≈ log₂ n and O(1) expected
+    * bucket occupancy — an O(n log n) pair budget instead of n², every
+    * stage a shuffle equi-join + one rank-filter window (WindowGroupLimit
+    * pushdown), nothing corpus-sized broadcast. Vectors whose probes hit
+    * only singleton buckets contribute no rows — the standard LSH-graph
+    * recall trade, pinned by KnnSpec's coverage/recall floor. */
+  def knnGraph(emb: DataFrame, k: Int, bits: Int = lshBits): DataFrame = {
+    val codes = graft.util.Caches.scoped(srpCodes(emb, bits))
+    val probes = (0 until bits).map(j => col("code").bitwiseXOR(lit(1L << j))) :+ col("code")
+    val qc = codes.select(col("id").as("a_id"), col("t"),
+      explode(array(probes: _*)).as("code"))
+    val bc = codes.toDF("b_id", "t", "code")
+    val cand = qc.join(bc, Seq("t", "code")).filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    scoredTopK(emb, cand, k)
+  }
+
+  def s7KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(Tables.embeddings(spark, dir), 5, dirBits(spark, dir))
+      .orderBy("a_id", "rk")
+
   val quantScale = 127
 
   /** Int8 scalar quantization: each component becomes ⌊x·127⌋ ∈ [-128,127]
@@ -416,6 +443,7 @@ object Knn {
     "s2b_knn_multiprobe" -> (s2bKnnMultiprobe _),
     "s4_knn_quantized" -> (s4KnnQuantized _),
     "s6_knn_reduced" -> (s6KnnReduced _),
+    "s7_knn_graph" -> (s7KnnGraph _),
     "d5_embedding_neardup" -> (d5EmbeddingNearDup _),
     "d5b_cosine_exact" -> (d5bCosineExact _)
   )
@@ -541,6 +569,29 @@ object Knn {
         |  FROM codes c CROSS JOIN (SELECT unnest(range(0, ${maxOracleBits + 1})) AS k) p
         |       CROSS JOIN w
         |  WHERE c.id IN (SELECT vec_id FROM q_ids) AND p.k <= w.width),
+        |cand AS (
+        |  SELECT DISTINCT qp.a_id, b.id AS b_id
+        |  FROM qp JOIN codes b ON b.t = qp.t AND b.code = qp.code AND b.id <> qp.a_id),
+        |dots AS (
+        |  SELECT cand.a_id, cand.b_id,
+        |    $dotSql AS dot
+        |  FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
+        |            JOIN embeddings b ON b.vec_id = cand.b_id),
+        |ranked AS (
+        |  SELECT a_id, b_id, dot,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
+        |  FROM dots)
+        |SELECT a_id, rk, b_id, dot FROM ranked WHERE rk <= 5
+        |ORDER BY a_id, rk""".stripMargin,
+    "s7_knn_graph" ->
+      s"""WITH $codesSql,
+        |qp AS (
+        |  SELECT c.id AS a_id, c.t,
+        |    CASE WHEN p.k = w.width THEN c.code
+        |         ELSE xor(c.code, CAST(1 AS BIGINT) << p.k) END AS code
+        |  FROM codes c CROSS JOIN (SELECT unnest(range(0, ${maxOracleBits + 1})) AS k) p
+        |       CROSS JOIN w
+        |  WHERE p.k <= w.width),
         |cand AS (
         |  SELECT DISTINCT qp.a_id, b.id AS b_id
         |  FROM qp JOIN codes b ON b.t = qp.t AND b.code = qp.code AND b.id <> qp.a_id),

@@ -151,15 +151,17 @@ class PlanSpec extends SparkSpec {
         s"$n: expected exactly the bounded query-stratum semi-join:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
     }
-    // s3: the stratum frame feeds TWO consumers (probe-cell selection and
-    // the query embedding lookup), each printing its own exchange of the
-    // same limit-bounded id list
+    // s3 (literal-centroid since round 9): the nlist-row fitted-centroid
+    // table feeds one cross join per scored() consumer (assignment +
+    // probes) plus the one stratum semi-join — identical contract to s3b
     locally {
       val p = planNoAutoBroadcast("s3_knn_ivf")
       val bx = "BroadcastExchange".r.findAllIn(p).size
-      assert(bx >= 1 && bx <= 2,
-        s"s3_knn_ivf: expected only stratum semi-join broadcasts, got $bx:\n$p")
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"s3_knn_ivf:\n$p")
+      val cross = "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size
+      val strat = "BroadcastHashJoin".r.findAllIn(p).size
+      assert(cross >= 1 && strat === 1 && bx === cross + strat,
+        s"s3_knn_ivf: broadcast beyond centroids + stratum " +
+          s"($bx vs $cross cross + $strat stratum):\n$p")
     }
     // the near-dup pair tier has NO query stratum: zero hints anywhere
     locally {
@@ -360,6 +362,38 @@ class PlanSpec extends SparkSpec {
       s"q21 must decide both correlated branches on one lineitem shuffle:\n$p")
     assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p) // supplier + nation
     assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q4/q4b decorrelate EXISTS/NOT-EXISTS to one semi/anti join, no join-back") {
+    for ((name, join) <- Seq("q4_order_priority" -> "LeftSemi",
+                             "q4b_priority_clean" -> "LeftAnti")) {
+      val p = planNoAutoBroadcast(name)
+      // exactly: orders + lineitem key exchanges and the 5-row final agg —
+      // a 4th exchange would mean the correlated branch re-shuffled a fact
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 3, s"$name:\n$p")
+      assert(p.contains(s"SortMergeJoin") && p.contains(join), s"$name:\n$p")
+      // the count aggregates map-side before its exchange
+      assert(p.contains("partial_count"), s"$name:\n$p")
+    }
+  }
+
+  test("q16 distinct-projects the pair BEFORE the joins; dims broadcast") {
+    val p = planNoAutoBroadcast("q16_supplier_cnt")
+    // pair distinct + (brand,type,size,supp) distinct + final agg
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 3, p)
+    // part (inner) and complaint-suppliers (anti) both broadcast by hint
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q20 rolls lineitem up on ONE (supp, part) shuffle; nested IN is a semi join") {
+    val p = planNoAutoBroadcast("q20_excess_suppliers")
+    // (l_suppkey, l_partkey) rollup + qualifying-supplier distinct +
+    // supplier side of the semi join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 3, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p) // part + nation
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("partial_sum"), p) // rollup combines map-side
   }
 
   /** At 100 TB a handful of hot order keys WILL dwarf the median shuffle

@@ -129,6 +129,38 @@ class KnnSpec extends SparkSpec {
       Knn.lshTopK(emb, 5, 12).count())
   }
 
+  test("knn graph covers (nearly) the whole corpus with true dots, k rows max") {
+    val g = Knn.knnGraph(emb, 5, Knn.codeBits(emb.count())).collect()
+    val n = emb.count()
+    // every vector with any multiprobe collision appears as a source; at
+    // 500 vectors / 9-bit codes / 4 tables / 10 probes the expected probe
+    // fan-in is ~40 candidates per vector, so coverage must be near-total
+    val sources = g.map(_.getAs[Long]("a_id")).distinct.length
+    assert(sources >= (n * 0.9).toInt, s"graph covers only $sources of $n")
+    // per-source at most k rows, ranks contiguous from 1
+    g.groupBy(_.getAs[Long]("a_id")).foreach { case (_, rows) =>
+      val rks = rows.map(_.getAs[Int]("rk")).sorted
+      assert(rks.length <= 5 && rks === (1 to rks.length).toArray)
+    }
+    // the graph's edges carry TRUE dot products: spot-check against the
+    // full brute-force table restricted to the stratum
+    val truth = Knn.bruteForceTopK(emb, emb.count().toInt).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("dot")).toMap
+    g.foreach { r =>
+      val key = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      truth.get(key).foreach(d => assert(math.abs(d - r.getAs[Double]("dot")) < 1e-12))
+    }
+    // recall floor on the stratum slice (where exact truth is computed):
+    // the graph's stratum rows must recover a meaningful share of true top-5
+    val exact = Knn.bruteForceTopK(emb, 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val strat = exact.map(_._1)
+    val got = g.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .filter(p => strat.contains(p._1)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.2, s"graph stratum recall=$recall")
+  }
+
   test("quantized kNN: int8 stage-1 + exact rerank recovers the exact top-k") {
     val exact = Knn.bruteForceTopK(emb, 5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
