@@ -422,6 +422,27 @@ object SetOpsWindows {
     graft.streaming.StreamOps.clickPurchaseJoin(Tables.events(spark, dir))
       .orderBy("p_id", "c_id")
 
+  /** §2.9 landing-pipeline batch twin: at-least-once redelivery (simulated
+    * by a self-union) collapsed by key dedup, then the tumbling rollup —
+    * the batch form of `StreamOps.dedupedTumblingCounts`. Spark only
+    * allows `dropDuplicatesWithinWatermark` on streams (the watermark
+    * bounds its STATE, not its semantics), so the batch equivalent is
+    * plain `dropDuplicates(key)`; the oracle aggregates the exactly-once
+    * `events` directly, proving the dedup stage fully cancels redelivery.
+    * StreamingSpec's replay proof covers the stream side of the same
+    * composition (shuffled + duplicated feed ⇒ identical sink). */
+  def streamDedupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.unionAll(e)
+      .dropDuplicates("event_id")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_range_1h" -> (winRange1h _),
     "win_ranking" -> (winRanking _),
@@ -439,7 +460,8 @@ object SetOpsWindows {
     "win_running" -> (winRunning _),
     "stream_tumbling" -> (tumblingWindow _),
     "stream_session" -> (sessionWindowBatch _),
-    "stream_interval_join" -> (streamIntervalJoin _)
+    "stream_interval_join" -> (streamIntervalJoin _),
+    "stream_dedup_agg" -> (streamDedupAgg _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -619,6 +641,14 @@ object SetOpsWindows {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
     "stream_tumbling" ->
+      """SELECT make_timestamp(CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) * 21600000000)
+        |    AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // the exactly-once ground truth: a doubled feed deduped by key IS the
+    // original events table — the oracle never sees the redelivery at all
+    "stream_dedup_agg" ->
       """SELECT make_timestamp(CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) * 21600000000)
         |    AS window_start,
         |  event_type, COUNT(*) AS n,

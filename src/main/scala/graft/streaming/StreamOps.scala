@@ -95,6 +95,27 @@ object StreamOps {
     events.withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Landing pipeline: at-least-once dedup THEN windowed aggregation as
+    * chained stateful operators in ONE streaming query. The aggregation
+    * reuses the dedup stage's watermark — Spark disallows redefining a
+    * watermark downstream, so composed pipelines set it exactly once at
+    * the source. This is the production shape for bus ingestion: redelivery
+    * collapses in the dedup state, and the agg sees exactly-once rows. */
+  def dedupedTumblingCounts(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    dedupWithinWatermark(events)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Dedup → session-window twin of [[dedupedTumblingCounts]]. */
+  def dedupedSessionCounts(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    dedupWithinWatermark(events)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Stateful burst suppression — the streaming twin of
     * `Aggregates.f07DedupBursts`: emit only the FIRST event of each < 5 s
     * same-(user, type) chain. Unlike `dropDuplicatesWithinWatermark` (exact

@@ -81,6 +81,54 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() === batch1.length)
   }
 
+  test("out-of-order replay proof: any within-watermark order yields identical sinks") {
+    // 12 events spanning 25 minutes — strictly inside the 30-minute
+    // watermark delay, so NO permutation of arrival order can make any of
+    // them late. The contract under test: event-time semantics mean the
+    // sink depends only on the event SET, not the delivery order — the
+    // at-least-once, out-of-order reality of any production bus.
+    val evs = mkEvents(
+      (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      (2, "2024-01-01 10:02:00", 1, "view", 2.0),
+      (3, "2024-01-01 10:04:00", 2, "click", 3.0),
+      (4, "2024-01-01 10:07:00", 2, "click", 1.5),
+      (5, "2024-01-01 10:09:00", 3, "view", 0.5),
+      (6, "2024-01-01 10:11:00", 1, "click", 2.5),
+      (7, "2024-01-01 10:13:00", 3, "signup", 1.0),
+      (8, "2024-01-01 10:16:00", 2, "view", 4.0),
+      (9, "2024-01-01 10:19:00", 1, "click", 0.25),
+      (10, "2024-01-01 10:21:00", 3, "click", 1.0),
+      (11, "2024-01-01 10:23:00", 2, "purchase", 9.0),
+      (12, "2024-01-01 10:25:00", 1, "view", 3.0))
+    val flush = mkEvents((99, "2024-01-01 13:00:00", 9, "view", 0.0))
+    // deterministic shuffle (fixed seed) + a different micro-batch split,
+    // and every event duplicated once (at-least-once redelivery)
+    val shuffled = new scala.util.Random(7).shuffle(evs ++ evs)
+    val reorderedBatches = shuffled.grouped(5).toSeq :+ flush
+    val orderedBatches = Seq(evs ++ evs, flush)
+
+    def sink(name: String, mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+             batches: Seq[Seq[StreamOps.UserEvent]]): Set[String] = {
+      val stream = MemoryStream[StreamOps.UserEvent]
+      runBatches(stream, mk(stream.toDF()), "append", name, batches)
+        .collect().map(_.mkString("|")).toSet
+    }
+    // tumbling agg: same closed windows, same counts/sums — the duplicated
+    // feed goes through dedup FIRST (chained stateful ops, one watermark),
+    // as a production landing pipeline would: agg alone is not idempotent
+    // under redelivery
+    val aggOrdered = sink("rp_agg_o", StreamOps.dedupedTumblingCounts(_), orderedBatches)
+    val aggShuffled = sink("rp_agg_s", StreamOps.dedupedTumblingCounts(_), reorderedBatches)
+    assert(aggOrdered === aggShuffled && aggOrdered.nonEmpty)
+    // landing dedup alone: replayed + reordered ⇒ exactly the unique set
+    val dedupShuffled = sink("rp_dd_s", StreamOps.dedupWithinWatermark, reorderedBatches)
+    assert(dedupShuffled.size === evs.length + flush.length)
+    // session windows: gap clustering is event-time-only too
+    val sesOrdered = sink("rp_ses_o", StreamOps.dedupedSessionCounts(_), orderedBatches)
+    val sesShuffled = sink("rp_ses_s", StreamOps.dedupedSessionCounts(_), reorderedBatches)
+    assert(sesOrdered === sesShuffled && sesOrdered.nonEmpty)
+  }
+
   test("stream-stream interval join matches its own batch execution") {
     val data = mkEvents(
       (1, "2024-01-01 10:00:00", 1, "click", 1.0),
