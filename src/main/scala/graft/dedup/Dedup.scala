@@ -244,6 +244,15 @@ object Dedup {
   def d2NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, dir), 0.5).orderBy("a_id", "b_id")
 
+  /** d2b: the prefix-filtered SCALE path as its own driver query. Its
+    * oracle is the NAIVE all-shingle SQL — a hash match is an independent
+    * proof of the Bayardo prefix theorem's zero-false-negative claim on
+    * real data, and the bench row measures what the filter actually buys
+    * at each scale (the hot-shingle Σdf² mass lands outside every prefix). */
+  def d2bJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsPrefix(Tables.documents(spark, dir), 0.5)
+      .orderBy("a_id", "b_id")
+
   def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minHashLshPairs(Tables.documents(spark, dir), 0.5).orderBy("a_id", "b_id")
 
@@ -307,6 +316,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
+    "d2b_jaccard_prefix" -> (d2bJaccardPrefix _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash" -> (d4Simhash _),
     "d4b_simhash_tight" -> (d4bSimhashTight _),
@@ -325,6 +335,19 @@ object Dedup {
       |  FROM toks),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
+  private lazy val d2NaiveSql: String =
+    s"""WITH $shingleSqlCtes,
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id,
+      |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+      |FROM pairs p JOIN sizes sa ON p.a_id = sa.doc_id
+      |             JOIN sizes sb ON p.b_id = sb.doc_id
+      |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "d8_dup_ngram_coverage" ->
       s"""WITH $shingleSqlCtes,
@@ -342,18 +365,10 @@ object Dedup {
         |  FROM documents)
         |SELECT doc_id, fp, lang, n_chars FROM f WHERE doc_id = canon
         |ORDER BY doc_id""".stripMargin,
-    "d2_ngram_jaccard" ->
-      s"""WITH $shingleSqlCtes,
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a_id, b_id,
-        |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
-        |FROM pairs p JOIN sizes sa ON p.a_id = sa.doc_id
-        |             JOIN sizes sb ON p.b_id = sb.doc_id
-        |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin,
+    "d2_ngram_jaccard" -> d2NaiveSql,
+    // the prefix-filtered path must produce the IDENTICAL pair set — its
+    // oracle IS the naive form, so a hash match proves zero false negatives
+    "d2b_jaccard_prefix" -> d2NaiveSql,
     "d3_minhash_lsh" ->
       s"""WITH $minhashPairsSqlCtes
         |SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id""".stripMargin,
