@@ -1,0 +1,447 @@
+package graft.sources
+
+/** Dependency-free PDF word extraction — the real implementation behind the
+  * S2/S3 source contract (`pdf_parser.py:132` `page.extract_words()`),
+  * closing the reference's statement-ingestion surface the same way
+  * `Sqlite.scala` closed S4/S5 and `ExcelSink` closed K1: by reading the
+  * public file format directly (PDF 32000-1) instead of depending on a
+  * library the container does not have.
+  *
+  * Supported subset — the shape simple statement writers emit:
+  *  - classic body objects (`N G obj … endobj`), scanned directly so broken
+  *    or absent xref tables don't matter;
+  *  - page tree traversal (/Catalog → /Pages → /Kids, inheritable
+  *    /MediaBox), multiple /Contents streams per page;
+  *  - content streams raw or /FlateDecode (JDK Inflater);
+  *  - the text state machine: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, TJ
+  *    (kerning-aware), ', ", cm, q/Q;
+  *  - glyph advances from the font's /Widths + /FirstChar when present,
+  *    600/1000 em for Courier-family base fonts, 500/1000 otherwise —
+  *    exact for fixed-pitch and /Widths fonts, approximate-but-monotone
+  *    for metric-less base-14 text.
+  *
+  * Not supported (documented boundary, errors are contained per file):
+  * cross-reference/object streams, encryption, CID/Type0 composite fonts,
+  * /Differences re-encoding. Those need embedded-font parsing — the point
+  * where a real deployment swaps in a full library behind the SAME
+  * `Ingest.WordExtractor` seam this object plugs into.
+  *
+  * Geometry: PDF user space puts y up; the word table wants screen-style
+  * top/bottom (y down from the page top, like pdfplumber). With baseline
+  * ty and font size s on a page of height H: top = H − (ty + s),
+  * bottom = H − ty. Words are split on spaces inside each shown string and
+  * merged across adjacent shows on the same baseline when the gap is under
+  * 0.25 em — the standard extract_words grouping rule.
+  */
+object Pdf {
+
+  // ---- object-level value model ----------------------------------------
+
+  sealed trait V
+  case class Num(d: Double) extends V
+  case class Name(s: String) extends V
+  case class Str(bytes: Array[Byte]) extends V
+  case class Arr(vs: Vector[V]) extends V
+  case class Dict(m: Map[String, V]) extends V
+  case class Ref(num: Int) extends V
+  case object Null extends V
+
+  private class Parser(val s: String, var i: Int) {
+    def ws(): Unit = {
+      while (i < s.length && (s(i).isWhitespace || s(i) == '%')) {
+        if (s(i) == '%') while (i < s.length && s(i) != '\n') i += 1
+        else i += 1
+      }
+    }
+    def value(): V = {
+      ws()
+      s(i) match {
+        case '<' if s(i + 1) == '<' => dict()
+        case '<' => hexString()
+        case '(' => litString()
+        case '[' => array()
+        case '/' => name()
+        case c if c.isDigit || c == '+' || c == '-' || c == '.' => numOrRef()
+        case 't' => i += 4; Num(1) // true
+        case 'f' => i += 5; Num(0) // false
+        case 'n' => i += 4; Null   // null
+        case c => throw new IllegalStateException(s"pdf parse: unexpected '$c' at $i")
+      }
+    }
+    def name(): Name = {
+      i += 1; val b = new StringBuilder
+      while (i < s.length && !"()<>[]{}/% \t\r\n".contains(s(i))) {
+        if (s(i) == '#' && i + 2 < s.length) {
+          b += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar; i += 3
+        } else { b += s(i); i += 1 }
+      }
+      Name(b.toString)
+    }
+    def numOrRef(): V = {
+      val start = i
+      while (i < s.length && (s(i).isDigit || "+-.".contains(s(i)))) i += 1
+      val first = s.substring(start, i).toDouble
+      // lookahead: "N G R" is an indirect reference
+      val save = i
+      ws()
+      val gs = i
+      while (i < s.length && s(i).isDigit) i += 1
+      if (i > gs) {
+        val save2 = i
+        ws()
+        if (i < s.length && s(i) == 'R' &&
+          (i + 1 >= s.length || !s(i + 1).isLetterOrDigit)) {
+          i += 1; return Ref(first.toInt)
+        }
+        i = save2
+      }
+      i = save
+      Num(first)
+    }
+    def litString(): Str = {
+      i += 1; val out = new java.io.ByteArrayOutputStream; var depth = 1
+      while (depth > 0) {
+        s(i) match {
+          case '\\' =>
+            i += 1
+            s(i) match {
+              case 'n' => out.write('\n'); i += 1
+              case 'r' => out.write('\r'); i += 1
+              case 't' => out.write('\t'); i += 1
+              case 'b' => out.write('\b'); i += 1
+              case 'f' => out.write('\f'); i += 1
+              case c @ ('(' | ')' | '\\') => out.write(c); i += 1
+              case c if c >= '0' && c <= '7' =>
+                var v = 0; var n = 0
+                while (n < 3 && i < s.length && s(i) >= '0' && s(i) <= '7') {
+                  v = v * 8 + (s(i) - '0'); i += 1; n += 1
+                }
+                out.write(v)
+              case '\n' => i += 1 // line continuation
+              case c => out.write(c); i += 1
+            }
+          case '(' => depth += 1; out.write('('); i += 1
+          case ')' =>
+            depth -= 1; if (depth > 0) out.write(')'); i += 1
+          case c => out.write(c); i += 1
+        }
+      }
+      Str(out.toByteArray)
+    }
+    def hexString(): Str = {
+      i += 1; val b = new StringBuilder
+      while (s(i) != '>') { if (!s(i).isWhitespace) b += s(i); i += 1 }
+      i += 1
+      val h = if (b.length % 2 == 1) b.toString + "0" else b.toString
+      Str(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    }
+    def array(): Arr = {
+      i += 1; val vs = Vector.newBuilder[V]
+      ws()
+      while (s(i) != ']') { vs += value(); ws() }
+      i += 1
+      Arr(vs.result())
+    }
+    def dict(): Dict = {
+      i += 2; val m = Map.newBuilder[String, V]
+      ws()
+      while (!(s(i) == '>' && s(i + 1) == '>')) {
+        val k = name(); val v = value(); m += k.s -> v; ws()
+      }
+      i += 2
+      Dict(m.result())
+    }
+  }
+
+  // ---- document model ---------------------------------------------------
+
+  private case class Obj(dict: V, streamAt: Int /* -1 if none */ )
+
+  private class Doc(bytes: Array[Byte]) {
+    val s = new String(bytes, "ISO-8859-1")
+    /** All classic body objects, scanned (xref ignored — robust to linearized
+      * or truncated files as long as objects are not in object streams). */
+    val objects: Map[Int, Obj] = {
+      val objRe = "(?s)(\\d+)\\s+\\d+\\s+obj\\b".r
+      objRe.findAllMatchIn(s).map { m =>
+        val p = new Parser(s, m.end)
+        val v = p.value()
+        p.ws()
+        val streamAt =
+          if (s.startsWith("stream", p.i)) {
+            var j = p.i + 6
+            if (s(j) == '\r') j += 1
+            if (s(j) == '\n') j += 1
+            j
+          } else -1
+        m.group(1).toInt -> Obj(v, streamAt)
+      }.toMap
+    }
+    def resolve(v: V): V = v match {
+      case Ref(n) => resolve(objects.get(n).map(_.dict).getOrElse(Null))
+      case other => other
+    }
+    def dictGet(d: V, k: String): V = resolve(d) match {
+      case Dict(m) => resolve(m.getOrElse(k, Null))
+      case _ => Null
+    }
+    def num(v: V, dflt: Double = 0): Double = v match { case Num(d) => d; case _ => dflt }
+
+    def streamData(ref: V): Array[Byte] = {
+      val n = ref match { case Ref(x) => x; case _ => return Array.empty }
+      val o = objects.getOrElse(n, return Array.empty)
+      if (o.streamAt < 0) return Array.empty
+      val len = num(dictGet(o.dict, "Length"), -1).toInt
+      val end =
+        if (len >= 0) o.streamAt + len
+        else s.indexOf("endstream", o.streamAt) // fallback for odd writers
+      val raw = java.util.Arrays.copyOfRange(bytes, o.streamAt, end)
+      dictGet(o.dict, "Filter") match {
+        case Name("FlateDecode") | Arr(Vector(Name("FlateDecode"))) => inflate(raw)
+        case Null => raw
+        case f => throw new UnsupportedOperationException(s"PDF filter $f")
+      }
+    }
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished() && !inf.needsInput()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && !inf.finished()) return out.toByteArray
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  // ---- text extraction ---------------------------------------------------
+
+  case class Word(page: Int, text: String, x0: Double, x1: Double,
+                  top: Double, bottom: Double)
+
+  private type Mat = (Double, Double, Double, Double, Double, Double)
+  private val Id: Mat = (1, 0, 0, 1, 0, 0)
+  private def mul(a: Mat, b: Mat): Mat = (
+    a._1 * b._1 + a._2 * b._3, a._1 * b._2 + a._2 * b._4,
+    a._3 * b._1 + a._4 * b._3, a._3 * b._2 + a._4 * b._4,
+    a._5 * b._1 + a._6 * b._3 + b._5, a._5 * b._2 + a._6 * b._4 + b._6)
+
+  private case class Font(widths: Map[Int, Double], default: Double) {
+    def w(code: Int): Double = widths.getOrElse(code, default)
+  }
+
+  /** Extract positioned words from one PDF file. Pages are numbered from 1
+    * in document order. */
+  def extractWords(content: Array[Byte]): Seq[Word] = {
+    val doc = new Doc(content)
+    val catalog = doc.objects.values.map(_.dict)
+      .find(d => doc.dictGet(d, "Type") == Name("Catalog"))
+      .getOrElse(throw new IllegalArgumentException("no /Catalog — not a PDF?"))
+    val pages = Seq.newBuilder[(V, Double)] // (page dict, height)
+    def walk(node: V, inheritedBox: Option[Arr]): Unit = {
+      val box = doc.dictGet(node, "MediaBox") match {
+        case a: Arr => Some(a); case _ => inheritedBox
+      }
+      doc.dictGet(node, "Type") match {
+        case Name("Pages") =>
+          doc.dictGet(node, "Kids") match {
+            case Arr(kids) => kids.foreach(k => walk(doc.resolve(k), box))
+            case _ =>
+          }
+        case Name("Page") =>
+          val h = box match {
+            case Some(Arr(Vector(_, y0, _, y1))) => doc.num(y1) - doc.num(y0)
+            case _ => 792.0
+          }
+          pages += ((node, h))
+        case _ =>
+      }
+    }
+    walk(doc.dictGet(catalog, "Pages"), None)
+
+    pages.result().zipWithIndex.flatMap { case ((page, height), idx) =>
+      val contents = doc.resolve(doc.dictGet(page, "Contents") match {
+        case Null => Null
+        case c => c
+      })
+      // page /Contents may be one stream ref or an array of them; the dict
+      // lookup above resolved refs, so re-read the raw entry for streams
+      val rawContents = doc.resolve(page) match {
+        case Dict(m) => m.getOrElse("Contents", Null)
+        case _ => Null
+      }
+      val streamRefs: Seq[V] = rawContents match {
+        case r: Ref => doc.resolve(r) match {
+          case Arr(vs) => vs
+          case _ => Seq(r)
+        }
+        case Arr(vs) => vs
+        case _ => Seq.empty
+      }
+      val data = streamRefs.map(doc.streamData).reduceOption(_ ++ _).getOrElse(Array.empty[Byte])
+      val fonts: Map[String, Font] = doc.dictGet(doc.dictGet(page, "Resources"), "Font") match {
+        case Dict(fm) => fm.map { case (fname, fv) =>
+          val fd = doc.resolve(fv)
+          val base = doc.dictGet(fd, "BaseFont") match { case Name(n) => n; case _ => "" }
+          val dflt = if (base.contains("Courier")) 600.0 else 500.0
+          val widths = (doc.dictGet(fd, "Widths"), doc.dictGet(fd, "FirstChar")) match {
+            case (Arr(ws), Num(fc)) =>
+              ws.zipWithIndex.map { case (w, j) => (fc.toInt + j) -> doc.num(w, dflt) }.toMap
+            case _ => Map.empty[Int, Double]
+          }
+          fname -> Font(widths, dflt)
+        }
+        case _ => Map.empty
+      }
+      extractPageWords(new String(data, "ISO-8859-1"), fonts, height, idx + 1)
+    }
+  }
+
+  /** Run the content-stream text state machine for one page. */
+  private def extractPageWords(cs: String, fonts: Map[String, Font],
+                               height: Double, pageNo: Int): Seq[Word] = {
+    // glyph runs: (x, baselineY, size, text) accumulated per show op
+    case class Run(x0: Double, x1: Double, y: Double, size: Double, text: String)
+    val runs = Seq.newBuilder[Run]
+
+    var ctm: Mat = Id
+    val ctmStack = scala.collection.mutable.Stack[Mat]()
+    var tm: Mat = Id
+    var tlm: Mat = Id
+    var font: Font = Font(Map.empty, 500.0)
+    var size = 0.0
+    var leading = 0.0
+
+    val operands = scala.collection.mutable.ArrayBuffer[V]()
+    val p = new Parser(cs, 0)
+
+    def nums(k: Int): Seq[Double] =
+      operands.takeRight(k).toSeq.map { case Num(d) => d; case _ => 0.0 }
+
+    def showStr(bytes: Array[Byte]): Unit = {
+      // device-space position of the pen: Trm = [size 0 0 size 0 0]·Tm·CTM
+      var penX = 0.0 // text-space x offset within this show
+      val sb = new StringBuilder
+      var wordStartX = 0.0
+      def flush(endX: Double): Unit = {
+        if (sb.nonEmpty) {
+          val m = mul(tm, ctm)
+          val dx0 = m._1 * wordStartX + m._5
+          val dx1 = m._1 * endX + m._5
+          val y = m._6
+          runs += Run(dx0, dx1, y, size * m._1.abs.max(m._4.abs), sb.toString)
+          sb.clear()
+        }
+      }
+      bytes.foreach { b =>
+        val code = b & 0xff
+        val adv = font.w(code) / 1000.0 * size
+        if (code == ' ') { flush(penX); penX += adv; wordStartX = penX }
+        else {
+          if (sb.isEmpty) wordStartX = penX
+          sb += code.toChar
+          penX += adv
+        }
+      }
+      flush(penX)
+      tm = mul((1, 0, 0, 1, penX, 0), tm)
+    }
+
+    while ({ p.ws(); p.i < cs.length }) {
+      val c = cs(p.i)
+      if (c == '/' || c == '(' || c == '<' || c == '[' || c.isDigit ||
+        c == '+' || c == '-' || c == '.') {
+        operands += p.value()
+      } else {
+        // operator token
+        val start = p.i
+        while (p.i < cs.length && !cs(p.i).isWhitespace &&
+          !"()<>[]{}/%".contains(cs(p.i))) p.i += 1
+        val op = cs.substring(start, p.i)
+        op match {
+          case "q" => ctmStack.push(ctm)
+          case "Q" => if (ctmStack.nonEmpty) ctm = ctmStack.pop()
+          case "cm" =>
+            val Seq(a, b2, c2, d, e, f) = nums(6)
+            ctm = mul((a, b2, c2, d, e, f), ctm)
+          case "BT" => tm = Id; tlm = Id
+          case "ET" =>
+          case "Tf" =>
+            operands.takeRight(2).toSeq match {
+              case Seq(Name(f), Num(s2)) =>
+                font = fonts.getOrElse(f, font); size = s2
+              case _ =>
+            }
+          case "Td" =>
+            val Seq(tx, ty) = nums(2)
+            tlm = mul((1, 0, 0, 1, tx, ty), tlm); tm = tlm
+          case "TD" =>
+            val Seq(tx, ty) = nums(2)
+            leading = -ty
+            tlm = mul((1, 0, 0, 1, tx, ty), tlm); tm = tlm
+          case "TL" => leading = nums(1).head
+          case "T*" =>
+            tlm = mul((1, 0, 0, 1, 0, -leading), tlm); tm = tlm
+          case "Tm" =>
+            val Seq(a, b2, c2, d, e, f) = nums(6)
+            tlm = (a, b2, c2, d, e, f); tm = tlm
+          case "Tj" =>
+            operands.lastOption.foreach { case Str(b2) => showStr(b2); case _ => }
+          case "'" =>
+            tlm = mul((1, 0, 0, 1, 0, -leading), tlm); tm = tlm
+            operands.lastOption.foreach { case Str(b2) => showStr(b2); case _ => }
+          case "\"" =>
+            tlm = mul((1, 0, 0, 1, 0, -leading), tlm); tm = tlm
+            operands.lastOption.foreach { case Str(b2) => showStr(b2); case _ => }
+          case "TJ" =>
+            operands.lastOption.foreach {
+              case Arr(vs) => vs.foreach {
+                case Str(b2) => showStr(b2)
+                case Num(adj) => // kerning: move pen left by adj/1000·size
+                  tm = mul((1, 0, 0, 1, -adj / 1000.0 * size, 0), tm)
+                case _ =>
+              }
+              case _ =>
+            }
+          case _ => // unhandled operator: consume its operands
+        }
+        operands.clear()
+      }
+    }
+
+    // group runs on a shared baseline into words when the gap < 0.25 em
+    runs.result().groupBy(r => (math.round(r.y * 100), math.round(r.size * 100)))
+      .toSeq.flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(_.x0)
+        val grouped = scala.collection.mutable.ArrayBuffer[Run]()
+        sorted.foreach { r =>
+          grouped.lastOption match {
+            case Some(prev) if math.abs(r.x0 - prev.x1) < 0.25 * r.size =>
+              grouped(grouped.length - 1) =
+                Run(prev.x0, r.x1, r.y, r.size, prev.text + r.text)
+            case _ => grouped += r
+          }
+        }
+        grouped.map(r =>
+          Word(pageNo, r.text, r.x0, r.x1,
+            height - (r.y + r.size), height - r.y))
+      }
+      .sortBy(w => (w.top, w.x0))
+  }
+
+  /** The [[Ingest.WordExtractor]] adapter: real extraction for .pdf files,
+    * contained failure (empty iterator + stderr note) for unsupported
+    * producers — a malformed statement must never kill the scan task. */
+  val wordExtractor: Ingest.WordExtractor = (path, content) =>
+    try extractWords(content).iterator.map(w =>
+      (path, w.page, w.text, w.x0, w.x1, w.top, w.bottom))
+    catch {
+      case e: Exception =>
+        System.err.println(s"[pdf] $path: ${e.getMessage}")
+        Iterator.empty
+    }
+}

@@ -1,0 +1,169 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.scalactic.Tolerance._
+
+/** The dependency-free PDF word extractor against PDFs BUILT BY THE TEST —
+  * a self-contained writer emitting the classic-object subset (header,
+  * page tree, Courier text, raw or FlateDecode content streams, correct
+  * /Length entries), so the reader is validated against byte-exact inputs
+  * with hand-computable geometry: Courier is fixed-pitch 600/1000 em, so a
+  * 12 pt glyph advances exactly 7.2 pt. */
+class PdfSpec extends SparkSpec {
+
+  /** Minimal classic-PDF writer. Each page is a content-stream string. */
+  def mkPdf(pageStreams: Seq[String], compress: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    val n = pageStreams.length
+    // object numbering: 1 catalog, 2 pages, 3 font, 4..3+n pages, 4+n.. streams
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = (0 until n).map(i => s"${4 + i} 0 R").mkString(" ")
+    w(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] /Count $n " +
+      "/MediaBox [ 0 0 612 792 ] >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>\nendobj\n")
+    pageStreams.zipWithIndex.foreach { case (_, i) =>
+      w(s"${4 + i} 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        s"/Contents ${4 + n + i} 0 R " +
+        "/Resources << /Font << /F1 3 0 R >> >> >>\nendobj\n")
+    }
+    pageStreams.zipWithIndex.foreach { case (cs, i) =>
+      val raw = cs.getBytes("ISO-8859-1")
+      val body =
+        if (!compress) raw
+        else {
+          val d = new java.util.zip.Deflater()
+          d.setInput(raw); d.finish()
+          val buf = new java.io.ByteArrayOutputStream
+          val tmp = new Array[Byte](4096)
+          while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+          buf.toByteArray
+        }
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"${4 + n + i} 0 obj\n<< /Length ${body.length}$filter >>\nstream\n")
+      out.write(body)
+      w("\nendstream\nendobj\n")
+    }
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  val statementPage1 =
+    """BT /F1 12 Tf 72 720 Td (Date Description Amount) Tj ET
+      |BT /F1 12 Tf 72 700 Td (01/05/2024 COFFEE SHOP 4.50) Tj ET
+      |""".stripMargin
+  val statementPage2 =
+    """BT /F1 12 Tf 72 720 Td (01/06/2024 GROCERY 42.00) Tj ET
+      |""".stripMargin
+
+  test("raw streams: words, pages, and exact Courier geometry") {
+    val words = Pdf.extractWords(mkPdf(Seq(statementPage1, statementPage2), compress = false))
+    assert(words.map(_.page).distinct === Seq(1, 2))
+    val p1 = words.filter(_.page == 1)
+    assert(p1.map(_.text) === Seq("Date", "Description", "Amount",
+      "01/05/2024", "COFFEE", "SHOP", "4.50"))
+    // Courier 12pt: advance 7.2/glyph. "Date" at Td 72 720:
+    val date = p1.head
+    assert(date.x0 === 72.0 +- 1e-9)
+    assert(date.x1 === 72.0 + 4 * 7.2 +- 1e-9)
+    assert(date.top === 792.0 - (720 + 12) +- 1e-9)  // 60
+    assert(date.bottom === 792 - 720.0 +- 1e-9)    // 72
+    // "Description" starts after "Date " = 5 glyphs
+    assert(p1(1).x0 === 72.0 + 5 * 7.2 +- 1e-9)
+    // second line sits 20pt lower
+    assert(p1(3).top === 80.0 +- 1e-9)
+    val p2 = words.filter(_.page == 2)
+    assert(p2.map(_.text) === Seq("01/06/2024", "GROCERY", "42.00"))
+  }
+
+  test("FlateDecode streams read identically to raw") {
+    val raw = Pdf.extractWords(mkPdf(Seq(statementPage1, statementPage2), compress = false))
+    val comp = Pdf.extractWords(mkPdf(Seq(statementPage1, statementPage2), compress = true))
+    assert(comp === raw)
+  }
+
+  test("TJ kerning: small adjustments merge a word, big gaps split it") {
+    // -1000 adj moves the pen RIGHT 12pt (gap > 0.25em) -> two words;
+    // +50 adj tightens by 0.6pt -> still one word when shows are adjacent
+    val cs =
+      """BT /F1 12 Tf 72 700 Td [ (Da) -1000 (te) ] TJ ET
+        |BT /F1 12 Tf 72 650 Td [ (Amo) 50 (unt) ] TJ ET
+        |""".stripMargin
+    val words = Pdf.extractWords(mkPdf(Seq(cs), compress = false))
+    assert(words.map(_.text) === Seq("Da", "te", "Amount"))
+    // the kerned second run starts exactly 2 glyphs + 12pt right of origin
+    assert(words(1).x0 === 72 + 2 * 7.2 + 12.0 +- 1e-9)
+  }
+
+  test("Td/TD/T* line stepping and cm translation compose") {
+    val cs =
+      """1 0 0 1 10 -2 cm
+        |BT /F1 10 Tf 20 TL 100 730 Td (one) Tj T* (two) Tj 0 -30 Td (three) Tj ET
+        |""".stripMargin
+    val words = Pdf.extractWords(mkPdf(Seq(cs), compress = false))
+    assert(words.map(_.text) === Seq("one", "two", "three"))
+    // cm shifts x by +10 and y by -2: baseline 730-2=728, top=792-(728+10)=54
+    assert(words(0).x0 === 110.0 +- 1e-9)
+    assert(words(0).top === 54.0 +- 1e-9)
+    assert(words(1).top === 74.0 +- 1e-9)  // T* steps down TL=20
+    assert(words(2).top === 104.0 +- 1e-9) // Td -30 from the T*'d line
+  }
+
+  test("S2/S3 end-to-end: binaryFile scan -> real extractor -> word table") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("pdfspec").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "stmt.pdf").toPath,
+        mkPdf(Seq(statementPage1, statementPage2), compress = true))
+      val files = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf").load(dir.getAbsolutePath)
+      val words = Ingest.extractWords(files, Pdf.wordExtractor)
+      assert(words.count() === 10)
+      assert(words.filter(col("page") === 2).count() === 3)
+      val amounts = words.filter(col("text").rlike("^\\d+\\.\\d{2}$"))
+        .select("text").collect().map(_.getString(0)).sorted.toSeq
+      assert(amounts === Seq("4.50", "42.00"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("malformed input is contained: garbage bytes yield an empty iterator") {
+    val out = Pdf.wordExtractor("junk.pdf", Array[Byte](1, 2, 3, 4))
+    assert(out.isEmpty)
+  }
+
+  test("full reference dataflow: rendered statement PDF -> extractor -> Statement.parse") {
+    // A statement laid out with one absolutely-positioned Tj per word
+    // (Courier 10pt: 6.0pt/glyph, so every x0/x1/top is hand-computable),
+    // replaying the FIXTURES.md A1 semantics as an actual PDF: header
+    // words, the Credits/Charges threshold pair, a charge row, a credit
+    // row (amount left of threshold), a PAYMENT row (F5-dropped), and a
+    // dateless footer (F3-rejected).
+    def at(x: Int, y: Int, t: String) = s"BT /F1 10 Tf $x $y Td ($t) Tj ET"
+    val cs = Seq(
+      at(50, 600, "Transaction"), at(122, 600, "Details"),
+      at(465, 570, "Credits"), at(540, 570, "Charges"), // x1: 507 / 582 -> thr 544.5
+      at(40, 555, "Trans"), at(80, 555, "Post"), at(115, 555, "Reference"),
+      at(40, 540, "01/03"), at(80, 540, "01/03"), at(120, 540, "2466XY"),
+      at(170, 540, "AMAZON"), at(230, 540, "MKTPL"), at(545, 540, "39.12"),
+      at(40, 525, "01/05"), at(80, 525, "01/05"), at(120, 525, "8832AB"),
+      at(170, 525, "REFUND"), at(230, 525, "VENDOR"), at(470, 525, "15.00"),
+      at(40, 510, "01/15"), at(80, 510, "01/15"), at(120, 510, "9921CD"),
+      at(170, 510, "PAYMENT"), at(240, 510, "THANK"), at(300, 510, "YOU"),
+      at(545, 510, "500.00"),
+      at(40, 495, "Subtotal"), at(545, 495, "1,788.68")
+    ).mkString("\n")
+    val words = Pdf.extractWords(mkPdf(Seq(cs), compress = true))
+    import spark.implicits._
+    val table = words.map(w => ("stmt.pdf", w.page, w.text, w.x0, w.x1, w.top, w.bottom))
+      .toDF("file", "page", "text", "x0", "x1", "top", "bottom")
+    val txns = graft.pipeline.Statement.parse(table).collect()
+      .map(r => (r.getAs[String]("date"), r.getAs[String]("vendor"),
+        r.getAs[java.math.BigDecimal]("amount").doubleValue())).toSet
+    assert(txns === Set(
+      ("01/03", "AMAZON MKTPL", 39.12),
+      ("01/05", "REFUND VENDOR", -15.0)))
+  }
+}
