@@ -433,6 +433,74 @@ object Pdf {
       .sortBy(w => (w.top, w.x0))
   }
 
+  /** Ragged cell grids from positioned words — the S3 surface
+    * (`pdf_parser.py:419-434` `page.extract_tables()`), via the text-based
+    * strategy: rows are word clusters within `rowTol` of their anchor top
+    * (the Statement pipeline's clustering rule), columns are the gaps in
+    * the page-wide x0 profile (a new column starts where the nearest
+    * smaller x0 is ≥ `colGap` away), and a vertical gap ≥ `tableGap`
+    * between consecutive rows starts a new table. Words sharing a
+    * (row, column) cell join with spaces in x order. Ruling-line detection
+    * (pdfplumber's lattice strategy) is out of scope — bank COA exports
+    * are whitespace-aligned text tables, which is what this reads. */
+  def extractTables(content: Array[Byte], rowTol: Double = 3.0,
+                    colGap: Double = 18.0, tableGap: Double = 40.0): Seq[(Int, Int, Vector[Vector[String]])] = {
+    case class Phrase(x0: Double, x1: Double, text: String)
+    extractWords(content).groupBy(_.page).toSeq.sortBy(_._1).flatMap { case (page, ws) =>
+      // anchor-rule row clustering on top
+      val sorted = ws.sortBy(w => (w.top, w.x0))
+      case class RowAcc(anchor: Double, words: Vector[Word])
+      val rows = sorted.foldLeft(Vector.empty[RowAcc]) { (acc, w) =>
+        acc.lastOption match {
+          case Some(r) if w.top - r.anchor < rowTol =>
+            acc.init :+ r.copy(words = r.words :+ w)
+          case _ => acc :+ RowAcc(w.top, Vector(w))
+        }
+      }
+      // merge adjacent words into PHRASES (multi-word cell text: a gap of
+      // about one space stays inside a cell), so the column profile sees
+      // cell starts, not every word
+      def phrases(r: RowAcc): Vector[Phrase] =
+        r.words.sortBy(_.x0).foldLeft(Vector.empty[Phrase]) { (acc, w) =>
+          val em = (w.bottom - w.top).max(1.0)
+          acc.lastOption match {
+            case Some(p) if w.x0 - p.x1 <= 1.0 * em =>
+              acc.init :+ Phrase(p.x0, w.x1, p.text + " " + w.text)
+            case _ => acc :+ Phrase(w.x0, w.x1, w.text)
+          }
+        }
+      val phrased = rows.map(r => (r.anchor, phrases(r)))
+      // column boundaries from the page-wide phrase-start profile
+      val xs = phrased.flatMap(_._2.map(_.x0)).distinct.sorted
+      val bounds = xs.foldLeft(Vector.empty[Double]) { (acc, x) =>
+        if (acc.isEmpty || x - acc.last >= colGap) acc :+ x else acc
+      }
+      def colOf(x: Double): Int = {
+        var c = 0
+        while (c + 1 < bounds.length && bounds(c + 1) <= x + 1e-6) c += 1
+        c
+      }
+      // split row runs into tables on large vertical gaps
+      val tables = phrased.foldLeft(Vector.empty[Vector[(Double, Vector[Phrase])]]) { (acc, r) =>
+        acc.lastOption.flatMap(_.lastOption) match {
+          case Some(prev) if r._1 - prev._1 < tableGap =>
+            acc.init :+ (acc.last :+ r)
+          case _ => acc :+ Vector(r)
+        }
+      }
+      tables.zipWithIndex.map { case (trs, ti) =>
+        val grid = trs.map { case (_, ps) =>
+          val byCol = ps.groupBy(p => colOf(p.x0))
+          val maxCol = byCol.keys.max
+          (0 to maxCol).map(c =>
+            byCol.getOrElse(c, Seq.empty).sortBy(_.x0).map(_.text).mkString(" ")
+          ).toVector
+        }
+        (page, ti, grid)
+      }
+    }
+  }
+
   /** The [[Ingest.WordExtractor]] adapter: real extraction for .pdf files,
     * contained failure (empty iterator + stderr note) for unsupported
     * producers — a malformed statement must never kill the scan task. */

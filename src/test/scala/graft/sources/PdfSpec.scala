@@ -134,6 +134,40 @@ class PdfSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("S3 tables: rendered COA PDF -> extractTables -> Coa pipeline") {
+    // two whitespace-aligned tables 60pt apart: a funder table and a GL
+    // table, each with a header row the classifier reads and F7 drops
+    def at(x: Int, y: Int, t: String) = s"BT /F1 10 Tf $x $y Td ($t) Tj ET"
+    val cs = Seq(
+      at(50, 700, "Funder"), at(200, 700, "Name"),
+      at(50, 685, "1001"), at(200, 685, "State Grant"),
+      at(50, 670, "1002"), at(200, 670, "Foundation A"),
+      // 60pt gap -> second table
+      at(50, 600, "GL Code"), at(200, 600, "Account"),
+      at(50, 585, "61000"), at(200, 585, "Salaries"),
+      at(50, 570, "notanumber"), at(200, 570, "Rejected by F9"),
+      at(50, 555, "62000"), at(200, 555, "Rent")
+    ).mkString("\n")
+    val tabs = Pdf.extractTables(mkPdf(Seq(cs), compress = true))
+    assert(tabs.map(t => (t._1, t._2)) === Seq((1, 0), (1, 1)))
+    assert(tabs.head._3 === Vector(
+      Vector("Funder", "Name"),
+      Vector("1001", "State Grant"),
+      Vector("1002", "Foundation A")))
+    // feed the grids into the COA pipeline: classify -> parse -> codes
+    import spark.implicits._
+    val grids = tabs.map(t => ("coa.pdf", t._1, t._2, t._3.map(_.toSeq).toSeq))
+      .toDF("file", "page", "table_idx", "cells")
+    val rows = graft.pipeline.Coa.parseRows(graft.pipeline.Coa.classifyTables(grids))
+      .select("code_type", "code", "name")
+      .as[(String, String, String)].collect().toSet
+    assert(rows === Set(
+      ("funder", "1001", "State Grant"),
+      ("funder", "1002", "Foundation A"),
+      ("gl", "61000", "Salaries"),
+      ("gl", "62000", "Rent")))
+  }
+
   test("full reference dataflow: rendered statement PDF -> extractor -> Statement.parse") {
     // A statement laid out with one absolutely-positioned Tj per word
     // (Courier 10pt: 6.0pt/glyph, so every x0/x1/top is hand-computable),
