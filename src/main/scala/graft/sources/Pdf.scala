@@ -159,11 +159,14 @@ object Pdf {
 
   private class Doc(bytes: Array[Byte]) {
     val s = new String(bytes, "ISO-8859-1")
-    /** All classic body objects, scanned (xref ignored — robust to linearized
-      * or truncated files as long as objects are not in object streams). */
+    /** All body objects: classic `N G obj` bodies scanned directly (xref
+      * ignored — robust to linearized or truncated files), then every
+      * /Type /ObjStm stream inflated and its packed objects parsed in — the
+      * layout modern writers emit. Classic definitions win on collision
+      * (incremental updates append classic objects). */
     val objects: Map[Int, Obj] = {
       val objRe = "(?s)(\\d+)\\s+\\d+\\s+obj\\b".r
-      objRe.findAllMatchIn(s).map { m =>
+      val classic = objRe.findAllMatchIn(s).map { m =>
         val p = new Parser(s, m.end)
         val v = p.value()
         p.ws()
@@ -176,32 +179,57 @@ object Pdf {
           } else -1
         m.group(1).toInt -> Obj(v, streamAt)
       }.toMap
+      // object streams: /N pairs of (objnum, offset) then the bare objects,
+      // offsets relative to /First
+      val packed = classic.collect {
+        case (n, o) if o.streamAt >= 0 &&
+          dictGetIn(classic, o.dict, "Type") == Name("ObjStm") =>
+          val data = new String(streamDataIn(classic, Ref(n)), "ISO-8859-1")
+          val count = numOf(dictGetIn(classic, o.dict, "N")).toInt
+          val first = numOf(dictGetIn(classic, o.dict, "First")).toInt
+          val hp = new Parser(data, 0)
+          val pairs = (0 until count).map { _ =>
+            val a = hp.value(); val b = hp.value()
+            (numOf(a).toInt, numOf(b).toInt)
+          }
+          pairs.map { case (num, off) =>
+            num -> Obj(new Parser(data, first + off).value(), -1)
+          }
+      }.flatten.toMap
+      packed ++ classic // classic wins
     }
-    def resolve(v: V): V = v match {
-      case Ref(n) => resolve(objects.get(n).map(_.dict).getOrElse(Null))
+    private def resolveIn(objs: Map[Int, Obj], v: V): V = v match {
+      case Ref(n) => resolveIn(objs, objs.get(n).map(_.dict).getOrElse(Null))
       case other => other
     }
-    def dictGet(d: V, k: String): V = resolve(d) match {
-      case Dict(m) => resolve(m.getOrElse(k, Null))
-      case _ => Null
-    }
-    def num(v: V, dflt: Double = 0): Double = v match { case Num(d) => d; case _ => dflt }
+    private def dictGetIn(objs: Map[Int, Obj], d: V, k: String): V =
+      resolveIn(objs, d) match {
+        case Dict(m) => resolveIn(objs, m.getOrElse(k, Null))
+        case _ => Null
+      }
+    private def numOf(v: V, dflt: Double = 0): Double =
+      v match { case Num(d) => d; case _ => dflt }
 
-    def streamData(ref: V): Array[Byte] = {
+    private def streamDataIn(objs: Map[Int, Obj], ref: V): Array[Byte] = {
       val n = ref match { case Ref(x) => x; case _ => return Array.empty }
-      val o = objects.getOrElse(n, return Array.empty)
+      val o = objs.getOrElse(n, return Array.empty)
       if (o.streamAt < 0) return Array.empty
-      val len = num(dictGet(o.dict, "Length"), -1).toInt
+      val len = numOf(dictGetIn(objs, o.dict, "Length"), -1).toInt
       val end =
         if (len >= 0) o.streamAt + len
         else s.indexOf("endstream", o.streamAt) // fallback for odd writers
       val raw = java.util.Arrays.copyOfRange(bytes, o.streamAt, end)
-      dictGet(o.dict, "Filter") match {
+      dictGetIn(objs, o.dict, "Filter") match {
         case Name("FlateDecode") | Arr(Vector(Name("FlateDecode"))) => inflate(raw)
         case Null => raw
         case f => throw new UnsupportedOperationException(s"PDF filter $f")
       }
     }
+
+    def resolve(v: V): V = resolveIn(objects, v)
+    def dictGet(d: V, k: String): V = dictGetIn(objects, d, k)
+    def num(v: V, dflt: Double = 0): Double = numOf(v, dflt)
+    def streamData(ref: V): Array[Byte] = streamDataIn(objects, ref)
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {

@@ -129,6 +129,43 @@ class PdfSpec extends SparkSpec {
     }
   }
 
+  test("object streams: a doc with its font and page dicts packed in an /ObjStm") {
+    // modern-writer layout: non-stream objects live inside a compressed
+    // object stream; only the streams stay classic
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val cs = statementPage1
+    w("%PDF-1.5\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    // objects 2 (Pages), 3 (Font), 4 (Page) packed into ObjStm 6
+    val packed = Seq(
+      2 -> ("<< /Type /Pages /Kids [ 4 0 R ] /Count 1 " +
+        "/MediaBox [ 0 0 612 792 ] >>"),
+      3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+      4 -> ("<< /Type /Page /Parent 2 0 R /Contents 5 0 R " +
+        "/Resources << /Font << /F1 3 0 R >> >> >>"))
+    val bodies = packed.map(_._2)
+    val offsets = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
+    val header = packed.map(_._1).zip(offsets)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + " "
+    val stmData = header + bodies.mkString("\n")
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(stmData.getBytes("ISO-8859-1")); deflater.finish()
+    val buf = new java.io.ByteArrayOutputStream
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
+    val comp = buf.toByteArray
+    w(s"6 0 obj\n<< /Type /ObjStm /N ${packed.length} /First ${header.length} " +
+      s"/Length ${comp.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(comp)
+    w("\nendstream\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${cs.length} >>\nstream\n$cs\nendstream\nendobj\n")
+    w("%%EOF\n")
+    val words = Pdf.extractWords(out.toByteArray)
+    val classic = Pdf.extractWords(mkPdf(Seq(statementPage1), compress = false))
+    assert(words === classic)
+  }
+
   test("malformed input is contained: garbage bytes yield an empty iterator") {
     val out = Pdf.wordExtractor("junk.pdf", Array[Byte](1, 2, 3, 4))
     assert(out.isEmpty)
