@@ -7,9 +7,10 @@ package graft.sources
   * public file format directly (PDF 32000-1) instead of depending on a
   * library the container does not have.
   *
-  * Supported subset — the shape simple statement writers emit:
+  * Supported subset — the shape statement writers emit:
   *  - classic body objects (`N G obj … endobj`), scanned directly so broken
-  *    or absent xref tables don't matter;
+  *    or absent xref tables don't matter, PLUS /ObjStm object streams
+  *    (the modern-writer layout: packed objects inflated and parsed in);
   *  - page tree traversal (/Catalog → /Pages → /Kids, inheritable
   *    /MediaBox), multiple /Contents streams per page;
   *  - content streams raw or /FlateDecode (JDK Inflater);
@@ -21,9 +22,9 @@ package graft.sources
   *    for metric-less base-14 text.
   *
   * Not supported (documented boundary, errors are contained per file):
-  * cross-reference/object streams, encryption, CID/Type0 composite fonts,
-  * /Differences re-encoding. Those need embedded-font parsing — the point
-  * where a real deployment swaps in a full library behind the SAME
+  * encryption, CID/Type0 composite fonts, /Differences re-encoding,
+  * non-Flate filters. Those need embedded-font/crypto machinery — the
+  * point where a real deployment swaps in a full library behind the SAME
   * `Ingest.WordExtractor` seam this object plugs into.
   *
   * Geometry: PDF user space puts y up; the word table wants screen-style
