@@ -163,11 +163,12 @@ class PlanSpec extends SparkSpec {
         s"s3_knn_ivf: broadcast beyond centroids + stratum " +
           s"($bx vs $cross cross + $strat stratum):\n$p")
     }
-    // the near-dup pair tier has NO query stratum: zero hints anywhere
-    locally {
-      val p = planNoAutoBroadcast("d5_embedding_neardup")
+    // the all-corpus tiers (near-dup pairs, the s7 kNN graph) have NO query
+    // stratum: zero hints anywhere — every frame scales with the corpus
+    for (n <- Seq("d5_embedding_neardup", "s7_knn_graph")) {
+      val p = planNoAutoBroadcast(n)
       assert(!p.contains("BroadcastExchange"),
-        s"d5_embedding_neardup: corpus-scaled broadcast hint crept back in:\n$p")
+        s"$n: corpus-scaled broadcast hint crept back in:\n$p")
     }
     // exact/scan baselines: the ONLY hint is the by-design query-stratum
     // side of the non-equi BNLJ; every other join must shuffle
