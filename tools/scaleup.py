@@ -85,10 +85,19 @@ def main():
                     r"'\1' || CASE WHEN i = 0 THEN '' ELSE i::VARCHAR END, 'g')"
                     " AS text")
             elif t == "embeddings" and c == "embedding":
-                # rotate by i positions; i=0 is the identity
+                # rotate by i mod dim positions; past one full cycle of
+                # rotations (factor > 64) additionally flip the sign of odd
+                # components so replica i and replica i-64 are near-orthogonal
+                # instead of identical (a bare i-position rotation degenerates
+                # to the identity once i >= dim, which would plant 36 exact
+                # duplicates of every vector at factor 100). i = 0 stays
+                # bit-exact.
                 exprs.append(
                     "CASE WHEN i = 0 THEN embedding ELSE "
-                    "list_concat(embedding[i + 1:], embedding[:i]) END"
+                    "list_transform("
+                    "  list_concat(embedding[(i % 64) + 1:], embedding[:(i % 64)]),"
+                    "  (x, k) -> CASE WHEN ((i // 64) % 2) = 1 AND (k % 2) = 1"
+                    "            THEN -x ELSE x END) END"
                     " AS embedding")
             else:
                 exprs.append(c)
