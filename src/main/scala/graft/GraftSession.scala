@@ -24,6 +24,16 @@ object GraftSession {
       // corpus-scaled (PlanSpec pins that); this knob only widens what
       // the runtime may do with small measured frames.
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+      // Bound EVERY shuffle sorter's in-memory element count. The default
+      // (Integer.MAX_VALUE) lets one heavy task grow its pointer array by
+      // doubling into 64 MB+ humongous allocations; at 32 concurrent tasks
+      // that is multi-GB of sort arrays and the measured sf10 failure mode
+      // (GCLocker retry loops, then UNABLE_TO_ACQUIRE_MEMORY) on g2's
+      // wedge shuffle. 2M elements caps each array at 16 MB — concurrency ×
+      // array stays bounded NO MATTER how large one task's output gets,
+      // which is exactly the property a fixed-memory executor needs under
+      // corpus-scaled fan-out; light tasks never hit the threshold.
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "2000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS); read as Long and convert

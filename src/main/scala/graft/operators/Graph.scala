@@ -307,17 +307,21 @@ object Graph {
     * deg·2³² + id, unique because ids are. */
   def triangleCounts(edges: DataFrame): DataFrame = {
     // edges: undirected distinct pairs (u, v), u < v, both Long.
-    // Cache it: the degree count and both orientation joins read it — an
-    // uncached edge list re-runs its (possibly expensive) derivation per
-    // consumer.
-    val e = graft.util.Caches.scoped(edges)
+    // Materialized to parquet, NOT block-manager-cached: the degree count
+    // and the orientation join both read it (an unmaterialized edge list
+    // re-runs its possibly-expensive derivation per consumer), and at
+    // corpus scale a cached copy would squat the storage half of the
+    // unified pool that the wedge stage's 32 concurrent sorters need —
+    // the measured sf10 failure mode (see Caches.material).
+    val e = graft.util.Caches.material(edges)
     val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("d"))
     val key = (d: Column, id: Column) => d * lit(4294967296L) + id
-    // Cached: the wedge build reads this THREE times (both wedge legs plus
-    // the closing-edge probe) — uncached, the whole degree-join chain and
-    // the edge derivation under it would execute 3×.
-    val oriented = graft.util.Caches.scoped(e
+    // Materialized: the wedge build reads this FIVE times (count, Bloom
+    // build, both wedge legs, closing-edge probe) — unmaterialized, the
+    // whole degree-join chain and the edge derivation under it would
+    // execute 5×; cached, it would evict the execution pool at scale.
+    val oriented = graft.util.Caches.material(e
       .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
       .select(
@@ -345,10 +349,6 @@ object Graph {
     // hashes one key instead of two, and both endpoints are recovered
     // arithmetically after the match — no wide payload ever moves.
     val pack = (a: Column, b: Column) => a * lit(4294967296L) + b
-    val w1 = oriented.select(col("s"), col("t").as("t1"), col("tk").as("k1"))
-    val w2 = oriented.select(col("s"), col("t").as("t2"), col("tk").as("k2"))
-    val wedges = w1.join(w2, Seq("s")).filter(col("k1") < col("k2"))
-      .select(col("s"), pack(col("t1"), col("t2")).as("ck"))
     val packedE = oriented.select(pack(col("s"), col("t")).as("ck"))
     // The closing-edge join is where the O(m^1.5) wedge volume meets the
     // network: at sf1, 411M wedges probed 12M edges and only ~19M closed —
@@ -372,8 +372,40 @@ object Graph {
     val bloom = packedE.stat.bloomFilter("ck", math.max(1L, math.min(m, 100000000L)), 0.01)
     val bloomBc = oriented.sparkSession.sparkContext.broadcast(bloom)
     val mightClose = udf((ck: Long) => bloomBc.value.mightContainLong(ck))
+    // A bare SHUFFLE_HASH hint is a hard requirement Spark cannot back out
+    // of, and with a FIXED partition count the per-task hash relation grows
+    // with the corpus — the sf10 curve run caught exactly that failure
+    // ("Can't acquire … to build hash relation" at 120M edges / 32
+    // partitions). Size the closing join's partitioning from the measured
+    // edge count instead: ≤ ~1.5M build rows per task at ANY scale, both
+    // sides repartitioned on ck so the join adds no extra exchange. This is
+    // what a production cluster does by setting shuffle.partitions to the
+    // data — made explicit for the one stage whose build side is pinned.
+    // ~300k build rows per task ≈ 7 MB of packed longs: small enough that
+    // 32 concurrent builders fit a stock executor's execution pool with the
+    // wedge-side shuffle buffers live (1.5M rows/task still died on a
+    // 100M-edge corpus in an 8 GB JVM — measured, not theorized).
+    val defaultParts = oriented.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val closeParts = math.max(defaultParts, (m / 300000L).toInt + 1)
+    // The WEDGE-PRODUCING stage needs the same treatment: at the default
+    // partition count each of its few tasks emits wedges for m/N edges —
+    // at 120M edges / 32 tasks that is tens of millions of post-prune
+    // wedge rows per task, and the shuffle writer's pointer array dies
+    // ("Unable to grow the pointer array") long before the closing join
+    // runs. Partitioning BOTH legs of the self-join on the apex at the
+    // same m-derived granularity bounds every task's wedge output; the
+    // matching HashPartitioning on both sides means the join itself adds
+    // no extra exchange on top of the two explicit ones.
+    val w1 = oriented.select(col("s"), col("t").as("t1"), col("tk").as("k1"))
+      .repartition(closeParts, col("s"))
+    val w2 = oriented.select(col("s"), col("t").as("t2"), col("tk").as("k2"))
+      .repartition(closeParts, col("s"))
+    val wedges = w1.join(w2, Seq("s")).filter(col("k1") < col("k2"))
+      .select(col("s"), pack(col("t1"), col("t2")).as("ck"))
     val closed = wedges.filter(mightClose(col("ck")))
-      .join(packedE.hint("SHUFFLE_HASH"), "ck")
+      .repartition(closeParts, col("ck"))
+      .join(packedE.repartition(closeParts, col("ck")).hint("SHUFFLE_HASH"), "ck")
     closed
       .select(explode(array(col("s"),
         expr("ck div 4294967296"), pmod(col("ck"), lit(4294967296L)))).as("part"))
