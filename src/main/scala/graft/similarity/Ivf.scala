@@ -272,6 +272,104 @@ object Ivf {
     anchorIvfTopK(emb, nlist, nprobe, k = 5).orderBy("a_id", "rk")
   }
 
+  /** Hierarchical (two-level) anchor IVF — the 100 TB assignment path. The
+    * flat tiers (s3/s3b/d9) pay the standard IVF build cost: one dot per
+    * (vector, cell) = O(n·nlist), which at the nlist ≈ √n parameterization
+    * is O(n^1.5) — measured 12–18× growth at 10× data on the sf10 curve,
+    * under the 31.6× the curve predicts but still the whole-query
+    * bottleneck. The classic fix (IMI / hierarchical coarse quantizers,
+    * Babenko & Lempitsky 2012) splits assignment in two: pick the nearest
+    * of ncoarse ≈ √nlist COARSE anchors (√nlist dots), then the nearest
+    * FINE anchor within that coarse group only (≈ nlist/ncoarse ≈ √nlist
+    * dots) — O(n·2√nlist) = O(n^1.25) total, 13× fewer dots than s3b at
+    * sf10's 500k vectors. The price is the standard hierarchical-recall
+    * trade: a vector whose best fine anchor lives in a different coarse
+    * group lands in a near-optimal cell instead.
+    *
+    * Everything stays a pure function of the data — coarse anchors are the
+    * ncoarse md5-smallest of the SAME ranked anchor list s3b uses, fine
+    * anchors join their argmax coarse group, and every argmax breaks ties
+    * to the lower id — so the whole pipeline is DuckDB-oracle-gated like
+    * s3b. Probe side is IDENTICAL to s3b (the query stratum is a fixed
+    * [[Knn.queryN]] rows; scoring it against all nlist fine anchors is
+    * queryN·nlist — noise), so s3c differs from s3b only where the scale
+    * cost lives: the corpus assignment pass.
+    *
+    * Dataflow shape: every join against an anchor-derived frame broadcasts
+    * ≤ nlist rows (√n ⇒ a few MB at 10⁹ vectors — the bounded-side
+    * argument of s3b), both argmax passes are map-side-complete `max_by`
+    * aggregates (the broadcast puts all of a vector's anchor scores in one
+    * input partition), and the only corpus-sized exchanges are n-row
+    * 2-to-3-column frames. */
+  def twoLevelAnchorTopK(emb: DataFrame, nlist: Int, nprobe: Int, k: Int): DataFrame = {
+    val ncoarse = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val ak = graft.dedup.Dedup.md5Hash60(
+      concat(lit("ivfanchor|"), col("vec_id").cast("string")))
+    // nlist rows; persisted — read by coarse, the fine-group build, and the
+    // probe scorer, each of which would otherwise re-run the corpus-wide
+    // TakeOrdered underneath. The single-partition window is over nlist
+    // (≈ √n) rows, bounded at any corpus size.
+    val ranked = graft.util.Caches.scoped(emb
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"), ak.as("ak"))
+      .orderBy(col("ak"), col("cell")).limit(nlist)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ak"), col("cell"))))
+      .select("cell", "ce", "r"))
+    val coarse = ranked.filter(col("r") <= ncoarse)
+      .select(col("cell").as("g"), col("ce").as("cg"))
+    // fine anchor -> coarse group: argmax dot, ties to the lower group id.
+    // nlist·ncoarse dots over two bounded frames — driver-scale work kept
+    // distributed anyway so the plan is one shape at every size.
+    val fineGroups = ranked.select(col("cell"), col("ce"))
+      .crossJoin(broadcast(coarse))
+      .select(col("cell"), col("ce"), col("g"),
+        Knn.dotFold(col("ce"), col("cg")).as("gd"))
+      .groupBy("cell")
+      .agg(max_by(col("g"), struct(col("gd"), (-col("g")).as("ng"))).as("g"),
+        first(col("ce")).as("ce"))
+    // corpus pass 1: nearest coarse group (n·ncoarse dots). The embedding
+    // rides the aggregate (first() — constant per vec_id) so the fine pass
+    // needs no second corpus join.
+    val coarseAssign = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("embedding"), col("g"),
+        Knn.dotFold(col("embedding"), col("cg")).as("cd"))
+      .groupBy("vec_id")
+      .agg(max_by(col("g"), struct(col("cd"), (-col("g")).as("ng"))).as("g"),
+        first(col("embedding")).as("embedding"))
+    // corpus pass 2: nearest fine anchor WITHIN the assigned group
+    // (n·(nlist/ncoarse) dots on average)
+    val fineAssign = coarseAssign
+      .join(broadcast(fineGroups.select(col("g"), col("cell"), col("ce"))), "g")
+      .select(col("vec_id"), col("cell"),
+        Knn.dotFold(col("embedding"), col("ce")).as("fd"))
+      .groupBy(col("vec_id").as("b_id"))
+      .agg(max_by(col("cell"), struct(col("fd"), (-col("cell")).as("nc"))).as("cell"))
+    // probe side: verbatim s3b — rank ALL fine anchors per query vector
+    val probes = emb.join(broadcast(Knn.queryIds(emb)), "vec_id")
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(ranked.select(col("cell"), col("ce"))))
+      .select(col("vec_id"), col("cell"),
+        Knn.dotFold(col("embedding"), col("ce")).as("adot"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("adot").desc, col("cell").asc)))
+      .filter(col("ark") <= nprobe)
+      .select(col("vec_id").as("a_id"), col("cell"))
+    val cand = probes.join(fineAssign, "cell")
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+    Knn.scoredTopK(emb, cand, k)
+  }
+
+  /** Driver query: two-level anchor IVF, same nlist/nprobe curve as s3b. */
+  def s3cKnnIvf2Level(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val n = graft.Tables.cachedCount(spark, dir, "embeddings")
+    val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nprobe = math.max(2, nlist / 4)
+    twoLevelAnchorTopK(emb, nlist, nprobe, k = 5).orderBy("a_id", "rk")
+  }
+
   /** S5: exact per-label centroids — the distributed E-step every k-means /
     * IVF build runs at full scale, expressed as pure relational dataflow.
     * posexplode is map-side (n·dim rows never materialize past the partial
@@ -301,6 +399,7 @@ object Ivf {
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("s3_knn_ivf" -> (s3KnnIvf _),
         "s3b_knn_ivf_anchor" -> (s3bKnnIvfAnchor _),
+        "s3c_knn_ivf_2level" -> (s3cKnnIvf2Level _),
         "s5_centroids" -> (s5Centroids _))
 
   def oracle: Map[String, String] =
@@ -350,6 +449,77 @@ object Ivf {
         |    AND r.ark <= params.nprobe),
         |cand AS (
         |  SELECT a_id, b_id FROM probes JOIN assign USING (cell)
+        |  WHERE a_id <> b_id),
+        |dots AS (
+        |  SELECT cand.a_id, cand.b_id,
+        |    ${Knn.dotSql} AS dot
+        |  FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
+        |            JOIN embeddings b ON b.vec_id = cand.b_id),
+        |final AS (
+        |  SELECT a_id, b_id, dot,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
+        |  FROM dots)
+        |SELECT a_id, rk, b_id, dot FROM final WHERE rk <= 5
+        |ORDER BY a_id, rk""".stripMargin,
+    "s3c_knn_ivf_2level" ->
+      s"""WITH params AS (
+        |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist,
+        |         GREATEST(2, GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) // 4) AS nprobe,
+        |         GREATEST(2, CAST(ceil(sqrt(GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)))) AS BIGINT)) AS ncoarse
+        |  FROM embeddings),
+        |ranked AS (
+        |  SELECT cell, ce, r FROM (
+        |    SELECT vec_id AS cell, embedding AS ce,
+        |      row_number() OVER (ORDER BY
+        |        CAST('0x' || substr(md5('ivfanchor|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |        vec_id) AS r
+        |    FROM embeddings) t CROSS JOIN params
+        |  WHERE r <= params.nlist),
+        |coarse AS (
+        |  SELECT cell AS g, ce AS cg FROM ranked CROSS JOIN params
+        |  WHERE r <= params.ncoarse),
+        |finegrp AS (
+        |  SELECT cell, ce, g FROM (
+        |    SELECT f.cell, f.ce, c.g,
+        |      row_number() OVER (PARTITION BY f.cell ORDER BY
+        |        list_reduce(list_transform(range(1, len(f.ce) + 1),
+        |          i -> CAST(f.ce[i] AS DOUBLE) * CAST(c.cg[i] AS DOUBLE)),
+        |          (acc, x) -> acc + x) DESC, c.g) AS grk
+        |    FROM ranked f CROSS JOIN coarse c) t WHERE grk = 1),
+        |cassign AS (
+        |  SELECT vec_id, g FROM (
+        |    SELECT e.vec_id, c.g,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(e.embedding) + 1),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cg[i] AS DOUBLE)),
+        |          (acc, x) -> acc + x) DESC, c.g) AS crk
+        |    FROM embeddings e CROSS JOIN coarse c) t WHERE crk = 1),
+        |fassign AS (
+        |  SELECT b_id, cell FROM (
+        |    SELECT e.vec_id AS b_id, f.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(e.embedding) + 1),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(f.ce[i] AS DOUBLE)),
+        |          (acc, x) -> acc + x) DESC, f.cell) AS frk
+        |    FROM embeddings e JOIN cassign ca ON ca.vec_id = e.vec_id
+        |         JOIN finegrp f ON f.g = ca.g) t WHERE frk = 1),
+        |${Knn.queryIdsSql},
+        |adots AS (
+        |  SELECT e.vec_id, r.cell,
+        |    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(r.ce[i] AS DOUBLE)),
+        |      (acc, x) -> acc + x) AS adot
+        |  FROM embeddings e CROSS JOIN ranked r
+        |  WHERE e.vec_id IN (SELECT vec_id FROM q_ids)),
+        |probes AS (
+        |  SELECT a_id, cell FROM (
+        |    SELECT d.vec_id AS a_id, d.cell,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY d.adot DESC, d.cell) AS ark
+        |    FROM adots d) t
+        |  CROSS JOIN params WHERE ark <= params.nprobe),
+        |cand AS (
+        |  SELECT a_id, b_id FROM probes JOIN fassign USING (cell)
         |  WHERE a_id <> b_id),
         |dots AS (
         |  SELECT cand.a_id, cand.b_id,

@@ -85,6 +85,34 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("two-level anchor IVF: all-cells probe reproduces exact brute-force top-k") {
+    // whatever cell the hierarchical assignment picks for a vector, probing
+    // every cell must see every vector — the quantizer may only PRUNE
+    val full = Ivf.twoLevelAnchorTopK(emb, nlist = 8, nprobe = 8, k = 5)
+      .select("a_id", "rk", "b_id").as[(Long, Int, Long)].collect().toSet
+    val exact = Knn.bruteForceTopK(emb, 5)
+      .select("a_id", "rk", "b_id").as[(Long, Int, Long)].collect().toSet
+    assert(full === exact)
+  }
+
+  test("two-level anchor IVF: pruned probe keeps a recall floor and exact dots") {
+    // the hierarchical assignment is an approximation of s3b's flat argmax;
+    // this pins that the approximation still lands vectors in probe-findable
+    // cells (recall floor) and never fabricates scores (exact dots)
+    val exact = Knn.bruteForceTopK(emb, 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val approx = Ivf.twoLevelAnchorTopK(emb, nlist = 8, nprobe = 3, k = 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(approx.nonEmpty && recall >= 0.3, s"recall=$recall")
+    val truth = Knn.bruteForceTopK(emb, emb.count().toInt).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("dot")).toMap
+    Ivf.twoLevelAnchorTopK(emb, nlist = 8, nprobe = 3, k = 5).collect().foreach { r =>
+      val key = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      truth.get(key).foreach(d => assert(math.abs(d - r.getAs[Double]("dot")) < 1e-12))
+    }
+  }
+
   test("centroidTopK probing all cells reproduces exact brute-force top-k") {
     // literal-centroid search must be exhaustive when every cell is probed,
     // regardless of how good the fitted centroids are
