@@ -221,6 +221,52 @@ object DotFold {
   }
 }
 
+/** `bloom_probe(key)`: membership probe of a BROADCAST
+  * `org.apache.spark.util.sketch.BloomFilter` against a long key — the
+  * codegen replacement for the Scala UDF that carried g2's runtime Bloom
+  * prune (`operators.Graph.triangleCounts`). Spark's own
+  * `BloomFilterMightContain` (the InjectRuntimeFilter expression) is
+  * `private[sql]` and takes the filter re-serialized into a literal; this
+  * variant holds the already-distributed `Broadcast` handle instead (no
+  * second copy of up-to-120MB of bits rides the plan) and inlines the probe
+  * into whole-stage codegen — the UDF boxed every wedge row and split the
+  * highest-volume filter stage of the engine out of the generated loop.
+  * The filter is resolved from the broadcast ONCE per codegen instance via
+  * a mutable-state field, not per row. */
+case class BloomMightContainLong(
+    child: Expression,
+    bloomBc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bloom_probe"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bloom_probe expects a bigint key, got ${child.dataType.sql}")
+
+  @transient private lazy val filter = bloomBc.value
+
+  override def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomCls = "org.apache.spark.util.sketch.BloomFilter"
+    val bcRef = ctx.addReferenceObj("bloomBc", bloomBc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val filterVar = ctx.addMutableState(bloomCls, "graftBloomFilter",
+      v => s"$v = ($bloomCls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $filterVar.mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** Column-API surface (inputs coerced to string). */
   def money_parse(c: Column): Column =
@@ -232,6 +278,10 @@ object GraftFunctions {
     Bridge.column(DotFold(Bridge.expression(a), Bridge.expression(b), zeroNulls = false))
   def dot_fold_zero(a: Column, b: Column): Column =
     Bridge.column(DotFold(Bridge.expression(a), Bridge.expression(b), zeroNulls = true))
+  def bloom_probe(
+      key: Column,
+      bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    Bridge.column(BloomMightContainLong(Bridge.expression(key), bc))
 
   /** SQL surface: register `money_parse` / `version_cmp` for spark.sql. */
   def register(spark: SparkSession): Unit = {

@@ -307,21 +307,25 @@ object Graph {
     * deg·2³² + id, unique because ids are. */
   def triangleCounts(edges: DataFrame): DataFrame = {
     // edges: undirected distinct pairs (u, v), u < v, both Long.
-    // Materialized to parquet, NOT block-manager-cached: the degree count
-    // and the orientation join both read it (an unmaterialized edge list
-    // re-runs its possibly-expensive derivation per consumer), and at
-    // corpus scale a cached copy would squat the storage half of the
+    // Materialized SIZE-CONDITIONALLY (Caches.materialAdaptive): the degree
+    // count and the orientation join both read it (an unmaterialized edge
+    // list re-runs its possibly-expensive derivation per consumer). Small
+    // corpora keep the block-manager cache (the unconditional parquet
+    // round-trip cost g2 4.1→7.1 s at sf0.1); past ~5M rows the frame goes
+    // to parquet so a cached copy can't squat the storage half of the
     // unified pool that the wedge stage's 32 concurrent sorters need —
     // the measured sf10 failure mode (see Caches.material).
-    val e = graft.util.Caches.material(edges)
+    val (e, _) = graft.util.Caches.materialAdaptive(edges)
     val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("d"))
     val key = (d: Column, id: Column) => d * lit(4294967296L) + id
-    // Materialized: the wedge build reads this FIVE times (count, Bloom
-    // build, both wedge legs, closing-edge probe) — unmaterialized, the
-    // whole degree-join chain and the edge derivation under it would
-    // execute 5×; cached, it would evict the execution pool at scale.
-    val oriented = graft.util.Caches.material(e
+    // Materialized (size-conditionally): the wedge build reads this FIVE
+    // times (count, Bloom build, both wedge legs, closing-edge probe) —
+    // unmaterialized, the whole degree-join chain and the edge derivation
+    // under it would execute 5×; cached at corpus scale, it would evict
+    // the execution pool. materialAdaptive's count doubles as the m the
+    // Bloom sizing and join partitioning below need — no second count job.
+    val (oriented, m) = graft.util.Caches.materialAdaptive(e
       .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
       .select(
@@ -368,10 +372,16 @@ object Graph {
     //     side (the whole point of the prune is that it is huge); hashing
     //     the m/N-rows-per-task edge side instead is the textbook
     //     asymmetric-join choice and stays bounded at any scale.
-    val m = oriented.count()
     val bloom = packedE.stat.bloomFilter("ck", math.max(1L, math.min(m, 100000000L)), 0.01)
     val bloomBc = oriented.sparkSession.sparkContext.broadcast(bloom)
-    val mightClose = udf((ck: Long) => bloomBc.value.mightContainLong(ck))
+    // Codegen Expression, not a Scala UDF: the probe runs once per WEDGE
+    // (the highest-volume filter in the engine) and a UDF would box every
+    // row and split the stage out of whole-stage codegen. The expression
+    // holds the Broadcast handle, so the bits ship once via torrent, and
+    // resolves the filter once per codegen instance (ExpressionsSpec pins
+    // both the semantics and the codegen participation).
+    val mightClose = (ck: org.apache.spark.sql.Column) =>
+      graft.functions.GraftFunctions.bloom_probe(ck, bloomBc)
     // A bare SHUFFLE_HASH hint is a hard requirement Spark cannot back out
     // of, and with a FIXED partition count the per-task hash relation grows
     // with the corpus — the sf10 curve run caught exactly that failure

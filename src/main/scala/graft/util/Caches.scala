@@ -36,12 +36,53 @@ object Caches {
       case Some(cp) => new org.apache.hadoop.fs.Path(cp, "graft-mat-" +
         java.util.UUID.randomUUID().toString.take(12)).toString
       case None =>
+        // The temp-dir fallback is only sound when driver and executors
+        // share a filesystem: on a real cluster each task would write its
+        // split to ITS OWN local disk and the follow-up read on the driver
+        // would see a subset of the rows — silently wrong results, not an
+        // error. Enforce the documented boundary instead of risking that.
+        require(spark.sparkContext.isLocal,
+          "Caches.material: no checkpoint dir configured on a non-local " +
+            "cluster; a driver-local temp dir would scatter task output " +
+            "across executor disks. Call sc.setCheckpointDir(<shared path>).")
         val p = java.nio.file.Files.createTempDirectory("graft-mat-")
         dirs.add(p)
         p.toString
     }
     df.write.mode("overwrite").parquet(base)
     spark.read.parquet(base)
+  }
+
+  /** Rows above which [[materialAdaptive]] spills to parquet instead of the
+    * block manager. Below it the frame is a few hundred MB at most —
+    * caching is strictly cheaper (no write + columnar re-decode) and too
+    * small to squat the unified pool; above it the parquet round-trip is
+    * what keeps the heap clear for the consumer stages' sorters (the
+    * measured sf10 g2 failure mode). */
+  val materialRowThreshold: Long = 5000000L
+
+  /** Size-conditional [[material]]: persist, count (one pass — the count
+    * both materializes the cache and measures it), then keep the cached
+    * frame when small or stream it out to parquet (a cache read, not a
+    * re-derivation) and release the cache when large. Returns the frame to
+    * consume plus the measured row count so callers that need the
+    * cardinality anyway (g2 sizes its join partitioning from it) don't pay
+    * a second count job. */
+  def materialAdaptive(df: DataFrame): (DataFrame, Long) = {
+    // Deserialized MEMORY_AND_DISK: the small path re-reads this frame up
+    // to five times — a SER cache would pay a full decode per read. The
+    // large path unpersists right after the parquet write, so the
+    // deserialized footprint is transient even at corpus scale.
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cached.count()
+    if (n <= materialRowThreshold) {
+      frames.add(cached)
+      (cached, n)
+    } else {
+      val out = material(cached)
+      cached.unpersist(blocking = false)
+      (out, n)
+    }
   }
 
   def releaseAll(): Unit = {

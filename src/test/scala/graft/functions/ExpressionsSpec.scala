@@ -103,6 +103,29 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), s"dot_fold fell out of codegen:\n$plan")
   }
 
+  test("bloom_probe matches BloomFilter.mightContainLong and stays in codegen") {
+    // build a filter over a known key set, probe member + non-member keys
+    val keys = (0L until 5000L).map(_ * 37L)
+    val keyDf = keys.toDF("k")
+    val bloom = keyDf.stat.bloomFilter("k", keys.size.toLong, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    // zero false negatives on members — the exactness contract g2 leans on
+    val members = keyDf.filter(GraftFunctions.bloom_probe(col("k"), bc)).count()
+    assert(members === keys.size.toLong)
+    // expression output ≡ driver-side probe on a mixed key range
+    val probes = (0L until 20000L).toDF("k")
+    val got = probes.filter(GraftFunctions.bloom_probe(col("k"), bc))
+      .as[Long].collect().toSet
+    val want = (0L until 20000L).filter(bloom.mightContainLong).toSet
+    assert(got === want)
+    // and it codegens over a real scan — the whole point of replacing the
+    // UDF that carried g2's wedge-stage prune
+    val plan = graft.Tables.orders(spark, sf0001)
+      .filter(GraftFunctions.bloom_probe(col("o_orderkey"), bc))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Filter"), s"bloom_probe fell out of codegen:\n$plan")
+  }
+
   test("typed Aggregator: MoneySum counts failures instead of dropping them") {
     val ds = Seq("$10.00", "5.50", "junk", "(2.25)").toDS()
     val r = ds.select(udaf(Aggregators.MoneySumAgg).apply($"value")).collect()

@@ -68,6 +68,37 @@ class SqliteSpec extends SparkSpec {
     assert(r2.getAs[String]("missing") === "seen")
   }
 
+  test("rowid alias: only exact INTEGER PRIMARY KEY (column- or table-level) reads the rowid") {
+    // fixture: every table stores ids 10/20/30; a wrong alias decision
+    // reads rowids 1/2/3 instead (tools/make_sqlite_fixture2.py)
+    val fx = "src/test/resources/fixtures/pk_variants.db"
+    def ids(t: String): Seq[Long] =
+      Sqlite.readTable(spark, fx, t).select("id").as[Long].collect().toSeq.sorted
+    assert(ids("t_exact") === Seq(10L, 20L, 30L))   // alias: NULL in record, rowid=id
+    assert(ids("t_int") === Seq(10L, 20L, 30L))     // NOT alias: values from the record
+    assert(ids("t_bigint") === Seq(10L, 20L, 30L))  // NOT alias
+    assert(ids("t_tablepk") === Seq(10L, 20L, 30L)) // alias via PRIMARY KEY(id)
+    // the values column proves rows line up with ids either way
+    val v = Sqlite.readTable(spark, fx, "t_int").orderBy("id")
+      .select("v").as[String].collect().toSeq
+    assert(v === Seq("row10", "row20", "row30"))
+  }
+
+  test("WAL mode: non-empty -wal sidecar is refused, checkpointed WAL db reads fine") {
+    // wal_pending.db's committed rows (even the CREATE TABLE) live only in
+    // the sidecar — reading the main file alone would serve a stale
+    // snapshot, so the reader must fail with an actionable message
+    val pendingErr = intercept[IllegalArgumentException] {
+      Sqlite.tables("src/test/resources/fixtures/wal_pending.db")
+    }
+    assert(pendingErr.getMessage.contains("WAL"))
+    assert(pendingErr.getMessage.contains("checkpoint"))
+    // a WAL-mode db with no pending sidecar is fully checkpointed: safe
+    val clean = Sqlite.readTable(spark,
+      "src/test/resources/fixtures/wal_clean.db", "pending")
+    assert(clean.select("v").as[String].collect().toSeq === Seq("only-in-wal"))
+  }
+
   test("S4/S5 end-to-end: sqlite dim drives the exact->fuzzy vendor enrichment") {
     val dim = Sqlite.readTable(spark, db, "vendor_mappings")
       .filter($"gl_account" =!= "6999")
