@@ -9,10 +9,9 @@ import org.apache.spark.sql.types._
   * The reference's two ingest paths map to:
   *  - S1 glob scan (main.py:65-69): `binaryFile` with recursive glob;
   *  - S2/S3 PDF extraction (pdf_parser.py:90-158, 419-434): a pluggable
-  *    bytes→words table function over the binary scan — the PDF decode
-  *    itself is out of the correctness path (no PDF lib here; FIXTURES.md
-  *    substitutes word tables), so the default extractor is a deterministic
-  *    stub with the real contract;
+  *    bytes→words table function over the binary scan. The default
+  *    dispatches real PDFs to the dependency-free [[Pdf]] reader and
+  *    anything else to a deterministic text stub (FIXTURES.md word tables);
   *  - S7/S8 IMAP landing (email_fetcher.py:21-98): a streaming `binaryFile`
   *    source over a landing dir with month partitioning (K3) and
   *    already-landed dedup (F13) — exactly-once via checkpoint + anti-join.
@@ -57,9 +56,23 @@ object Ingest {
     }
   }
 
+  /** Default extractor: dispatch by CONTENT, not filename. Anything opening
+    * with the `%PDF` magic goes through the real reader
+    * ([[Pdf.wordExtractor]], contained per-file failure); everything else —
+    * including a text fixture merely NAMED `.pdf` — falls back to the
+    * deterministic text stub. So `binaryScan → extractWords →
+    * Statement.parse` is real end-to-end with no caller knowledge, and the
+    * dispatch can't be fooled by a mislabeled file in either direction. */
+  val defaultExtractor: WordExtractor = (path, content) => {
+    val isPdf = content.length >= 4 && content(0) == '%' &&
+      content(1) == 'P' && content(2) == 'D' && content(3) == 'F'
+    if (isPdf) Pdf.wordExtractor(path, content)
+    else stubExtractor(path, content)
+  }
+
   /** S2: binary scan → word table via a generator (flatMap) — the UDTF slot.
     * Partition-parallel: each file is decoded where its bytes land. */
-  def extractWords(files: DataFrame, extractor: WordExtractor = stubExtractor): DataFrame = {
+  def extractWords(files: DataFrame, extractor: WordExtractor = defaultExtractor): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     files.select(col("path"), col("content"))

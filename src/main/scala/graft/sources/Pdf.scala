@@ -167,19 +167,49 @@ object Pdf {
       * (incremental updates append classic objects). */
     val objects: Map[Int, Obj] = {
       val objRe = "(?s)(\\d+)\\s+\\d+\\s+obj\\b".r
-      val classic = objRe.findAllMatchIn(s).map { m =>
-        val p = new Parser(s, m.end)
-        val v = p.value()
-        p.ws()
-        val streamAt =
-          if (s.startsWith("stream", p.i)) {
-            var j = p.i + 6
-            if (s(j) == '\r') j += 1
-            if (s(j) == '\n') j += 1
-            j
-          } else -1
-        m.group(1).toInt -> Obj(v, streamAt)
-      }.toMap
+      // Linear sweep with a covered-until cursor: a compressed stream body
+      // can contain `N G obj` by CHANCE, and accepting such a hit would
+      // shadow a real object (classic wins over ObjStm-packed on
+      // collision). Hits inside a previously-seen object's stream extent
+      // are skipped; extents come from a direct /Length when present, else
+      // the next `endstream`. Real streams never overlap, so the sweep is
+      // exact for well-formed files; a hit that fails to parse as a value
+      // is garbage bytes, not an object — dropped, not fatal.
+      val classicB = Map.newBuilder[Int, Obj]
+      var covered = 0
+      objRe.findAllMatchIn(s).foreach { m =>
+        if (m.start >= covered) {
+          try {
+            val p = new Parser(s, m.end)
+            val v = p.value()
+            p.ws()
+            val streamAt =
+              if (s.startsWith("stream", p.i)) {
+                var j = p.i + 6
+                if (s(j) == '\r') j += 1
+                if (s(j) == '\n') j += 1
+                j
+              } else -1
+            if (streamAt >= 0) {
+              val directLen = v match {
+                case Dict(mm) => mm.get("Length") match {
+                  case Some(Num(d)) => d.toInt
+                  case _ => -1
+                }
+                case _ => -1
+              }
+              val dataEnd =
+                if (directLen >= 0) streamAt + directLen
+                else s.indexOf("endstream", streamAt)
+              val esIdx = s.indexOf("endstream", math.max(streamAt, dataEnd))
+              covered = if (esIdx >= 0) esIdx + "endstream".length
+                        else if (dataEnd >= 0) dataEnd else m.end
+            }
+            classicB += m.group(1).toInt -> Obj(v, streamAt)
+          } catch { case _: RuntimeException => () }
+        }
+      }
+      val classic = classicB.result()
       // object streams: /N pairs of (objnum, offset) then the bare objects,
       // offsets relative to /First
       val packed = classic.collect {

@@ -199,6 +199,22 @@ class PlanSpec extends SparkSpec {
         s"s3b_knn_ivf_anchor: broadcast beyond anchors + stratum " +
           s"($bx vs $cross cross + $strat stratum):\n$p")
     }
+    // two-level IVF (s3c): every broadcast is a BOUNDED anchor-derived
+    // frame (≤ nlist ≈ √n rows: coarse anchors ×2 corpus/probe cross
+    // joins, fine-group map, query stratum) — the corpus-scaled frames
+    // (assignment, candidates, rerank) must all shuffle. The accounting
+    // identity bx = cross + hash proves no OTHER join got a broadcast.
+    locally {
+      val p = planNoAutoBroadcast("s3c_knn_ivf_2level")
+      val bx = "BroadcastExchange".r.findAllIn(p).size
+      val cross = "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size
+      val hash = "BroadcastHashJoin".r.findAllIn(p).size
+      assert(cross >= 2 && hash >= 2 && bx === cross + hash,
+        s"s3c_knn_ivf_2level: broadcast beyond anchors/groups/stratum " +
+          s"($bx vs $cross cross + $hash hash):\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"s3c_knn_ivf_2level: corpus-side joins must shuffle:\n$p")
+    }
   }
 
   test("funnel's three stage windows and final agg share one user shuffle") {

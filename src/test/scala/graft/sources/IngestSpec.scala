@@ -34,6 +34,25 @@ class IngestSpec extends SparkSpec {
     assert(words.count() === 10)
   }
 
+  test("default extractor dispatches real PDFs to the real reader by content magic") {
+    val dir = mkDropDir() // two text files named .pdf -> stub path
+    val pdfBytes = TestPdf.mkPdf(Seq(
+      """BT /F1 12 Tf 72 720 Td (01/09/2024 HARDWARE 12.75) Tj ET
+        |""".stripMargin), compress = true)
+    Files.write(Paths.get(s"$dir/2024-01/stmt_real.pdf"), pdfBytes)
+    val words = Ingest.extractWords(Ingest.binaryScan(spark, dir))
+    // real PDF: decoded by the Pdf reader with real geometry (Courier 12pt
+    // at Td 72 720 -> x0 = 72, top = 792-(720+12) = 60)
+    val real = words.filter($"file".endsWith("stmt_real.pdf"))
+      .orderBy("x0").collect()
+    assert(real.map(_.getAs[String]("text")).toSeq ===
+      Seq("01/09/2024", "HARDWARE", "12.75"))
+    assert(real.head.getAs[Double]("x0") === 72.0)
+    assert(real.head.getAs[Double]("top") === 60.0)
+    // text fixtures named .pdf: still stubbed (5 words each, stub layout)
+    assert(words.filter($"file".endsWith("stmt_a.pdf")).count() === 5)
+  }
+
   test("manifest dedup drops already-landed filenames (F13)") {
     val dir = mkDropDir()
     val incoming = Ingest.binaryScan(spark, dir)

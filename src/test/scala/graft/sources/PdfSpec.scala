@@ -12,42 +12,8 @@ import org.scalactic.Tolerance._
 class PdfSpec extends SparkSpec {
 
   /** Minimal classic-PDF writer. Each page is a content-stream string. */
-  def mkPdf(pageStreams: Seq[String], compress: Boolean): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream
-    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
-    w("%PDF-1.4\n")
-    val n = pageStreams.length
-    // object numbering: 1 catalog, 2 pages, 3 font, 4..3+n pages, 4+n.. streams
-    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
-    val kids = (0 until n).map(i => s"${4 + i} 0 R").mkString(" ")
-    w(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] /Count $n " +
-      "/MediaBox [ 0 0 612 792 ] >>\nendobj\n")
-    w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>\nendobj\n")
-    pageStreams.zipWithIndex.foreach { case (_, i) =>
-      w(s"${4 + i} 0 obj\n<< /Type /Page /Parent 2 0 R " +
-        s"/Contents ${4 + n + i} 0 R " +
-        "/Resources << /Font << /F1 3 0 R >> >> >>\nendobj\n")
-    }
-    pageStreams.zipWithIndex.foreach { case (cs, i) =>
-      val raw = cs.getBytes("ISO-8859-1")
-      val body =
-        if (!compress) raw
-        else {
-          val d = new java.util.zip.Deflater()
-          d.setInput(raw); d.finish()
-          val buf = new java.io.ByteArrayOutputStream
-          val tmp = new Array[Byte](4096)
-          while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
-          buf.toByteArray
-        }
-      val filter = if (compress) " /Filter /FlateDecode" else ""
-      w(s"${4 + n + i} 0 obj\n<< /Length ${body.length}$filter >>\nstream\n")
-      out.write(body)
-      w("\nendstream\nendobj\n")
-    }
-    w("%%EOF\n")
-    out.toByteArray
-  }
+  def mkPdf(pageStreams: Seq[String], compress: Boolean): Array[Byte] =
+    TestPdf.mkPdf(pageStreams, compress)
 
   val statementPage1 =
     """BT /F1 12 Tf 72 720 Td (Date Description Amount) Tj ET
@@ -166,6 +132,23 @@ class PdfSpec extends SparkSpec {
     assert(words === classic)
   }
 
+  test("a stream body containing `N G obj` bytes cannot shadow a real object") {
+    // A compressed (or just arbitrary-binary) stream can contain the byte
+    // sequence `N G obj` by chance; since later classic definitions win,
+    // accepting such a hit would SHADOW the real object. Embed a fake
+    // redefinition of the Pages node (empty /Kids — would zero out every
+    // word) inside a stream appended AFTER the real objects: extraction
+    // must be identical to the untampered file.
+    val base = mkPdf(Seq(statementPage1), compress = false)
+    val body = "2 0 obj\n<< /Type /Pages /Kids [ ] /Count 0 >>\nendobj"
+    val junk = s"99 0 obj\n<< /Length ${body.length} >>\nstream\n$body\nendstream\nendobj\n"
+    val s = new String(base, "ISO-8859-1")
+    val tampered = (s.stripSuffix("%%EOF\n") + junk + "%%EOF\n").getBytes("ISO-8859-1")
+    val words = Pdf.extractWords(tampered)
+    assert(words.nonEmpty)
+    assert(words === Pdf.extractWords(base))
+  }
+
   test("malformed input is contained: garbage bytes yield an empty iterator") {
     val out = Pdf.wordExtractor("junk.pdf", Array[Byte](1, 2, 3, 4))
     assert(out.isEmpty)
@@ -236,5 +219,45 @@ class PdfSpec extends SparkSpec {
     assert(txns === Set(
       ("01/03", "AMAZON MKTPL", 39.12),
       ("01/05", "REFUND VENDOR", -15.0)))
+  }
+}
+
+/** Shared test-PDF writer (used by PdfSpec and IngestSpec's real-PDF leg). */
+object TestPdf {
+  def mkPdf(pageStreams: Seq[String], compress: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    val n = pageStreams.length
+    // object numbering: 1 catalog, 2 pages, 3 font, 4..3+n pages, 4+n.. streams
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = (0 until n).map(i => s"${4 + i} 0 R").mkString(" ")
+    w(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] /Count $n " +
+      "/MediaBox [ 0 0 612 792 ] >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>\nendobj\n")
+    pageStreams.zipWithIndex.foreach { case (_, i) =>
+      w(s"${4 + i} 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        s"/Contents ${4 + n + i} 0 R " +
+        "/Resources << /Font << /F1 3 0 R >> >> >>\nendobj\n")
+    }
+    pageStreams.zipWithIndex.foreach { case (cs, i) =>
+      val raw = cs.getBytes("ISO-8859-1")
+      val body =
+        if (!compress) raw
+        else {
+          val d = new java.util.zip.Deflater()
+          d.setInput(raw); d.finish()
+          val buf = new java.io.ByteArrayOutputStream
+          val tmp = new Array[Byte](4096)
+          while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+          buf.toByteArray
+        }
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"${4 + n + i} 0 obj\n<< /Length ${body.length}$filter >>\nstream\n")
+      out.write(body)
+      w("\nendstream\nendobj\n")
+    }
+    w("%%EOF\n")
+    out.toByteArray
   }
 }

@@ -86,17 +86,24 @@ def main():
                     " AS text")
             elif t == "embeddings" and c == "embedding":
                 # rotate by i mod dim positions; past one full cycle of
-                # rotations (factor > 64) additionally flip the sign of odd
-                # components so replica i and replica i-64 are near-orthogonal
-                # instead of identical (a bare i-position rotation degenerates
-                # to the identity once i >= dim, which would plant 36 exact
-                # duplicates of every vector at factor 100). i = 0 stays
-                # bit-exact.
+                # rotations (factor > dim) additionally flip the sign of odd
+                # components so replica i and replica i-dim are
+                # near-orthogonal instead of identical (a bare i-position
+                # rotation degenerates to the identity once i >= dim, which
+                # would plant exact duplicates of every vector at large
+                # factors). i = 0 stays bit-exact. dim is MEASURED from the
+                # data, not assumed — a non-64-dim corpus would silently get
+                # a wrong rotation otherwise.
+                dim = con.sql(
+                    f"SELECT len(embedding) FROM '{src}' LIMIT 1").fetchone()[0]
+                assert con.sql(
+                    f"SELECT count(*) FROM '{src}' WHERE len(embedding) != {dim}"
+                ).fetchone()[0] == 0, f"ragged embedding dims in {src}"
                 exprs.append(
                     "CASE WHEN i = 0 THEN embedding ELSE "
                     "list_transform("
-                    "  list_concat(embedding[(i % 64) + 1:], embedding[:(i % 64)]),"
-                    "  (x, k) -> CASE WHEN ((i // 64) % 2) = 1 AND (k % 2) = 1"
+                    f"  list_concat(embedding[(i % {dim}) + 1:], embedding[:(i % {dim})]),"
+                    f"  (x, k) -> CASE WHEN ((i // {dim}) % 2) = 1 AND (k % 2) = 1"
                     "            THEN -x ELSE x END) END"
                     " AS embedding")
             else:
