@@ -19,10 +19,14 @@ package graft.sources
   *  - glyph advances from the font's /Widths + /FirstChar when present,
   *    600/1000 em for Courier-family base fonts, 500/1000 otherwise —
   *    exact for fixed-pitch and /Widths fonts, approximate-but-monotone
-  *    for metric-less base-14 text.
+  *    for metric-less base-14 text;
+  *  - CID/Type0 composite fonts with Identity-H encoding (the layout
+  *    modern statement producers emit): 2-byte CIDs, descendant-CIDFont
+  *    /W + /DW advances, /ToUnicode CMap (bfchar + both bfrange forms)
+  *    for code→text.
   *
   * Not supported (documented boundary, errors are contained per file):
-  * encryption, CID/Type0 composite fonts, /Differences re-encoding,
+  * encryption, non-Identity CMap encodings, /Differences re-encoding,
   * non-Flate filters. Those need embedded-font/crypto machinery — the
   * point where a real deployment swaps in a full library behind the SAME
   * `Ingest.WordExtractor` seam this object plugs into.
@@ -289,8 +293,109 @@ object Pdf {
     a._3 * b._1 + a._4 * b._3, a._3 * b._2 + a._4 * b._4,
     a._5 * b._1 + a._6 * b._3 + b._5, a._5 * b._2 + a._6 * b._4 + b._6)
 
-  private case class Font(widths: Map[Int, Double], default: Double) {
+  /** Per-font text model. Simple fonts read one byte per glyph and map the
+    * code to itself; Type0/Identity-H composite fonts (`twoByte`) read
+    * big-endian 2-byte CIDs, take advances from the descendant CIDFont's
+    * /W + /DW, and map CIDs to text through the /ToUnicode CMap (the only
+    * portable code→text channel once a producer subsets its font). A CID
+    * with no /ToUnicode entry falls back to the identity code point —
+    * wrong for subsetted fonts but monotone and contained. */
+  private case class Font(widths: Map[Int, Double], default: Double,
+                          twoByte: Boolean = false,
+                          toUni: Map[Int, String] = Map.empty) {
     def w(code: Int): Double = widths.getOrElse(code, default)
+    def text(code: Int): String = toUni.getOrElse(code,
+      if (twoByte) new String(Character.toChars(code)) else code.toChar.toString)
+  }
+
+  /** /W array of a CIDFont: `c [w1 w2 ...]` runs and `cFirst cLast w`
+    * ranges, in any mix (PDF 32000-1 §9.7.4.3). */
+  private def parseCidWidths(v: V, resolve: V => V): Map[Int, Double] = v match {
+    case Arr(items0) =>
+      val items = items0.map(resolve)
+      val out = Map.newBuilder[Int, Double]
+      var i = 0
+      while (i < items.length) {
+        (items(i), if (i + 1 < items.length) items(i + 1) else Null) match {
+          case (Num(c), Arr(ws)) =>
+            ws.zipWithIndex.foreach {
+              case (Num(w), j) => out += (c.toInt + j) -> w
+              case _ =>
+            }
+            i += 2
+          case (Num(c1), Num(c2)) if i + 2 < items.length =>
+            items(i + 2) match {
+              case Num(w) =>
+                // cap pathological ranges; real subsets are narrow
+                val hi = math.min(c2.toInt, c1.toInt + 65535)
+                (c1.toInt to hi).foreach(out += _ -> w)
+              case _ =>
+            }
+            i += 3
+          case _ => i += 1
+        }
+      }
+      out.result()
+    case _ => Map.empty
+  }
+
+  /** /ToUnicode CMap: `beginbfchar <src> <dst> endbfchar` pairs and
+    * `beginbfrange <lo> <hi> (<dstStart> | [<dst>...])` ranges. Dst hex is
+    * UTF-16BE (possibly multi-unit — ligatures). */
+  private def parseToUnicode(cmap: String): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    val hex = "<([0-9A-Fa-f]+)>".r
+    def codeOf(h: String): Int = Integer.parseInt(h, 16)
+    def strOf(h: String): String =
+      new String(h.grouped(4).map(u => Integer.parseInt(u, 16).toChar).toArray)
+    for (sec <- "(?s)beginbfchar(.*?)endbfchar".r.findAllMatchIn(cmap);
+         pair <- hex.findAllMatchIn(sec.group(1)).map(_.group(1)).grouped(2)
+           if pair.length == 2)
+      out += codeOf(pair(0)) -> strOf(pair(1))
+    for (sec <- "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(cmap)) {
+      // token-level scan: the third operand is a hex OR a [hex...] array
+      val s = sec.group(1)
+      var i = 0
+      def ws(): Unit = { while (i < s.length && s(i).isWhitespace) i += 1 }
+      def hexAt(): Option[String] = {
+        ws()
+        if (i < s.length && s(i) == '<') {
+          val close = s.indexOf('>', i)
+          if (close < 0) None else { val h = s.substring(i + 1, close); i = close + 1; Some(h) }
+        } else None
+      }
+      var continue = true
+      while (continue) {
+        (hexAt(), hexAt()) match {
+          case (Some(lo), Some(hi)) =>
+            ws()
+            if (i < s.length && s(i) == '[') {
+              i += 1
+              var c = codeOf(lo)
+              var more = true
+              while (more) {
+                hexAt() match {
+                  case Some(d) => out += c -> strOf(d); c += 1
+                  case None => more = false
+                }
+              }
+              ws(); if (i < s.length && s(i) == ']') i += 1
+            } else hexAt() match {
+              case Some(d0) =>
+                // dst increments in its LAST UTF-16 unit across the range
+                val prefix = strOf(d0).dropRight(1)
+                val lastUnit = Integer.parseInt(d0.takeRight(4), 16)
+                (codeOf(lo) to math.min(codeOf(hi), codeOf(lo) + 65535))
+                  .zipWithIndex.foreach { case (c, j) =>
+                    out += c -> (prefix + (lastUnit + j).toChar)
+                  }
+              case None => continue = false
+            }
+          case _ => continue = false
+        }
+      }
+    }
+    out.result()
   }
 
   /** Extract positioned words from one PDF file. Pages are numbered from 1
@@ -345,14 +450,37 @@ object Pdf {
       val fonts: Map[String, Font] = doc.dictGet(doc.dictGet(page, "Resources"), "Font") match {
         case Dict(fm) => fm.map { case (fname, fv) =>
           val fd = doc.resolve(fv)
-          val base = doc.dictGet(fd, "BaseFont") match { case Name(n) => n; case _ => "" }
-          val dflt = if (base.contains("Courier")) 600.0 else 500.0
-          val widths = (doc.dictGet(fd, "Widths"), doc.dictGet(fd, "FirstChar")) match {
-            case (Arr(ws), Num(fc)) =>
-              ws.zipWithIndex.map { case (w, j) => (fc.toInt + j) -> doc.num(w, dflt) }.toMap
-            case _ => Map.empty[Int, Double]
+          val isType0 = doc.dictGet(fd, "Subtype") == Name("Type0")
+          if (isType0) {
+            // Composite font: Identity-H CID packing (the layout modern
+            // bank-statement producers emit). Advances come from the
+            // descendant CIDFont's /W runs with /DW default (spec default
+            // 1000); text comes from /ToUnicode when present.
+            val desc = doc.dictGet(fd, "DescendantFonts") match {
+              case Arr(ds) if ds.nonEmpty => doc.resolve(ds.head)
+              case other => other
+            }
+            val dw = doc.dictGet(desc, "DW") match { case Num(d) => d; case _ => 1000.0 }
+            val widths = parseCidWidths(doc.dictGet(desc, "W"), doc.resolve)
+            val toUni = (doc.resolve(fd) match {
+              case Dict(m) => m.get("ToUnicode")
+              case _ => None
+            }) match {
+              case Some(r: Ref) =>
+                parseToUnicode(new String(doc.streamData(r), "ISO-8859-1"))
+              case _ => Map.empty[Int, String]
+            }
+            fname -> Font(widths, dw, twoByte = true, toUni = toUni)
+          } else {
+            val base = doc.dictGet(fd, "BaseFont") match { case Name(n) => n; case _ => "" }
+            val dflt = if (base.contains("Courier")) 600.0 else 500.0
+            val widths = (doc.dictGet(fd, "Widths"), doc.dictGet(fd, "FirstChar")) match {
+              case (Arr(ws), Num(fc)) =>
+                ws.zipWithIndex.map { case (w, j) => (fc.toInt + j) -> doc.num(w, dflt) }.toMap
+              case _ => Map.empty[Int, Double]
+            }
+            fname -> Font(widths, dflt)
           }
-          fname -> Font(widths, dflt)
         }
         case _ => Map.empty
       }
@@ -396,13 +524,21 @@ object Pdf {
           sb.clear()
         }
       }
-      bytes.foreach { b =>
-        val code = b & 0xff
+      // simple fonts: one byte per code; Identity-H composite fonts:
+      // big-endian 2-byte CIDs (an odd trailing byte is producer garbage,
+      // padded with 0 per the string-object rule)
+      val codes: Iterator[Int] =
+        if (font.twoByte) bytes.grouped(2).map { g =>
+          ((g(0) & 0xff) << 8) | (if (g.length > 1) g(1) & 0xff else 0)
+        }
+        else bytes.iterator.map(_ & 0xff)
+      codes.foreach { code =>
         val adv = font.w(code) / 1000.0 * size
-        if (code == ' ') { flush(penX); penX += adv; wordStartX = penX }
+        val txt = font.text(code)
+        if (txt == " ") { flush(penX); penX += adv; wordStartX = penX }
         else {
           if (sb.isEmpty) wordStartX = penX
-          sb += code.toChar
+          sb ++= txt
           penX += adv
         }
       }

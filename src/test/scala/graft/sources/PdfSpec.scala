@@ -132,6 +132,49 @@ class PdfSpec extends SparkSpec {
     assert(words === classic)
   }
 
+  test("CID/Type0 Identity-H: 2-byte CIDs + /W + /ToUnicode extract the classic twin") {
+    // Same visible page as statementPage1, but packed the way modern
+    // statement producers do: a Type0 font with Identity-H encoding,
+    // big-endian 2-byte CIDs in hex show strings, advances from the
+    // descendant CIDFont (/DW 500 default overridden to 600 for every used
+    // CID by BOTH /W forms: a `c [w]` run for CID 1 and a `lo hi w` range),
+    // and text recovered through /ToUnicode (a bfchar pair maps the
+    // subsetted CID 0001 -> 'D'; a bfrange covers printable ASCII).
+    def hx(s: String): String = s.map(c => f"${c.toInt}%04X").mkString
+    val cs =
+      s"BT /F1 12 Tf 72 720 Td <0001${hx("ate Description Amount")}> Tj ET\n" +
+      s"BT /F1 12 Tf 72 700 Td <${hx("01/05/2024 COFFEE SHOP 4.50")}> Tj ET\n"
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 beginbfchar
+        |<0001> <0044>
+        |endbfchar
+        |1 beginbfrange
+        |<0020> <007E> <0020>
+        |endbfrange
+        |endcmap
+        |""".stripMargin
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 " +
+      "/MediaBox [ 0 0 612 792 ] >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /FakeCID " +
+      "/Encoding /Identity-H /DescendantFonts [ 6 0 R ] /ToUnicode 7 0 R >>\nendobj\n")
+    w("4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R " +
+      "/Resources << /Font << /F1 3 0 R >> >> >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${cs.length} >>\nstream\n$cs\nendstream\nendobj\n")
+    w("6 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FakeCID " +
+      "/DW 500 /W [ 1 [ 600 ] 32 126 600 ] >>\nendobj\n")
+    w(s"7 0 obj\n<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n")
+    w("%%EOF\n")
+    val cid = Pdf.extractWords(out.toByteArray)
+    val classic = Pdf.extractWords(mkPdf(Seq(statementPage1), compress = false))
+    assert(cid === classic)
+  }
+
   test("a stream body containing `N G obj` bytes cannot shadow a real object") {
     // A compressed (or just arbitrary-binary) stream can contain the byte
     // sequence `N G obj` by chance; since later classic definitions win,

@@ -252,6 +252,81 @@ class StreamingSpec extends SparkSpec {
     assert(state(2L) === 2.0)
   }
 
+  test("checkpoint recovery: killed dedup->agg pipeline restarts into an identical upsert sink") {
+    // The exactly-once claim ACROSS RESTARTS: run the stream_dedup_agg
+    // pipeline (file source -> dropDuplicatesWithinWatermark -> tumbling
+    // agg -> foreachBatch upsert) over a landing dir, stop the query
+    // mid-stream, land more data INCLUDING A REPLAY of an already-seen
+    // event id, restart from the same checkpoint, and require the final
+    // sink to equal (a) an uninterrupted run over the same chunks and
+    // (b) the hand-computed dedup'd aggregate. If restart lost the dedup
+    // state store or the file-source log, the replayed id would inflate a
+    // count or chunk1 would double-process.
+    import java.nio.file.{Files => JF, Paths => JP}
+    val base = JF.createTempDirectory("ckrec").toString
+    val schema = Seq.empty[StreamOps.UserEvent].toDF().schema
+    def land(src: String, n: Int, evs: Seq[StreamOps.UserEvent]): Unit = {
+      val stage = s"$base/stage_${src.hashCode}_$n"
+      evs.toDF().coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      JF.createDirectories(JP.get(src))
+      JF.move(part.toPath, JP.get(s"$src/chunk$n.parquet"))
+    }
+    def startQ(src: String, cp: String, target: String) = {
+      JF.createDirectories(JP.get(src)) // the source dir must pre-exist
+      val stream = spark.readStream.schema(schema).parquet(src)
+      StreamOps.dedupedTumblingCounts(stream)
+        .withColumn("k", concat_ws("|",
+          col("window_start").cast("string"), col("event_type")))
+        .writeStream
+        .foreachBatch(StreamOps.upsertBatch(target, "k", Seq("n")) _)
+        .option("checkpointLocation", cp)
+        .outputMode("append").start()
+    }
+    val chunk1 = mkEvents(
+      (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      (2, "2024-01-01 10:05:00", 1, "click", 2.0),
+      (2, "2024-01-01 10:05:00", 1, "click", 2.0), // in-batch duplicate
+      (3, "2024-01-01 10:10:00", 2, "click", 3.0))
+    val chunk2 = mkEvents(
+      (3, "2024-01-01 10:10:00", 2, "click", 3.0), // replay ACROSS the restart
+      (5, "2024-01-01 11:05:00", 1, "click", 5.0),
+      (6, "2024-01-01 11:10:00", 2, "view", 6.0),
+      (7, "2024-01-01 11:40:00", 3, "view", 7.0)) // watermark 11:10 closes 10:00
+    val chunk3 = mkEvents(
+      (8, "2024-01-01 13:00:00", 1, "click", 8.0)) // watermark 12:30 closes 11:00
+    def readSink(target: String): Set[(String, String, Long, Double)] =
+      spark.read.parquet(target)
+        .select(col("window_start").cast("string"), col("event_type"),
+          col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+    // interrupted run: chunk1 -> STOP -> restart -> chunk2 -> chunk3
+    val (srcA, cpA, tA) = (s"$base/srcA", s"$base/cpA", s"$base/tA")
+    land(srcA, 1, chunk1)
+    val q1 = startQ(srcA, cpA, tA)
+    q1.processAllAvailable(); q1.stop() // the "kill"
+    land(srcA, 2, chunk2)
+    val q2 = startQ(srcA, cpA, tA) // resumes from the checkpoint
+    q2.processAllAvailable()
+    land(srcA, 3, chunk3)
+    q2.processAllAvailable(); q2.stop()
+    // uninterrupted twin over the same chunk schedule
+    val (srcB, cpB, tB) = (s"$base/srcB", s"$base/cpB", s"$base/tB")
+    val qb = startQ(srcB, cpB, tB)
+    Seq(chunk1, chunk2, chunk3).zipWithIndex.foreach { case (c, i) =>
+      land(srcB, i + 1, c); qb.processAllAvailable()
+    }
+    qb.stop()
+    val recovered = readSink(tA)
+    assert(recovered === readSink(tB), "restarted sink diverged from uninterrupted run")
+    // and both equal the dedup'd closed-window aggregate
+    assert(recovered === Set(
+      ("2024-01-01 10:00:00", "click", 3L, 6.0),  // ids 1,2,3 — replays collapsed
+      ("2024-01-01 11:00:00", "click", 1L, 5.0),  // id 5
+      ("2024-01-01 11:00:00", "view", 2L, 13.0))) // ids 6,7; 13:00 window still open
+  }
+
   test("flatMapGroupsWithState maintains running per-user totals across batches") {
     val stream = MemoryStream[StreamOps.UserEvent]
     val out = runBatches(stream,
