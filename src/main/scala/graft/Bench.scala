@@ -39,6 +39,16 @@ object Bench {
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       graft.util.Caches.releaseAll()
+      // Shuffle files of finished queries are only reclaimed when the
+      // driver GC enqueues their weak refs for the ContextCleaner; in a
+      // long single-JVM bench at sf10 the dead files accumulated to tens
+      // of GB and d2b's own (legitimate) spill then hit a full disk. One
+      // explicit GC between queries (OUTSIDE the timed region) plus a
+      // short drain keeps the disk footprint equal to the RUNNING query's
+      // working set — the periodicGC.interval=5min session config is the
+      // same hygiene for arbitrary long-running sessions.
+      System.gc()
+      Thread.sleep(500)
       val t0 = System.nanoTime()
       // a swallowed failure still surfaces as -1 in the JSON, but the cause
       // must be diagnosable — a silent catch cost a round-8 sf1 run its
@@ -61,13 +71,18 @@ object Bench {
       val (t, ok) = once(name, fn); best(name) = (t, t, 1, ok)
     }
     for (_ <- 1 to 2) {
+      // deferred re-times: slow-but-ok queries (stall defense) AND failed
+      // ones — a transient environmental failure (disk-full from a
+      // neighboring query's leftovers, a stall-timeout) must not cost the
+      // pass its data point when a later attempt succeeds
       val slow = ordered.filter { case (name, _) =>
-        val (_, t, _, ok) = best(name); ok && t > 5.0
+        val (_, t, _, ok) = best(name); !ok || t > 5.0
       }
       slow.foreach { case (name, fn) =>
-        val (first, b, n, _) = best(name)
+        val (first, b, n, okPrev) = best(name)
         val (t2, ok2) = once(name, fn)
-        best(name) = (first, if (ok2 && t2 < b) t2 else b, n + 1, true)
+        val newBest = if (ok2 && (!okPrev || t2 < b)) t2 else b
+        best(name) = (first, newBest, n + 1, okPrev || ok2)
       }
     }
     val results = ordered.map { case (name, _) =>

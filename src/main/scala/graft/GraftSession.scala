@@ -34,6 +34,13 @@ object GraftSession {
       // which is exactly the property a fixed-memory executor needs under
       // corpus-scaled fan-out; light tasks never hit the threshold.
       .config("spark.shuffle.spill.numElementsForceSpillThreshold", "2000000")
+      // Reclaim dead shuffle files promptly: the ContextCleaner only
+      // removes a finished job's shuffle data once driver GC enqueues its
+      // weak refs, and the default 30-minute periodic GC let tens of GB of
+      // dead spill pile up across a long multi-query session at sf10 —
+      // enough to run the disk out under a legitimately-spilling query.
+      // 5 minutes bounds the dead-file window at a negligible GC cost.
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS); read as Long and convert

@@ -40,13 +40,16 @@ def main():
     ap.add_argument("--large", nargs="+", required=True)
     ap.add_argument("--factor", type=float, default=10.0)
     ap.add_argument("--out", default="SCALECURVE.md")
+    ap.add_argument("--labels", nargs=2, default=["sf0.1", "sf1"],
+                    help="column labels for the small/large scales")
+    ap.add_argument("--title", default="Empirical scale curve")
     args = ap.parse_args()
     (s, ssf), (l, lsf) = combined(args.small), combined(args.large)
     names = sorted(set(s) & set(l))
     rows = [(n, s[n], l[n], l[n] / s[n]) for n in names]
     rows.sort(key=lambda r: -r[3])
 
-    lines = ["# Empirical scale curve", ""]
+    lines = [f"# {args.title}", ""]
     # provenance from the bench JSONs' own sf field, not a hardcoded pair
     lines.append(f"- data: `{', '.join(sorted(ssf))}` vs "
                  f"`{', '.join(sorted(lsf))}` ({args.factor:g}x rows; "
@@ -61,7 +64,7 @@ def main():
     lines.append(f"- **totals: {st:.1f} s -> {lt:.1f} s = {lt / st:.1f}x "
                  f"growth at {args.factor:g}x data over {len(names)} queries**")
     lines.append("")
-    lines.append("| query | sf0.1 s | sf1 s | growth | vs linear |")
+    lines.append(f"| query | {args.labels[0]} s | {args.labels[1]} s | growth | vs linear |")
     lines.append("|---|---:|---:|---:|---|")
     for n, sv, lv, g in rows:
         verdict = ("SUPER-LINEAR" if g > args.factor * 1.2 else
