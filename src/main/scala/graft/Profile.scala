@@ -16,6 +16,7 @@ object Profile {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("g2")) { profileG2(dir); return }
     if (args.headOption.contains("g1b")) { profileG1b(dir); return }
+    if (args.headOption.contains("d4vol")) { profileD4Volumes(dir); return }
     val spark = GraftSession(s"local[8]", "8")
     import graft.text.TextAnalysis.{shingles, tokens}
 
@@ -50,6 +51,20 @@ object Profile {
     t("d5 neardup")(graft.similarity.Knn.cosineNearDupPairs(Tables.embeddings(spark, dir), 0.3))
     t("a07 coa")(graft.operators.Aggregates.coaClassify(spark, dir))
     t("j02 twophase")(graft.operators.Joins.j02TwoPhaseEnrich(spark, dir))
+    spark.stop()
+  }
+
+  /** Candidate-volume report behind Dedup.chooseSimHashR: exact
+    * Σ C(bucket,2) join-row counts for r=1 vs r=2 at both thresholds. */
+  def profileD4Volumes(dir: String): Unit = {
+    val spark = GraftSession()
+    val docs = Tables.documents(spark, dir)
+    val codes = graft.dedup.Dedup.simHash(docs).persist()
+    val n = codes.count()
+    for (k <- Seq(10, 3); r <- Seq(1, 2)) {
+      val agg = graft.dedup.Dedup.simHashCandidatesRaw(codes, k, r)
+      println(s"n=$n maxHamming=$k r=$r inputRows=${agg._2} joinRows=${agg._1}")
+    }
     spark.stop()
   }
 

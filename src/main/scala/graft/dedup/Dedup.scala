@@ -79,11 +79,40 @@ object Dedup {
       .withColumn("rank", row_number().over(rarityOrder))
       .join(sizes, "doc_id")
       .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("doc_id", "s")
-    val cand = prefixes.toDF("a_id", "s")
-      .join(prefixes.toDF("b_id", "s2"), col("s") === col("s2") && col("a_id") < col("b_id"))
+      .select("doc_id", "s", "n")
+    val cand = prefixes.toDF("a_id", "s", "na")
+      .join(prefixes.toDF("b_id", "s2", "nb"),
+        col("s") === col("s2") && col("a_id") < col("b_id"))
+      // exact length filter (Arasu/Chaudhuri/Kaushik, VLDB'06): jaccard ≥ τ
+      // forces min(n_a,n_b) ≥ τ·max (overlap ≤ min, so j ≤ min/max) —
+      // applied BEFORE the distinct, so length-incompatible collisions
+      // never reach the dedup exchange. The 1e-12 margin keeps the float
+      // comparison conservative (zero false negatives; the true jaccard
+      // test downstream re-filters).
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        greatest(col("na"), col("nb")).cast("double") * lit(threshold - 1e-12))
       .select("a_id", "b_id").distinct()
-    pairsCommon(cand, sh, sizes, threshold)
+    // Verify WITHOUT re-exploding shingles through the candidate stream:
+    // pairsCommon would join each candidate to all of a's shingle ROWS
+    // (|cand|·|shingles/doc| intermediate — at sf10 that sort-merge sort
+    // spilled the disk to death, twice). Instead each doc's distinct
+    // shingles ship ONCE as an array per candidate side, and the overlap is
+    // one codegen'd array_intersect per pair — |cand| rows through two
+    // hash joins (build side = the n-doc array table, never sorted), no
+    // row explosion anywhere. d3/d10 keep the exploded form: their LSH
+    // candidate sets are collision-sized, where re-exploding is cheaper
+    // than building array tables.
+    val arrs = sh.groupBy("doc_id")
+      .agg(collect_list(col("s")).as("arr"), count(lit(1)).as("n"))
+    cand
+      .join(arrs.toDF("a_id", "arr_a", "na").hint("shuffle_hash"), "a_id")
+      .join(arrs.toDF("b_id", "arr_b", "nb").hint("shuffle_hash"), "b_id")
+      .withColumn("common",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
   val numHashes = 16
@@ -177,28 +206,35 @@ object Dedup {
       .select(col("doc_id"), code.as("simhash"))
   }
 
-  /** D4 pairs: Hamming distance ≤ maxHamming, found by **pigeonhole block
-    * banding** instead of an all-pairs join: split the 60-bit code into
-    * `maxHamming + 1` disjoint blocks — any pair within `maxHamming`
-    * differing bits must agree *exactly* on at least one block — equi-join
-    * per block, dedupe candidates, then exact-Hamming verify. Candidates ∝
-    * block-value collisions (n²/2^blockBits per block in the uniform case),
-    * never the n²/2 of the old theta join. Block width here is
-    * ⌊60/11⌋ = 5–6 bits because the demo threshold (10 of 60) is loose;
-    * production near-dup thresholds (≤3 of 64) give 16-bit blocks and
-    * proportionally sparser buckets. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    // The codes travel WITH the block rows through the band equi-join, so
-    // the exact-Hamming verify runs inline on the raw candidate stream and
-    // the distinct pass dedups only the SURVIVORS. The previous shape
-    // (candidates → distinct → two code join-backs → verify) shuffled the
-    // near-n²/2^blockBits candidate stream three more times — at the loose
-    // demo threshold that was 9.3M rows through a distinct plus two joins
-    // for 334k surviving pairs at sf0.1.
-    val blocks = graft.util.Caches.scoped(
-      simHashBlocks(simHash(docs), maxHamming + 1))
-    blocks.toDF("a_id", "ha", "blk", "bv")
-      .join(blocks.toDF("b_id", "hb", "blk", "bv"), Seq("blk", "bv"))
+  /** D4 pairs: Hamming distance ≤ maxHamming, found by **generalized
+    * pigeonhole block banding** (Manku, Jain & Das Sarma, WWW'07) instead of
+    * an all-pairs join: split the 60-bit code into `m = maxHamming + r`
+    * disjoint blocks — a pair within `maxHamming` differing bits touches at
+    * most `maxHamming` blocks, so at least `r` blocks agree *exactly*, and
+    * in particular SOME r-sized block combination agrees on every member —
+    * equi-join per combination, verify exact Hamming inline, dedupe the
+    * survivors. `r` trades join-key width against decomposition width:
+    * r=1 is the classic one-block pigeonhole (m rows/doc, ~⌊60/m⌋-bit
+    * keys); r=2 keys on block PAIRS (C(m,2) rows/doc, double-width keys),
+    * so uniform-bucket collisions shrink ~2^blockBits-fold while the join
+    * input grows ~(m−1)/2-fold. Which side wins depends on the corpus's
+    * actual bucket histogram, so the default MEASURES both candidate
+    * volumes and picks ([[chooseSimHashR]]); the result set is provably
+    * r-invariant (DedupSpec pins r ∈ {1,2,3} ≡ all-pairs, PropertySpec
+    * pins the combinatorial completeness argument). */
+  def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    simHashPairsR(docs, maxHamming, 0)
+
+  /** [[simHashPairs]] with an explicit combination order r (0 = choose by
+    * measured cost). The codes travel WITH the combo rows through the band
+    * equi-join, so the exact-Hamming verify runs inline on the raw
+    * candidate stream and the distinct pass dedups only the SURVIVORS. */
+  def simHashPairsR(docs: DataFrame, maxHamming: Int, rSel: Int): DataFrame = {
+    val codes = graft.util.Caches.scoped(simHash(docs))
+    val r = if (rSel > 0) rSel else chooseSimHashR(codes, maxHamming)
+    val rows = comboRows(codes, maxHamming, r)
+    rows.toDF("a_id", "ha", "cmb", "bv")
+      .join(rows.toDF("b_id", "hb", "cmb", "bv"), Seq("cmb", "bv"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("bigint"))
       .filter(col("hamming") <= maxHamming)
@@ -206,31 +242,88 @@ object Dedup {
       .distinct()
   }
 
-  /** Pigeonhole block decomposition of the code table: one row per
-    * (doc, block) carrying the full code for inline verification. */
-  private def simHashBlocks(codes: DataFrame, nBlocks: Int): DataFrame = {
-    val bounds = (0 until nBlocks).scanLeft(0) { (acc, b) =>
-      acc + simHashBits / nBlocks + (if (b < simHashBits % nBlocks) 1 else 0)
-    }
-    val blockStructs = (0 until nBlocks).map { b =>
-      val start = bounds(b)
-      val width = bounds(b + 1) - start
-      struct(lit(b).as("blk"),
-        expr(s"(simhash >> $start) & ${(1L << width) - 1}").as("bv"))
+  /** Disjoint block bounds covering the 60 code bits as evenly as m allows. */
+  private def blockBounds(m: Int): IndexedSeq[Int] =
+    (0 until m).scanLeft(0) { (acc, b) =>
+      acc + simHashBits / m + (if (b < simHashBits % m) 1 else 0)
+    }.toIndexedSeq
+
+  /** Generalized pigeonhole decomposition: one row per (doc, r-combo of the
+    * m = maxHamming + r blocks). The combo key is the code masked to the
+    * member blocks' bit positions — the blocks are disjoint, so the masked
+    * code IS the concatenated block values, packed into one long with no
+    * hashing and no per-block shifts. */
+  private def comboRows(codes: DataFrame, maxHamming: Int, r: Int): DataFrame = {
+    val m = maxHamming + r
+    val bounds = blockBounds(m)
+    val structs = (0 until m).combinations(r).toIndexedSeq.zipWithIndex.map {
+      case (blks, cid) =>
+        val mask = blks.map { b =>
+          ((1L << (bounds(b + 1) - bounds(b))) - 1) << bounds(b)
+        }.reduce(_ | _)
+        struct(lit(cid).as("cmb"), expr(s"simhash & ${mask}L").as("bv"))
     }
     codes.select(col("doc_id"), col("simhash"),
-        explode(array(blockStructs: _*)).as("s"))
+        explode(array(structs: _*)).as("s"))
       .select(col("doc_id"), col("simhash"),
-        col("s.blk").as("blk"), col("s.bv").as("bv"))
+        col("s.cmb").as("cmb"), col("s.bv").as("bv"))
   }
 
-  /** The pigeonhole candidate stage of [[simHashPairs]], exposed so Profile
+  /** Join-input row weight in the [[chooseSimHashR]] cost model: a
+    * decomposed row is exploded, shuffle-written, shuffle-read, and hashed
+    * into (or probed against) the join relation on both sides — ~4 touches —
+    * while a candidate row costs one codegen'd xor/popcount/filter pass. */
+  private val comboInputWeight = 4L
+
+  /** Measure — never guess — which combination order is cheaper for THIS
+    * corpus: the exact candidate volume Σ_buckets C(cnt, 2) of each
+    * decomposition comes from one aggregation over its (cmb, bv) table
+    * (n·m rows for r=1, n·C(m,2) for r=2 — noise next to the join they
+    * steer), plus the decomposition's own row count weighted by
+    * [[comboInputWeight]]. On uniform codes r=2 wins once n ≫ 2^blockBits
+    * (collisions shrink ~2^blockBits-fold, input grows ~(m−1)/2-fold); on
+    * the sf10 corpus it cuts d4's join rows ~3× — but a corpus whose
+    * bucket histogram is already sparse keeps the narrower r=1
+    * decomposition. Deterministic: exact integer counts of the data. */
+  def chooseSimHashR(codes: DataFrame, maxHamming: Int): Int = {
+    // r=2 needs at least 2-bit blocks to beat r=1's collision rate; very
+    // loose thresholds (m approaching the bit width) degenerate to 0/1-bit
+    // blocks where wider keys buy nothing — skip the measurement entirely
+    if (simHashBits / (maxHamming + 2) < 2) return 1
+    // The model's own fixed cost (two aggregations over the candidate
+    // decompositions) only amortizes when the join it steers is large:
+    // below ~20k docs even the worst-case r=1 join is a few 10⁷ rows and
+    // the measured overhead exceeds any possible win (at sf0.1 it DOUBLED
+    // d4's wall time), so take the narrow classic decomposition directly.
+    // The count also pre-materializes the shared codes cache for the join.
+    if (codes.count() < 20000L) return 1
+    def cost(r: Int): Long = {
+      val decomposed = comboRows(codes, maxHamming, r)
+      val agg = decomposed.groupBy("cmb", "bv").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) DIV 2")).as("vol"), sum(col("c")).as("rows"))
+        .head()
+      agg.getLong(0) + comboInputWeight * agg.getLong(1)
+    }
+    if (cost(2) < cost(1)) 2 else 1
+  }
+
+  /** (joinRows, inputRows) of the r-decomposition without running the join —
+    * the exact quantities [[chooseSimHashR]] weighs, exposed for Profile's
+    * volume report. */
+  def simHashCandidatesRaw(codes: DataFrame, maxHamming: Int, r: Int): (Long, Long) = {
+    val agg = comboRows(codes, maxHamming, r).groupBy("cmb", "bv")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) DIV 2")).as("vol"), sum(col("c")).as("rows"))
+      .head()
+    (agg.getLong(0), agg.getLong(1))
+  }
+
+  /** The pigeonhole candidate stage of [[simHashPairsR]], exposed so Profile
     * can report candidate volume vs n²/2. `codes` = (doc_id, simhash). */
-  def simHashCandidates(codes: DataFrame, maxHamming: Int): DataFrame = {
-    val blocks = simHashBlocks(codes, maxHamming + 1)
-      .select("doc_id", "blk", "bv")
-    blocks.toDF("a_id", "blk", "bv")
-      .join(blocks.toDF("b_id", "blk", "bv"), Seq("blk", "bv"))
+  def simHashCandidates(codes: DataFrame, maxHamming: Int, r: Int = 1): DataFrame = {
+    val rows = comboRows(codes, maxHamming, r).select("doc_id", "cmb", "bv")
+    rows.toDF("a_id", "cmb", "bv")
+      .join(rows.toDF("b_id", "cmb", "bv"), Seq("cmb", "bv"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
   }
@@ -259,10 +352,12 @@ object Dedup {
   def d4Simhash(spark: SparkSession, dir: String): DataFrame =
     simHashPairs(Tables.documents(spark, dir), 10).orderBy("a_id", "b_id")
 
-  /** The production regime: a tight Hamming threshold (3 of 60) gives 4
-    * pigeonhole blocks of 15 bits — 2^15 values per block, so bucket
-    * collisions are ~n²/32768 per block instead of the demo threshold's
-    * n²/32. This is the variant you actually run at 100 TB. */
+  /** The production regime: a tight Hamming threshold (3 of 60) gives
+    * r=1: 4 pigeonhole blocks of 15 bits (collisions ~n²/32768 per block,
+    * vs the demo threshold's n²/32) or r=2: 5 blocks of 12 bits keyed on
+    * the C(5,2)=10 block pairs — 24-bit keys, collisions ~n²/2²⁴ per
+    * combo. The measured cost model picks per corpus; this is the variant
+    * you actually run at 100 TB. */
   def d4bSimhashTight(spark: SparkSession, dir: String): DataFrame =
     simHashPairs(Tables.documents(spark, dir), 3).orderBy("a_id", "b_id")
 

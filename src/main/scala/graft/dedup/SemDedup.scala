@@ -78,12 +78,20 @@ object SemDedup {
         Knn.dotFold(col("embedding"), col("ce")).as("s"))
       .groupBy("vec_id")
       .agg(max_by(col("cell"), struct(col("s"), (-col("cell")).as("nc"))).as("cell"))
+    dropsFromAssign(capCells(assign, maxCell), emb, docs, tau)
+  }
+
+  /** The scale-invariant back half shared by d9 and d9b: join quality and
+    * norms onto an assignment frame (vec_id, cell, sub), self-join within
+    * (cell, sub), apply the cosine threshold and the quality drop rule. */
+  private def dropsFromAssign(assign: DataFrame, emb: DataFrame,
+                              docs: DataFrame, tau: Double): DataFrame = {
     val norms = emb.select(col("vec_id"),
       sqrt(Knn.dotFold(col("embedding"), col("embedding"))).as("nrm"))
     // members is corpus-sized and feeds both sides of the cell self-join —
     // persist once; every join here is a shuffle equi-join (no hints:
     // embedding/norm/quality frames are all corpus-sized)
-    val members = graft.util.Caches.scoped(capCells(assign, maxCell)
+    val members = graft.util.Caches.scoped(assign
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .join(norms, "vec_id")
       .join(docs.select(col("doc_id").as("vec_id"), col("n_chars").as("q")),
@@ -110,6 +118,80 @@ object SemDedup {
         col("cell"), col("cos"))
   }
 
+  /** d9b: constant-size cells + two-level assignment — the 100 TB shape of
+    * d9, attacking both of its super-linear terms at once (measured 13.1×
+    * at 10× data on the sf10 curve):
+    *
+    *  - **cells**: d9's nlist ≈ √n gives √n-member cells, so the within-cell
+    *    pair volume is Σ|cell|² ≈ n^1.5. Here nlist = max(16, n/256) targets
+    *    a CONSTANT expected cell size (256), so pair volume is ~256·n —
+    *    linear, the regime a 100 TB corpus actually needs.
+    *  - **anchors**: chosen by hash THRESHOLD (ak < ⌊2⁶⁰/n·nlist⌋), not by
+    *    rank — no corpus-wide sort, no driver TakeOrdered, no
+    *    single-partition window anywhere in the build; the anchor count is
+    *    binomial around nlist (a quantizer doesn't need it exact) and the
+    *    rule is one map-side filter at any corpus size.
+    *  - **assignment**: IMI-style two-level argmax (Babenko & Lempitsky
+    *    2012, the same hierarchy s3c proves out): coarse anchors are the
+    *    prefix of the SAME hash rule (ak < ⌊2⁶⁰/n·ncoarse⌋, ncoarse ≈
+    *    √nlist ⇒ coarse ⊆ anchors by construction), fine anchors join their
+    *    argmax coarse group, and the corpus pays ncoarse + nlist/ncoarse ≈
+    *    2√nlist dots per vector instead of d9's nlist — O(n^1.125) total at
+    *    this parameterization vs d9's O(n^1.5).
+    *
+    * The price is the standard hierarchical-recall trade (a vector whose
+    * best fine anchor sits in another coarse group lands in a near-optimal
+    * cell) plus the binomial cell-size tail. Everything stays a pure
+    * function of the data — thresholds are exact integer/IEEE arithmetic
+    * both engines replay — so the whole pipeline is DuckDB-oracle-gated
+    * like d9. */
+  def semDedupDropsTwoLevel(emb: DataFrame, docs: DataFrame, n: Long,
+                            tau: Double): DataFrame = {
+    val nlist = math.max(16L, n / 256L)
+    val ncoarse = math.max(2L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
+    // 2⁶⁰/n first, then ×count: the product can exceed 2⁵³, where doubles
+    // go granular — IEEE gives both engines the same granular value, but
+    // only if the operation ORDER is identical (the oracle spells it the
+    // same way); floor() because Spark's cast truncates and DuckDB rounds
+    val scale = (1L << 60).toDouble / n.toDouble
+    val tAnchor = math.floor(scale * nlist).toLong
+    val tCoarse = math.floor(scale * ncoarse).toLong
+    val ak = Dedup.md5Hash60(concat(lit("semdedup2|"), col("vec_id").cast("string")))
+    val anchors = graft.util.Caches.scoped(emb
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"), ak.as("akk"))
+      .filter(col("akk") < tAnchor))
+    val coarse = anchors.filter(col("akk") < tCoarse)
+      .select(col("cell").as("g"), col("ce").as("cg"))
+    // fine anchor -> coarse group: argmax dot, ties to the lower group id.
+    // nlist·ncoarse dots over two bounded broadcast-sized frames.
+    val fineGroups = anchors.select(col("cell"), col("ce"))
+      .crossJoin(broadcast(coarse))
+      .select(col("cell"), col("ce"), col("g"),
+        Knn.dotFold(col("ce"), col("cg")).as("gd"))
+      .groupBy("cell")
+      .agg(max_by(col("g"), struct(col("gd"), (-col("g")).as("ng"))).as("g"),
+        first(col("ce")).as("ce"))
+    // corpus pass 1: nearest coarse group (n·ncoarse dots); the embedding
+    // rides the aggregate so pass 2 needs no second corpus join
+    val coarseAssign = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("embedding"), col("g"),
+        Knn.dotFold(col("embedding"), col("cg")).as("cd"))
+      .groupBy("vec_id")
+      .agg(max_by(col("g"), struct(col("cd"), (-col("g")).as("ng"))).as("g"),
+        first(col("embedding")).as("embedding"))
+    // corpus pass 2: nearest fine anchor WITHIN the assigned group
+    // (n·nlist/ncoarse dots on average)
+    val assign = coarseAssign
+      .join(broadcast(fineGroups.select(col("g"), col("cell"), col("ce"))), "g")
+      .select(col("vec_id"), col("cell"),
+        Knn.dotFold(col("embedding"), col("ce")).as("fd"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("fd"), (-col("cell")).as("nc"))).as("cell"))
+      .withColumn("sub", lit(0L))
+    dropsFromAssign(assign, emb, docs, tau)
+  }
+
   def d9SemDedup(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.cachedCount(spark, dir, "embeddings")
     val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -117,8 +199,15 @@ object SemDedup {
       nlist, tau = 0.3).orderBy("doc_id")
   }
 
+  def d9bSemDedup2Level(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.cachedCount(spark, dir, "embeddings")
+    semDedupDropsTwoLevel(Tables.embeddings(spark, dir),
+      Tables.documents(spark, dir), n, tau = 0.3).orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d9_semdedup" -> (d9SemDedup _)
+    "d9_semdedup" -> (d9SemDedup _),
+    "d9b_semdedup_2level" -> (d9bSemDedup2Level _)
   )
 
   private val dotSql = Knn.dotSql
@@ -156,6 +245,78 @@ object SemDedup {
         |members AS (
         |  SELECT g.vec_id AS id, g.cell, e.embedding, n.nrm, d.n_chars AS q
         |  FROM assign g JOIN embeddings e ON e.vec_id = g.vec_id
+        |       JOIN norms n ON n.id = g.vec_id
+        |       JOIN documents d ON d.doc_id = g.vec_id),
+        |pairs AS (
+        |  SELECT a.id AS ia, a.q AS qa, b.id AS ib, b.q AS qb, a.cell,
+        |    $dotSql / (a.nrm * b.nrm) AS cos
+        |  FROM members a JOIN members b ON a.cell = b.cell AND a.id < b.id),
+        |beat AS (
+        |  SELECT CASE WHEN qa > qb OR qa = qb THEN ib ELSE ia END AS dropped,
+        |         CASE WHEN qa > qb OR qa = qb THEN ia ELSE ib END AS kept,
+        |         cell, cos
+        |  FROM pairs WHERE cos >= 0.3),
+        |ranked AS (
+        |  SELECT dropped, kept, cell, cos,
+        |    row_number() OVER (PARTITION BY dropped ORDER BY cos DESC, kept ASC) AS rk
+        |  FROM beat)
+        |SELECT dropped AS doc_id, kept AS kept_id, cell, cos
+        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "d9b_semdedup_2level" ->
+      s"""WITH params AS (
+        |  SELECT COUNT(*) AS n,
+        |    GREATEST(16, COUNT(*) // 256) AS nlist,
+        |    GREATEST(2, CAST(ceil(sqrt(CAST(GREATEST(16, COUNT(*) // 256) AS DOUBLE))) AS BIGINT)) AS ncoarse
+        |  FROM embeddings),
+        |thr AS (
+        |  -- division FIRST, then the count multiply: the product can sit
+        |  -- above 2^53 where doubles are granular, and both engines must
+        |  -- replay the identical IEEE operation order
+        |  SELECT CAST(floor(1152921504606846976.0 / n * nlist) AS BIGINT) AS ta,
+        |         CAST(floor(1152921504606846976.0 / n * ncoarse) AS BIGINT) AS tc
+        |  FROM params),
+        |anchors AS (
+        |  SELECT cell, ce, akk FROM (
+        |    SELECT vec_id AS cell, embedding AS ce,
+        |      CAST('0x' || substr(md5('semdedup2|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS akk
+        |    FROM embeddings) t CROSS JOIN thr
+        |  WHERE t.akk < thr.ta),
+        |coarse AS (
+        |  SELECT cell AS g, ce AS cg FROM anchors CROSS JOIN thr
+        |  WHERE akk < thr.tc),
+        |finegrp AS (
+        |  SELECT cell, ce, g FROM (
+        |    SELECT f.cell, f.ce, c.g,
+        |      row_number() OVER (PARTITION BY f.cell ORDER BY
+        |        list_reduce(list_transform(range(1, len(f.ce) + 1),
+        |          i -> CAST(f.ce[i] AS DOUBLE) * CAST(c.cg[i] AS DOUBLE)),
+        |          (acc, x) -> acc + x) DESC, c.g) AS grk
+        |    FROM anchors f CROSS JOIN coarse c) t WHERE grk = 1),
+        |cassign AS (
+        |  SELECT vec_id, embedding, g FROM (
+        |    SELECT e.vec_id, e.embedding, c.g,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(e.embedding) + 1),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cg[i] AS DOUBLE)),
+        |          (acc, x) -> acc + x) DESC, c.g) AS crk
+        |    FROM embeddings e CROSS JOIN coarse c) t WHERE crk = 1),
+        |fassign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT ca.vec_id, f.cell,
+        |      row_number() OVER (PARTITION BY ca.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(ca.embedding) + 1),
+        |          i -> CAST(ca.embedding[i] AS DOUBLE) * CAST(f.ce[i] AS DOUBLE)),
+        |          (acc, x) -> acc + x) DESC, f.cell) AS frk
+        |    FROM cassign ca JOIN finegrp f ON f.g = ca.g) t WHERE frk = 1),
+        |norms AS (
+        |  SELECT vec_id AS id,
+        |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (acc, x) -> acc + x)) AS nrm
+        |  FROM embeddings),
+        |members AS (
+        |  SELECT g.vec_id AS id, g.cell, e.embedding, n.nrm, d.n_chars AS q
+        |  FROM fassign g JOIN embeddings e ON e.vec_id = g.vec_id
         |       JOIN norms n ON n.id = g.vec_id
         |       JOIN documents d ON d.doc_id = g.vec_id),
         |pairs AS (

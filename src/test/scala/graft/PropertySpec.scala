@@ -45,28 +45,32 @@ object PureProperties extends Properties("pure") {
       !(x > 0 && y > 0) || z > 0
     }
 
-  /** The completeness argument behind Dedup.simHashCandidates: with
-    * maxHamming+1 disjoint blocks covering 60 bits, any pair within
-    * maxHamming differing bits matches exactly on ≥1 block — so the banded
-    * equi-join can never miss a pair the all-pairs scan would find. Uses
-    * the same block-bounds formula as the Spark implementation. */
-  property("pigeonhole banding is complete for hamming <= maxHamming") =
-    forAll(Gen.chooseNum(1, 12), Gen.long, Gen.listOf(Gen.chooseNum(0, 59))) {
-      (maxHamming, seed, flipBits) =>
+  /** The completeness argument behind Dedup.simHashPairsR (generalized
+    * pigeonhole, Manku/Jain/Das Sarma WWW'07): with m = maxHamming + r
+    * disjoint blocks covering 60 bits, any pair within maxHamming differing
+    * bits leaves ≥ r blocks untouched, so SOME r-combo of blocks matches
+    * exactly on all members — the combo equi-join can never miss a pair
+    * the all-pairs scan would find. Uses the same block-bounds formula and
+    * masked-code combo keys as the Spark implementation. */
+  property("generalized pigeonhole banding is complete for hamming <= maxHamming") =
+    forAll(Gen.chooseNum(1, 12), Gen.chooseNum(1, 3), Gen.long,
+           Gen.listOf(Gen.chooseNum(0, 59))) {
+      (maxHamming, r, seed, flipBits) =>
         val bits = 60
         val a = seed & ((1L << bits) - 1)
         val flips = flipBits.distinct.take(maxHamming)
         val b = flips.foldLeft(a)((c, j) => c ^ (1L << j))
-        val nBlocks = maxHamming + 1
-        val bounds = (0 until nBlocks).scanLeft(0) { (acc, blk) =>
-          acc + bits / nBlocks + (if (blk < bits % nBlocks) 1 else 0)
+        val m = maxHamming + r
+        val bounds = (0 until m).scanLeft(0) { (acc, blk) =>
+          acc + bits / m + (if (blk < bits % m) 1 else 0)
         }
-        val someBlockMatches = (0 until nBlocks).exists { blk =>
-          val start = bounds(blk)
-          val mask = (1L << (bounds(blk + 1) - start)) - 1
-          ((a >> start) & mask) == ((b >> start) & mask)
+        def blockMask(blk: Int): Long =
+          ((1L << (bounds(blk + 1) - bounds(blk))) - 1) << bounds(blk)
+        val someComboMatches = (0 until m).combinations(r).exists { blks =>
+          val mask = blks.map(blockMask).reduce(_ | _)
+          (a & mask) == (b & mask)
         }
-        someBlockMatches
+        someComboMatches
     }
 
   property("codeBits is monotone, bounded, and covers the corpus") =

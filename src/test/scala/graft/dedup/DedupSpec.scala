@@ -39,7 +39,9 @@ class DedupSpec extends SparkSpec {
   test("SimHash puts near-dup pairs at small Hamming distance") {
     val nearDups = Dedup.ngramJaccardPairs(docs, 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    val hams = Dedup.simHashPairs(docs, Dedup.simHashBits).toDF("a", "b", "h")
+    // r=1 explicitly: maxHamming=60 means "all pairs", where wider combo
+    // keys buy nothing and the cost measurement would be pure overhead
+    val hams = Dedup.simHashPairsR(docs, Dedup.simHashBits, 1).toDF("a", "b", "h")
       .as[(Long, Long, Long)].collect().map { case (a, b, h) => (a, b) -> h }.toMap
     val dupHam = nearDups.toSeq.map(hams)
     val allHam = hams.values.toSeq
@@ -50,18 +52,22 @@ class DedupSpec extends SparkSpec {
       s"planted near-dups at hamming $dupHam")
   }
 
-  test("pigeonhole-banded SimHash pairing ≡ all-pairs Hamming join") {
+  test("pigeonhole-banded SimHash pairing ≡ all-pairs Hamming join, every r") {
     // reference result computed driver-side from the collected codes — the
-    // banding must find EXACTLY the pairs an all-pairs scan would
+    // banding must find EXACTLY the pairs an all-pairs scan would, for the
+    // classic single-block pigeonhole (r=1), the pair-key generalization
+    // (r=2), triples (r=3), AND the measured-cost default (r=0)
     val codes = Dedup.simHash(docs).as[(Long, Long)].collect()
     for (maxHamming <- Seq(3, 10)) {
       val want = (for {
         (ia, ha) <- codes; (ib, hb) <- codes if ia < ib
         h = java.lang.Long.bitCount(ha ^ hb) if h <= maxHamming
       } yield (ia, ib, h.toLong)).toSet
-      val got = Dedup.simHashPairs(docs, maxHamming)
-        .as[(Long, Long, Long)].collect().toSet
-      assert(got === want, s"maxHamming=$maxHamming")
+      for (r <- Seq(0, 1, 2, 3)) {
+        val got = Dedup.simHashPairsR(docs, maxHamming, r)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(got === want, s"maxHamming=$maxHamming r=$r")
+      }
     }
   }
 

@@ -44,6 +44,46 @@ class SemDedupSpec extends SparkSpec {
     assert(cells.subsetOf(anchorIds), "audit cells must be anchor ids")
   }
 
+  lazy val out2 = SemDedup.d9bSemDedup2Level(spark, sf0001)
+    .as[(Long, Long, Long, Double)].collect()
+
+  test("d9b: drops are non-vacuous, above threshold, and well-formed") {
+    assert(out2.nonEmpty, "tau=0.3 must find semantic near-dups at sf0.001")
+    out2.foreach { case (dropped, kept, _, cos) =>
+      assert(dropped != kept)
+      assert(cos >= 0.3 && cos <= 1.0 + 1e-9, s"cos out of range: $cos")
+    }
+    assert(out2.map(_._1).distinct.length === out2.length)
+    val q = Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    out2.foreach { case (dropped, kept, _, _) =>
+      val (qd, qk) = (q(dropped), q(kept))
+      assert(qk > qd || (qk == qd && kept < dropped))
+    }
+  }
+
+  test("d9b: cells are hash-threshold anchors; coarse prefix is non-trivial") {
+    // replay the threshold rule driver-side with the IDENTICAL arithmetic
+    // (divide first, then multiply, then floor) and check the audit cells
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val nlist = math.max(16L, n / 256L)
+    val ncoarse = math.max(2L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
+    val scale = (1L << 60).toDouble / n.toDouble
+    val tAnchor = math.floor(scale * nlist).toLong
+    val tCoarse = math.floor(scale * ncoarse).toLong
+    val ak = Dedup.md5Hash60(concat(lit("semdedup2|"), col("vec_id").cast("string")))
+    val aks = emb.select(col("vec_id"), ak.as("akk")).as[(Long, Long)].collect()
+    val anchorIds = aks.collect { case (id, k) if k < tAnchor => id }.toSet
+    val coarseIds = aks.collect { case (id, k) if k < tCoarse => id }.toSet
+    // no sort anywhere: the rule must still yield a usable quantizer here
+    assert(anchorIds.size >= 4, s"degenerate anchor draw: ${anchorIds.size}")
+    assert(coarseIds.nonEmpty && coarseIds.subsetOf(anchorIds))
+    assert(coarseIds.size < anchorIds.size, "hierarchy must be non-trivial")
+    assert(out2.map(_._3).toSet.subsetOf(anchorIds),
+      "audit cells must be hash-threshold anchor ids")
+  }
+
   test("cell cap: hard size bound, drops a subset of uncapped, default off") {
     val emb = Tables.embeddings(spark, sf0001)
     val docs = Tables.documents(spark, sf0001)
