@@ -17,6 +17,8 @@ object Profile {
     if (args.headOption.contains("g2")) { profileG2(dir); return }
     if (args.headOption.contains("g1b")) { profileG1b(dir); return }
     if (args.headOption.contains("d4vol")) { profileD4Volumes(dir); return }
+    if (args.headOption.contains("d4r")) { profileD4R(dir); return }
+    if (args.headOption.contains("d4ab")) { profileD4AB(dir); return }
     val spark = GraftSession(s"local[8]", "8")
     import graft.text.TextAnalysis.{shingles, tokens}
 
@@ -51,6 +53,78 @@ object Profile {
     t("d5 neardup")(graft.similarity.Knn.cosineNearDupPairs(Tables.embeddings(spark, dir), 0.3))
     t("a07 coa")(graft.operators.Aggregates.coaClassify(spark, dir))
     t("j02 twophase")(graft.operators.Joins.j02TwoPhaseEnrich(spark, dir))
+    spark.stop()
+  }
+
+  /** A/B: the combo join at r=1 with masked-code keys vs old-style
+    * shifted-down block values — isolates join-key hash/partition luck. */
+  def profileD4AB(dir: String): Unit = {
+    val spark = GraftSession()
+    val docs = Tables.documents(spark, dir)
+    docs.count()
+    val codes = graft.dedup.Dedup.simHash(docs).persist()
+    codes.count()
+    import org.apache.spark.sql.functions._
+    val bits = graft.dedup.Dedup.simHashBits
+    val m = 11
+    val bounds = (0 until m).scanLeft(0) { (acc, b) =>
+      acc + bits / m + (if (b < bits % m) 1 else 0) }
+    def mk(shifted: Boolean) = {
+      val structs = (0 until m).map { b =>
+        val start = bounds(b); val width = bounds(b + 1) - start
+        val e = if (shifted) s"(simhash >> $start) & ${(1L << width) - 1}L"
+                else s"simhash & ${(((1L << width) - 1) << start)}L"
+        struct(lit(b).as("cmb"), expr(e).as("bv"))
+      }
+      codes.select(col("doc_id"), col("simhash"), explode(array(structs: _*)).as("s"))
+        .select(col("doc_id"), col("simhash"), col("s.cmb").as("cmb"), col("s.bv").as("bv"))
+    }
+    for (shifted <- Seq(true, false, true, false)) {
+      val rows = mk(shifted)
+      t(s"d4 r=1 join shifted=$shifted")(
+        rows.toDF("a_id", "ha", "cmb", "bv")
+          .join(rows.toDF("b_id", "hb", "cmb", "bv"), Seq("cmb", "bv"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(bit_count(expr("ha ^ hb")) <= 10))
+    }
+    // old round-9 shape: CACHED exploded table, join reads the cache twice
+    val blocksOld = mk(true).persist()
+    blocksOld.count()
+    for (i <- 1 to 2)
+      t(s"d4 r=1 join CACHED-blocks (old shape) #$i")(
+        blocksOld.toDF("a_id", "ha", "cmb", "bv")
+          .join(blocksOld.toDF("b_id", "hb", "cmb", "bv"), Seq("cmb", "bv"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(bit_count(expr("ha ^ hb")) <= 10))
+    val q = blocksOld.toDF("a_id", "ha", "cmb", "bv")
+      .join(blocksOld.toDF("b_id", "hb", "cmb", "bv"), Seq("cmb", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(bit_count(expr("ha ^ hb")) <= 10)
+    println("=== OLD SHAPE PLAN ==="); q.explain("formatted")
+    val q2 = mk(false).toDF("a_id", "ha", "cmb", "bv")
+      .join(mk(false).toDF("b_id", "hb", "cmb", "bv"), Seq("cmb", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(bit_count(expr("ha ^ hb")) <= 10)
+    println("=== NEW SHAPE PLAN ==="); q2.explain("formatted")
+    spark.stop()
+  }
+
+  /** End-to-end d4 timing per explicit r, at bench parallelism. */
+  def profileD4R(dir: String): Unit = {
+    val spark = GraftSession()
+    val docs = Tables.documents(spark, dir)
+    docs.count() // warm
+    val codes = graft.dedup.Dedup.simHash(docs).persist()
+    t("d4 codes (simHash agg)")(codes)
+    t("d4 survivors r=1 (join+verify, no distinct)")(
+      graft.dedup.Dedup.simHashSurvivorsRaw(codes, 10, 1))
+    t("d4 survivors r=2 (join+verify, no distinct)")(
+      graft.dedup.Dedup.simHashSurvivorsRaw(codes, 10, 2))
+    codes.unpersist()
+    for (r <- Seq(1, 2, 0)) {
+      t(s"d4 maxHamming=10 r=$r")(graft.dedup.Dedup.simHashPairsR(docs, 10, r))
+      graft.util.Caches.releaseAll()
+    }
     spark.stop()
   }
 

@@ -228,18 +228,45 @@ object Dedup {
   /** [[simHashPairs]] with an explicit combination order r (0 = choose by
     * measured cost). The codes travel WITH the combo rows through the band
     * equi-join, so the exact-Hamming verify runs inline on the raw
-    * candidate stream and the distinct pass dedups only the SURVIVORS. */
+    * candidate stream — and there is NO distinct stage at all: a pair is
+    * emitted only from the combo formed by its LOWEST r agreeing blocks
+    * (testable inline from the riding codes: every lower non-member block
+    * must disagree), so each surviving pair leaves the join exactly once.
+    * On this corpus the survivor stream carries ~4.5× (r=1) to ~12× (r=2)
+    * duplicate multiplicity — a near pair agreeing on c blocks hits C(c,r)
+    * combos — and shuffling it into a dedup exchange cost more at sf1 than
+    * the wider keys saved; the first-match predicate replaces that whole
+    * exchange with a few codegen'd mask tests per joined row. */
   def simHashPairsR(docs: DataFrame, maxHamming: Int, rSel: Int): DataFrame = {
     val codes = graft.util.Caches.scoped(simHash(docs))
     val r = if (rSel > 0) rSel else chooseSimHashR(codes, maxHamming)
+    val m = maxHamming + r
+    val bounds = blockBounds(m)
+    def bmask(b: Int): Long =
+      ((1L << (bounds(b + 1) - bounds(b))) - 1) << bounds(b)
+    // First-match test in closed form (a 66-branch CASE knocked the whole
+    // stage out of codegen — 25× slower): build the pair's agree-block
+    // BITMASK (m mask-compare-select terms over the riding codes) and emit
+    // iff no block the combo requires to disagree actually agrees —
+    // (agreeMask & md) = 0, with `md` the combo's constant riding the left
+    // decomposition row (the join key already proves the members agree).
+    // A pair whose agree-set is S passes for exactly one combo: the lowest
+    // r elements of S. ORDER MATTERS: the xor/popcount Hamming test runs
+    // FIRST — it is ~5 long ops and kills ~98% of the joined stream, so
+    // the ~4·m-op first-match arithmetic only ever touches survivors (at
+    // sf10 the reversed order cost 3.5× the whole query).
+    val agreeMask = (0 until m).map { j =>
+      s"(CASE WHEN ((ha ^ hb) & ${bmask(j)}L) = 0 THEN ${1L << j}L ELSE 0L END)"
+    }.mkString(" + ")
     val rows = comboRows(codes, maxHamming, r)
-    rows.toDF("a_id", "ha", "cmb", "bv")
-      .join(rows.toDF("b_id", "hb", "cmb", "bv"), Seq("cmb", "bv"))
-      .filter(col("a_id") < col("b_id"))
+    rows.toDF("a_id", "ha", "cmb", "bv", "md")
+      .join(rows.toDF("b_id", "hb", "cmb", "bv", "md2").drop("md2"),
+        Seq("cmb", "bv"))
+      .filter(col("a_id") < col("b_id") &&
+        bit_count(expr("ha ^ hb")).cast("bigint") <= maxHamming &&
+        expr(s"(($agreeMask) & md) = 0"))
       .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("bigint"))
-      .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
-      .distinct()
   }
 
   /** Disjoint block bounds covering the 60 code bits as evenly as m allows. */
@@ -252,7 +279,13 @@ object Dedup {
     * m = maxHamming + r blocks). The combo key is the code masked to the
     * member blocks' bit positions — the blocks are disjoint, so the masked
     * code IS the concatenated block values, packed into one long with no
-    * hashing and no per-block shifts. */
+    * hashing and no per-block shifts. Each row also carries the combo's
+    * must-disagree BLOCK-INDEX bitmask (`md` — blocks below the combo's
+    * highest member that are not members): attaching the constant at
+    * explode time (n·C(m,r) rows) lets the join-side first-match filter
+    * read it as a plain column instead of re-deriving it per joined row
+    * (an element_at(array(...), cmb) lookup allocated a fresh 66-element
+    * array for EVERY of the 11.5B joined rows at sf10). */
   private def comboRows(codes: DataFrame, maxHamming: Int, r: Int): DataFrame = {
     val m = maxHamming + r
     val bounds = blockBounds(m)
@@ -261,12 +294,15 @@ object Dedup {
         val mask = blks.map { b =>
           ((1L << (bounds(b + 1) - bounds(b))) - 1) << bounds(b)
         }.reduce(_ | _)
-        struct(lit(cid).as("cmb"), expr(s"simhash & ${mask}L").as("bv"))
+        val md = (0 until blks.max).filterNot(blks.contains(_))
+          .map(j => 1L << j).foldLeft(0L)(_ | _)
+        struct(lit(cid).as("cmb"), expr(s"simhash & ${mask}L").as("bv"),
+          lit(md).as("md"))
     }
     codes.select(col("doc_id"), col("simhash"),
         explode(array(structs: _*)).as("s"))
       .select(col("doc_id"), col("simhash"),
-        col("s.cmb").as("cmb"), col("s.bv").as("bv"))
+        col("s.cmb").as("cmb"), col("s.bv").as("bv"), col("s.md").as("md"))
   }
 
   /** Join-input row weight in the [[chooseSimHashR]] cost model: a
@@ -282,9 +318,16 @@ object Dedup {
     * steer), plus the decomposition's own row count weighted by
     * [[comboInputWeight]]. On uniform codes r=2 wins once n ≫ 2^blockBits
     * (collisions shrink ~2^blockBits-fold, input grows ~(m−1)/2-fold); on
-    * the sf10 corpus it cuts d4's join rows ~3× — but a corpus whose
-    * bucket histogram is already sparse keeps the narrower r=1
-    * decomposition. Deterministic: exact integer counts of the data. */
+    * the sf10 corpus it cuts d4's join rows 3.1× (35.6B → 11.5B measured)
+    * — but a corpus whose bucket histogram is already sparse keeps the
+    * narrower r=1 decomposition. Deterministic: exact integer counts of
+    * the data. Known bias: the model cannot price the FIRST-MATCH work,
+    * which runs on the Hamming-surviving pairs × their combo multiplicity
+    * (~2.5× higher at r=2) — unknowable without running the join. Where
+    * survivors rival join rows (dense near-dup corpora at small n) the
+    * choice can cost ~20% (measured at sf1: r=2 18.7 s vs r=1 15.2 s);
+    * where the join stream dominates it is decisively right (sf10:
+    * survivors-stage 296 s vs 594 s). */
   def chooseSimHashR(codes: DataFrame, maxHamming: Int): Int = {
     // r=2 needs at least 2-bit blocks to beat r=1's collision rate; very
     // loose thresholds (m approaching the bit width) degenerate to 0/1-bit
@@ -305,6 +348,18 @@ object Dedup {
       agg.getLong(0) + comboInputWeight * agg.getLong(1)
     }
     if (cost(2) < cost(1)) 2 else 1
+  }
+
+  /** The combo join + inline Hamming verify WITHOUT the survivor dedup —
+    * Profile uses it to separate join cost from distinct cost. */
+  def simHashSurvivorsRaw(codes: DataFrame, maxHamming: Int, r: Int): DataFrame = {
+    val rows = comboRows(codes, maxHamming, r).drop("md")
+    rows.toDF("a_id", "ha", "cmb", "bv")
+      .join(rows.toDF("b_id", "hb", "cmb", "bv"), Seq("cmb", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
   }
 
   /** (joinRows, inputRows) of the r-decomposition without running the join —

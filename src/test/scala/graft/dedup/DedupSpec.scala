@@ -64,9 +64,13 @@ class DedupSpec extends SparkSpec {
         h = java.lang.Long.bitCount(ha ^ hb) if h <= maxHamming
       } yield (ia, ib, h.toLong)).toSet
       for (r <- Seq(0, 1, 2, 3)) {
-        val got = Dedup.simHashPairsR(docs, maxHamming, r)
-          .as[(Long, Long, Long)].collect().toSet
-        assert(got === want, s"maxHamming=$maxHamming r=$r")
+        val rows = Dedup.simHashPairsR(docs, maxHamming, r)
+          .as[(Long, Long, Long)].collect()
+        // the first-match emission rule must yield each pair EXACTLY once
+        // (a set compare alone would hide duplicate emissions)
+        assert(rows.length === rows.toSet.size,
+          s"duplicate pair emission at maxHamming=$maxHamming r=$r")
+        assert(rows.toSet === want, s"maxHamming=$maxHamming r=$r")
       }
     }
   }
