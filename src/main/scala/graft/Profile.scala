@@ -19,6 +19,7 @@ object Profile {
     if (args.headOption.contains("d4vol")) { profileD4Volumes(dir); return }
     if (args.headOption.contains("d4r")) { profileD4R(dir); return }
     if (args.headOption.contains("d4ab")) { profileD4AB(dir); return }
+    if (args.headOption.contains("d4part")) { profileD4Part(dir); return }
     val spark = GraftSession(s"local[8]", "8")
     import graft.text.TextAnalysis.{shingles, tokens}
 
@@ -53,6 +54,23 @@ object Profile {
     t("d5 neardup")(graft.similarity.Knn.cosineNearDupPairs(Tables.embeddings(spark, dir), 0.3))
     t("a07 coa")(graft.operators.Aggregates.coaClassify(spark, dir))
     t("j02 twophase")(graft.operators.Joins.j02TwoPhaseEnrich(spark, dir))
+    spark.stop()
+  }
+
+  /** Partitioning experiments on the combo join at sf10 scale. */
+  def profileD4Part(dir: String): Unit = {
+    val spark = GraftSession()
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    docs.count()
+    val codes = graft.dedup.Dedup.simHash(docs).persist()
+    codes.count()
+    for (parts <- Seq(128, 512)) {
+      t(s"d4 survivors r=2 SHJ parts=$parts")(
+        graft.dedup.Dedup.simHashSurvivorsParts(codes, 10, 2, parts))
+    }
+    t("d4 survivors r=1 SHJ parts=512")(
+      graft.dedup.Dedup.simHashSurvivorsParts(codes, 10, 1, 512))
     spark.stop()
   }
 
@@ -128,7 +146,7 @@ object Profile {
     spark.stop()
   }
 
-  /** Candidate-volume report behind Dedup.chooseSimHashR: exact
+  /** Candidate-volume report behind the d4 r-choice cost model: exact
     * Σ C(bucket,2) join-row counts for r=1 vs r=2 at both thresholds. */
   def profileD4Volumes(dir: String): Unit = {
     val spark = GraftSession()

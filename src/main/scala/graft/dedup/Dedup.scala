@@ -219,7 +219,7 @@ object Dedup {
     * so uniform-bucket collisions shrink ~2^blockBits-fold while the join
     * input grows ~(m−1)/2-fold. Which side wins depends on the corpus's
     * actual bucket histogram, so the default MEASURES both candidate
-    * volumes and picks ([[chooseSimHashR]]); the result set is provably
+    * volumes and picks (the measured cost model in [[simHashPairsR]]); the result set is provably
     * r-invariant (DedupSpec pins r ∈ {1,2,3} ≡ all-pairs, PropertySpec
     * pins the combinatorial completeness argument). */
   def simHashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
@@ -239,7 +239,34 @@ object Dedup {
     * exchange with a few codegen'd mask tests per joined row. */
   def simHashPairsR(docs: DataFrame, maxHamming: Int, rSel: Int): DataFrame = {
     val codes = graft.util.Caches.scoped(simHash(docs))
-    val r = if (rSel > 0) rSel else chooseSimHashR(codes, maxHamming)
+    // the count materializes the shared cache AND gates the measurement:
+    // below ~20k docs even the worst-case r=1 join is a few 10⁷ rows and
+    // the model's own aggregations exceed any possible win
+    val n = codes.count()
+    val degenerate = simHashBits / (maxHamming + 2) < 2
+    val (r, vol) =
+      if (rSel > 0)
+        (rSel,
+          if (n < 20000L) 0L
+          else simHashCandidatesRaw(codes, maxHamming, rSel)._1)
+      else if (n < 20000L || degenerate) (1, 0L)
+      else {
+        val (v1, i1) = simHashCandidatesRaw(codes, maxHamming, 1)
+        val (v2, i2) = simHashCandidatesRaw(codes, maxHamming, 2)
+        if (v2 + comboInputWeight * i2 < v1 + comboInputWeight * i1) (2, v2)
+        else (1, v1)
+      }
+    // Join parallelism from the MEASURED volume (the g2 lesson): the combo
+    // join has few distinct keys with near-quadratic per-key output, so at
+    // the session default each task streams billions of join rows and the
+    // wall clock is one straggler (measured at sf10: 624 s at 32
+    // partitions → 134 s at 512, identical plan). ~35M join rows per task
+    // keeps tasks second-scale at any corpus size; the single hottest KEY
+    // remains un-split — on a zipf-coded corpus the next lever is salting
+    // the probe side, the standard skew escape.
+    val parts = math.max(
+      codes.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      math.min(2048L, vol / 35000000L).toInt)
     val m = maxHamming + r
     val bounds = blockBounds(m)
     def bmask(b: Int): Long =
@@ -259,8 +286,18 @@ object Dedup {
       s"(CASE WHEN ((ha ^ hb) & ${bmask(j)}L) = 0 THEN ${1L << j}L ELSE 0L END)"
     }.mkString(" + ")
     val rows = comboRows(codes, maxHamming, r)
+    // SHUFFLE_HASH, not sort-merge: the decomposition has few distinct
+    // keys (C(m,r)·2^keyBits), so every key group holds thousands of rows
+    // — far past SMJ's 2048-row in-memory group buffer, after which each
+    // probe row re-iterates the group through a spillable sorter-backed
+    // array (measured at sf10: the identical join ran 2–5× slower under
+    // SMJ than as a hash join). A hash relation keeps the group in memory
+    // per partition (inputRows/parts ≈ 1M rows ≈ tens of MB), and neither
+    // corpus-sized side could ever broadcast at 100 TB.
     rows.toDF("a_id", "ha", "cmb", "bv", "md")
-      .join(rows.toDF("b_id", "hb", "cmb", "bv", "md2").drop("md2"),
+      .repartition(parts, col("cmb"), col("bv"))
+      .join(rows.toDF("b_id", "hb", "cmb", "bv", "md2").drop("md2")
+        .repartition(parts, col("cmb"), col("bv")).hint("SHUFFLE_HASH"),
         Seq("cmb", "bv"))
       .filter(col("a_id") < col("b_id") &&
         bit_count(expr("ha ^ hb")).cast("bigint") <= maxHamming &&
@@ -305,57 +342,52 @@ object Dedup {
         col("s.cmb").as("cmb"), col("s.bv").as("bv"), col("s.md").as("md"))
   }
 
-  /** Join-input row weight in the [[chooseSimHashR]] cost model: a
-    * decomposed row is exploded, shuffle-written, shuffle-read, and hashed
-    * into (or probed against) the join relation on both sides — ~4 touches —
-    * while a candidate row costs one codegen'd xor/popcount/filter pass. */
-  private val comboInputWeight = 4L
-
-  /** Measure — never guess — which combination order is cheaper for THIS
-    * corpus: the exact candidate volume Σ_buckets C(cnt, 2) of each
-    * decomposition comes from one aggregation over its (cmb, bv) table
-    * (n·m rows for r=1, n·C(m,2) for r=2 — noise next to the join they
-    * steer), plus the decomposition's own row count weighted by
-    * [[comboInputWeight]]. On uniform codes r=2 wins once n ≫ 2^blockBits
-    * (collisions shrink ~2^blockBits-fold, input grows ~(m−1)/2-fold); on
-    * the sf10 corpus it cuts d4's join rows 3.1× (35.6B → 11.5B measured)
-    * — but a corpus whose bucket histogram is already sparse keeps the
-    * narrower r=1 decomposition. Deterministic: exact integer counts of
-    * the data. Known bias: the model cannot price the FIRST-MATCH work,
-    * which runs on the Hamming-surviving pairs × their combo multiplicity
-    * (~2.5× higher at r=2) — unknowable without running the join. Where
+  /** Join-input row weight in the r-choice cost model: a decomposed row is
+    * exploded, shuffle-written, shuffle-read, and hashed into (or probed
+    * against) the join relation on both sides — ~4 touches — while a
+    * candidate row costs one codegen'd xor/popcount/filter pass.
+    *
+    * The model itself (inline in [[simHashPairsR]]): measure — never
+    * guess — which combination order is cheaper for THIS corpus. The exact
+    * candidate volume Σ_buckets C(cnt, 2) of each decomposition comes from
+    * one aggregation over its (cmb, bv) table ([[simHashCandidatesRaw]] —
+    * n·m rows for r=1, n·C(m,2) for r=2, noise next to the join they
+    * steer), plus the decomposition's own row count at this weight. On
+    * uniform codes r=2 wins once n ≫ 2^blockBits (collisions shrink
+    * ~2^blockBits-fold, input grows ~(m−1)/2-fold); on the sf10 corpus it
+    * cuts d4's join rows 3.1× (35.6B → 11.5B measured) — but a corpus
+    * whose bucket histogram is already sparse keeps the narrower r=1
+    * decomposition. Deterministic: exact integer counts of the data.
+    * Known bias: the model cannot price the FIRST-MATCH work, which runs
+    * on the Hamming-surviving pairs × their combo multiplicity (~2.5×
+    * higher at r=2) — unknowable without running the join. Where
     * survivors rival join rows (dense near-dup corpora at small n) the
-    * choice can cost ~20% (measured at sf1: r=2 18.7 s vs r=1 15.2 s);
-    * where the join stream dominates it is decisively right (sf10:
-    * survivors-stage 296 s vs 594 s). */
-  def chooseSimHashR(codes: DataFrame, maxHamming: Int): Int = {
-    // r=2 needs at least 2-bit blocks to beat r=1's collision rate; very
-    // loose thresholds (m approaching the bit width) degenerate to 0/1-bit
-    // blocks where wider keys buy nothing — skip the measurement entirely
-    if (simHashBits / (maxHamming + 2) < 2) return 1
-    // The model's own fixed cost (two aggregations over the candidate
-    // decompositions) only amortizes when the join it steers is large:
-    // below ~20k docs even the worst-case r=1 join is a few 10⁷ rows and
-    // the measured overhead exceeds any possible win (at sf0.1 it DOUBLED
-    // d4's wall time), so take the narrow classic decomposition directly.
-    // The count also pre-materializes the shared codes cache for the join.
-    if (codes.count() < 20000L) return 1
-    def cost(r: Int): Long = {
-      val decomposed = comboRows(codes, maxHamming, r)
-      val agg = decomposed.groupBy("cmb", "bv").agg(count(lit(1)).as("c"))
-        .agg(sum(expr("c * (c - 1) DIV 2")).as("vol"), sum(col("c")).as("rows"))
-        .head()
-      agg.getLong(0) + comboInputWeight * agg.getLong(1)
-    }
-    if (cost(2) < cost(1)) 2 else 1
-  }
+    * choice can cost ~20%; where the join stream dominates it is
+    * decisively right. */
+  private val comboInputWeight = 4L
 
   /** The combo join + inline Hamming verify WITHOUT the survivor dedup —
     * Profile uses it to separate join cost from distinct cost. */
   def simHashSurvivorsRaw(codes: DataFrame, maxHamming: Int, r: Int): DataFrame = {
     val rows = comboRows(codes, maxHamming, r).drop("md")
     rows.toDF("a_id", "ha", "cmb", "bv")
-      .join(rows.toDF("b_id", "hb", "cmb", "bv"), Seq("cmb", "bv"))
+      .join(rows.toDF("b_id", "hb", "cmb", "bv").hint("SHUFFLE_HASH"),
+        Seq("cmb", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** [[simHashSurvivorsRaw]] with explicit join parallelism — Profile's
+    * partitioning experiment. */
+  def simHashSurvivorsParts(codes: DataFrame, maxHamming: Int, r: Int,
+                            parts: Int): DataFrame = {
+    val rows = comboRows(codes, maxHamming, r).drop("md")
+    rows.toDF("a_id", "ha", "cmb", "bv").repartition(parts, col("cmb"), col("bv"))
+      .join(rows.toDF("b_id", "hb", "cmb", "bv")
+        .repartition(parts, col("cmb"), col("bv")).hint("SHUFFLE_HASH"),
+        Seq("cmb", "bv"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(expr("ha ^ hb")).cast("bigint"))
       .filter(col("hamming") <= maxHamming)
@@ -363,7 +395,7 @@ object Dedup {
   }
 
   /** (joinRows, inputRows) of the r-decomposition without running the join —
-    * the exact quantities [[chooseSimHashR]] weighs, exposed for Profile's
+    * the exact quantities the r-choice cost model weighs, exposed for Profile's
     * volume report. */
   def simHashCandidatesRaw(codes: DataFrame, maxHamming: Int, r: Int): (Long, Long) = {
     val agg = comboRows(codes, maxHamming, r).groupBy("cmb", "bv")
