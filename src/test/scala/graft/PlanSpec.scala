@@ -301,13 +301,41 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup candidate/verify joins stay shuffle joins (no corpus-side hint)") {
-    for (n <- Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
-                  "d4b_simhash_tight", "d6_clean_corpus",
+    for (n <- Seq("d2_ngram_jaccard", "d2b_jaccard_prefix", "d3_minhash_lsh",
+                  "d4_simhash", "d4b_simhash_tight", "d6_clean_corpus",
                   "d10_incremental_neardup")) {
       val p = planNoAutoBroadcast(n)
       assert(!p.contains("BroadcastExchange"),
         s"$n: corpus-scaled broadcast hint crept back in:\n$p")
     }
+    // the SimHash combo self-join's declared strategy is a shuffled HASH
+    // join (sort-merge buffers every >2048-row key group through a
+    // spillable sorter-backed array — measured 4.7× slower at sf10), and
+    // its sides carry the volume-derived repartition
+    for (n <- Seq("d4_simhash", "d4b_simhash_tight")) {
+      val p = planNoAutoBroadcast(n)
+      assert(p.contains("ShuffledHashJoin"),
+        s"$n: combo join must be a shuffled hash join:\n$p")
+    }
+  }
+
+  test("two-level semdedup broadcasts only bounded anchor frames") {
+    // d9b's allowed broadcasts are all BOUNDED BY CONSTRUCTION: the
+    // ncoarse-row coarse table feeds two cross joins (fine-group build +
+    // corpus pass 1) and the nlist-row fine-group map feeds one hash join
+    // (corpus pass 2). The accounting identity bx = cross + hash proves no
+    // other join got a broadcast: the corpus-scaled frames (assignment,
+    // members, the within-cell pair self-join) must all shuffle.
+    val p = planNoAutoBroadcast("d9b_semdedup_2level")
+    val bx = "BroadcastExchange".r.findAllIn(p).size
+    val cross = "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size
+    val hash = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(cross >= 2 && hash >= 1 && bx === cross + hash,
+      s"d9b: broadcast beyond coarse/fine-group frames " +
+        s"($bx vs $cross cross + $hash hash):\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"d9b: corpus-side joins must shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"d9b:\n$p")
   }
 
   test("semdedup broadcasts only the nlist-row anchors; cell joins shuffle") {
