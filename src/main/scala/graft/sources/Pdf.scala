@@ -203,8 +203,24 @@ object Pdf {
                 case _ => -1
               }
               val dataEnd =
-                if (directLen >= 0) streamAt + directLen
-                else s.indexOf("endstream", streamAt)
+                if (directLen >= 0) {
+                  // Corrupt-/Length guard: a valid direct length puts the
+                  // `endstream` keyword within a few EOL/whitespace bytes
+                  // of streamAt+len. An oversized length (corrupt or lying
+                  // writer) would otherwise push `covered` past later
+                  // legitimate objects, silently dropping them from the
+                  // parse. Distrust the length when it overruns the file
+                  // or isn't followed closely by `endstream`, and fall
+                  // back to the nearest `endstream` after streamAt.
+                  val de = streamAt.toLong + directLen.toLong
+                  val plausible = de >= streamAt && de <= s.length - 9 && {
+                    val es = s.indexOf("endstream", de.toInt)
+                    es >= 0 && es - de <= 8 &&
+                      s.substring(de.toInt, es).forall(c =>
+                        c == '\r' || c == '\n' || c == ' ' || c == '\t')
+                  }
+                  if (plausible) de.toInt else s.indexOf("endstream", streamAt)
+                } else s.indexOf("endstream", streamAt)
               val esIdx = s.indexOf("endstream", math.max(streamAt, dataEnd))
               covered = if (esIdx >= 0) esIdx + "endstream".length
                         else if (dataEnd >= 0) dataEnd else m.end

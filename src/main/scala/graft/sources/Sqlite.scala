@@ -87,6 +87,24 @@ object Sqlite {
         s"$path is in WAL mode with a non-empty ${path}-wal sidecar: the " +
           "main file may be stale. Checkpoint it first " +
           "(`PRAGMA wal_checkpoint(TRUNCATE)` or close all writers) and retry.")
+    } else {
+      // Rollback-journal twin of the WAL gate: a HOT `-journal` sidecar
+      // (left by a crash mid-transaction) means the main file may contain
+      // uncommitted/torn pages that a recovering SQLite would roll back.
+      // Hot = starts with the journal magic; a zero-length or zeroed-header
+      // journal is cold and the main file is consistent.
+      val jp = java.nio.file.Paths.get(path + "-journal")
+      if (java.nio.file.Files.exists(jp) && java.nio.file.Files.size(jp) >= 8) {
+        val hdr = new Array[Byte](8)
+        val in = java.nio.file.Files.newInputStream(jp)
+        try { var r = 0; while (r < 8) { val n = in.read(hdr, r, 8 - r); if (n < 0) r = 8 else r += n } }
+        finally in.close()
+        val magicJ = Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7).map(_.toByte)
+        require(!hdr.sameElements(magicJ),
+          s"$path has a hot rollback journal (${path}-journal): the main " +
+            "file may contain uncommitted pages from an interrupted " +
+            "transaction. Open it once with SQLite to recover, then retry.")
+      }
     }
     Db(bytes, ps, ps - reserved)
   }
@@ -257,9 +275,13 @@ object Sqlite {
         val close2 = if (open2 >= 0) p.indexOf(')', open2) else -1
         if (open2 >= 0 && close2 > open2) {
           val inner = p.substring(open2 + 1, close2).split(",").map(_.trim)
-          // single-column, no DESC → rowid-alias candidate
-          if (inner.length == 1 &&
-            !inner(0).toUpperCase.split("\\s+").contains("DESC"))
+          // Single-column → rowid-alias candidate. Note the documented
+          // SQLite quirk (sqlite.org/lang_createtable.html#rowid): DESC
+          // disqualifies only the COLUMN-level form (`x INTEGER PRIMARY
+          // KEY DESC`); the table-level `PRIMARY KEY(x DESC)` on an exact
+          // INTEGER column STILL aliases the rowid, so ASC/DESC are both
+          // accepted here.
+          if (inner.length == 1)
             Some(dequote(inner(0).split("\\s+").head))
           else None
         } else None
@@ -292,8 +314,10 @@ object Sqlite {
         // SQLite aliases the rowid ONLY when the declared type is the
         // exact name INTEGER (case-insensitive) — `INT PRIMARY KEY` or
         // `BIGINT PRIMARY KEY` store real values in the record. The PK
-        // may be declared at column level (`INTEGER PRIMARY KEY`, except
-        // the DESC form) or at table level (`PRIMARY KEY(col)`).
+        // may be declared at column level (`INTEGER PRIMARY KEY`, where
+        // DESC disqualifies the alias) or at table level
+        // (`PRIMARY KEY(col [ASC|DESC])`, where DESC does NOT — the
+        // documented asymmetry at sqlite.org/lang_createtable.html#rowid).
         val isExactInteger = declared == "INTEGER"
         val colPk = restU.contains("PRIMARY KEY") &&
           !restU.replaceAll("\\s+", " ").contains("PRIMARY KEY DESC")

@@ -192,6 +192,26 @@ class PdfSpec extends SparkSpec {
     assert(words === Pdf.extractWords(base))
   }
 
+  test("corrupt oversized /Length cannot swallow later objects") {
+    // A lying direct /Length used to push the covered-until cursor (via
+    // the next `endstream` PAST dataEnd) beyond later legitimate objects,
+    // silently dropping them. Two corruption shapes: a length overrunning
+    // the file, and a length landing mid-file just before a LATER object's
+    // real `endstream` (which would swallow everything up to it). Both
+    // must fall back to the decoy's own nearest `endstream` and leave the
+    // real objects intact.
+    val base = mkPdf(Seq(statementPage1), compress = false)
+    val s = new String(base, "ISO-8859-1")
+    val idx = s.indexOf("1 0 obj")
+    for (badLen <- Seq(999999999, s.length / 2)) {
+      val decoy = s"88 0 obj\n<< /Length $badLen >>\nstream\nDECOYDATA\nendstream\nendobj\n"
+      val tampered = (s.substring(0, idx) + decoy + s.substring(idx)).getBytes("ISO-8859-1")
+      val words = Pdf.extractWords(tampered)
+      assert(words.nonEmpty)
+      assert(words === Pdf.extractWords(base), s"badLen=$badLen")
+    }
+  }
+
   test("malformed input is contained: garbage bytes yield an empty iterator") {
     val out = Pdf.wordExtractor("junk.pdf", Array[Byte](1, 2, 3, 4))
     assert(out.isEmpty)

@@ -84,6 +84,33 @@ class SqliteSpec extends SparkSpec {
     assert(v === Seq("row10", "row20", "row30"))
   }
 
+  test("rowid alias DESC asymmetry: table-level PRIMARY KEY(id DESC) aliases, column-level DESC does not") {
+    // sqlite.org/lang_createtable.html#rowid: DESC disqualifies ONLY the
+    // column-level form. Fixture asserts stock SQLite agrees
+    // (tools/make_sqlite_fixture3.py): t_tablepk_desc stores NULL in the
+    // record (rowid=id); t_colpk_desc stores real values with rowids 1/2/3.
+    val fx = "src/test/resources/fixtures/pk_desc.db"
+    def ids(t: String): Seq[Long] =
+      Sqlite.readTable(spark, fx, t).select("id").as[Long].collect().toSeq.sorted
+    assert(ids("t_tablepk_desc") === Seq(10L, 20L, 30L)) // alias despite DESC
+    assert(ids("t_colpk_desc") === Seq(10L, 20L, 30L))   // record values, not rowids
+    val v = Sqlite.readTable(spark, fx, "t_tablepk_desc").orderBy("id")
+      .select("v").as[String].collect().toSeq
+    assert(v === Seq("row10", "row20", "row30"))
+  }
+
+  test("rollback journal: hot -journal sidecar is refused, cold (empty) journal reads fine") {
+    // a hot journal means the main file may hold uncommitted/torn pages —
+    // the same stale/dirty failure class the WAL gate refuses
+    val hotErr = intercept[IllegalArgumentException] {
+      Sqlite.tables("src/test/resources/fixtures/journal_hot.db")
+    }
+    assert(hotErr.getMessage.contains("hot rollback journal"))
+    val cold = Sqlite.readTable(spark,
+      "src/test/resources/fixtures/journal_cold.db", "t")
+    assert(cold.select("v").as[String].collect().toSeq === Seq("committed"))
+  }
+
   test("WAL mode: non-empty -wal sidecar is refused, checkpointed WAL db reads fine") {
     // wal_pending.db's committed rows (even the CREATE TABLE) live only in
     // the sidecar — reading the main file alone would serve a stale
