@@ -141,13 +141,45 @@ object SemDedup {
     *
     * The price is the standard hierarchical-recall trade (a vector whose
     * best fine anchor sits in another coarse group lands in a near-optimal
-    * cell) plus the binomial cell-size tail. Everything stays a pure
+    * cell) plus the binomial cell-size tail. MEASURED, not asserted
+    * (SemDedupSpec): on the synthetic near-isotropic test corpus the
+    * two-level dropped set recovers ~0.51–0.57 of the flat same-anchor
+    * dropped set — random directions are the worst case for a coarse
+    * quantizer (the coarse argmax carries little information), so this is
+    * the trade's floor; clustered real embeddings sit higher. Everything
+    * stays a pure
     * function of the data — thresholds are exact integer/IEEE arithmetic
     * both engines replay — so the whole pipeline is DuckDB-oracle-gated
     * like d9. */
+  /** Test-only control for the hierarchical-recall trade: the SAME
+    * hash-threshold anchors as [[semDedupDropsTwoLevel]] but FLAT
+    * (exhaustive n·nlist) assignment. Comparing its dropped set against
+    * the two-level one isolates exactly what the hierarchy loses —
+    * unlike a d9-vs-d9b comparison, where a different anchor salt
+    * dominates the difference. Never a driver query: O(n·nlist) dots. */
+  private[dedup] def semDedupDropsFlatThreshold(emb: DataFrame, docs: DataFrame,
+                                                n: Long, tau: Double,
+                                                nlistOverride: Long = 0L): DataFrame = {
+    val nlist = if (nlistOverride > 0) nlistOverride else math.max(16L, n / 256L)
+    val scale = (1L << 60).toDouble / n.toDouble
+    val tAnchor = math.floor(scale * nlist).toLong
+    val ak = Dedup.md5Hash60(concat(lit("semdedup2|"), col("vec_id").cast("string")))
+    val anchors = emb
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"), ak.as("akk"))
+      .filter(col("akk") < tAnchor).select("cell", "ce")
+    val assign = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(anchors))
+      .select(col("vec_id"), col("cell"),
+        Knn.dotFold(col("embedding"), col("ce")).as("s"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("s"), (-col("cell")).as("nc"))).as("cell"))
+      .withColumn("sub", lit(0L))
+    dropsFromAssign(assign, emb, docs, tau)
+  }
+
   def semDedupDropsTwoLevel(emb: DataFrame, docs: DataFrame, n: Long,
-                            tau: Double): DataFrame = {
-    val nlist = math.max(16L, n / 256L)
+                            tau: Double, nlistOverride: Long = 0L): DataFrame = {
+    val nlist = if (nlistOverride > 0) nlistOverride else math.max(16L, n / 256L)
     val ncoarse = math.max(2L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
     // 2⁶⁰/n first, then ×count: the product can exceed 2⁵³, where doubles
     // go granular — IEEE gives both engines the same granular value, but
@@ -181,9 +213,15 @@ object SemDedup {
       .agg(max_by(col("g"), struct(col("cd"), (-col("g")).as("ng"))).as("g"),
         first(col("embedding")).as("embedding"))
     // corpus pass 2: nearest fine anchor WITHIN the assigned group
-    // (n·nlist/ncoarse dots on average)
+    // (n·nlist/ncoarse dots on average). fineGroups is nlist = n/256 rows
+    // each carrying a full embedding — LINEAR in the corpus, so it must
+    // never broadcast (at 10⁹ vectors it would be a multi-GB driver
+    // frame). A shuffled hash join on g keeps it distributed: the build
+    // side per g-partition is one group's fine anchors (≈ nlist/ncoarse ≈
+    // 2√nlist rows — bounded), the stream side is that group's corpus
+    // slice, and parallelism is ncoarse ≈ √(n/256) tasks, growing with n.
     val assign = coarseAssign
-      .join(broadcast(fineGroups.select(col("g"), col("cell"), col("ce"))), "g")
+      .join(fineGroups.select(col("g"), col("cell"), col("ce")).hint("shuffle_hash"), "g")
       .select(col("vec_id"), col("cell"),
         Knn.dotFold(col("embedding"), col("ce")).as("fd"))
       .groupBy("vec_id")

@@ -320,21 +320,23 @@ class PlanSpec extends SparkSpec {
   }
 
   test("two-level semdedup broadcasts only bounded anchor frames") {
-    // d9b's allowed broadcasts are all BOUNDED BY CONSTRUCTION: the
-    // ncoarse-row coarse table feeds two cross joins (fine-group build +
-    // corpus pass 1) and the nlist-row fine-group map feeds one hash join
-    // (corpus pass 2). The accounting identity bx = cross + hash proves no
-    // other join got a broadcast: the corpus-scaled frames (assignment,
-    // members, the within-cell pair self-join) must all shuffle.
+    // d9b's allowed broadcasts are all BOUNDED BY CONSTRUCTION: only the
+    // ncoarse ≈ √(n/256)-row coarse table broadcasts (fine-group build +
+    // corpus pass 1 cross joins). The nlist = n/256-row fine-group map is
+    // LINEAR in the corpus, so corpus pass 2 must be a SHUFFLED hash join
+    // on g, never a broadcast (round-11 ADVICE fix). The accounting
+    // identity bx = cross proves no other join got a broadcast: the
+    // corpus-scaled frames (assignment, members, the within-cell pair
+    // self-join) must all shuffle.
     val p = planNoAutoBroadcast("d9b_semdedup_2level")
     val bx = "BroadcastExchange".r.findAllIn(p).size
     val cross = "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size
-    val hash = "BroadcastHashJoin".r.findAllIn(p).size
-    assert(cross >= 2 && hash >= 1 && bx === cross + hash,
-      s"d9b: broadcast beyond coarse/fine-group frames " +
-        s"($bx vs $cross cross + $hash hash):\n$p")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-      s"d9b: corpus-side joins must shuffle:\n$p")
+    assert(cross >= 2 && bx === cross,
+      s"d9b: broadcast beyond the coarse cross joins ($bx vs $cross):\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"d9b: the n/256-row fine-group map must not broadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"d9b: corpus pass 2 must be a shuffled hash join on g:\n$p")
     assert(!p.contains("CartesianProduct"), s"d9b:\n$p")
   }
 
