@@ -441,6 +441,63 @@ object Joins {
       .limit(100)
   }
 
+  /** Q13-shape outer-join histogram: orders per customer INCLUDING the
+    * customers with none, then the distribution of those counts — the one
+    * classic shape whose aggregate is over a join-MISS count (the zero
+    * bucket exists only because the join is LEFT OUTER). The ON-clause
+    * filter (count only urgent orders) is what makes the outer join
+    * non-degenerate: a customer whose orders are all non-urgent lands in
+    * c_count = 0, which a WHERE-clause filter would silently delete.
+    *
+    * Plan: orders pre-aggregates per o_custkey BEFORE the outer join —
+    * map-side partial counts mean the custkey exchange carries one row
+    * per customer, not one per order (at 100 TB: the difference between
+    * shuffling 1.5 B aggregate rows and 150 B order rows); the outer join
+    * then reuses that partitioning against customer, and the histogram
+    * aggregate is |distinct counts| rows. Pre-aggregation commutes with
+    * the LEFT OUTER here because the join key IS the groupBy key. */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val perCust = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    cust.join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q17-shape correlated-average decorrelation: revenue lost by only
+    * shipping small orders — lineitems of one brand's parts whose quantity
+    * is under 20% of that part's average quantity. The spec form re-scans
+    * lineitem per outer row (the oracle runs exactly that, twice-nested);
+    * the surviving plan computes each part's (sum, count) ONCE and decides
+    * the predicate with exact integer arithmetic:
+    *   qty < 0.2 · (sum/cnt)  ⟺  5·qty·cnt < sum   (quantities integral)
+    * so no float division can disagree between engines.
+    *
+    * Plan: the brand key set broadcasts and prunes the fact scan (suite
+    * convention — part is a dim, q9-style), then the per-part (sum, count)
+    * attaches as a WINDOW over l_partkey — the j03 scalar-attach shape:
+    * ONE fact exchange, no join-back at all (the textbook agg+join rewrite
+    * shuffles lineitem twice here, because column pruning specializes the
+    * two exchange subtrees and defeats static exchange reuse); the final
+    * aggregate is one row. Naive execution is a per-row re-scan. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#23").select("p_partkey")
+    val w = Window.partitionBy("l_partkey")
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .withColumn("sum_q", sum(col("qty")).over(w))
+      .withColumn("cnt_q", count(lit(1)).over(w))
+      .filter(col("qty") * col("cnt_q") * 5 < col("sum_q"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
   /** J10 (extension): SCD2 point-in-time lookup — the consumption side of
     * the [[Aggregates.scd2]] dimension build: each purchase event is
     * enriched with the dimension version valid AT its event time. Because
@@ -620,7 +677,9 @@ object Joins {
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q9_profit_by_nation" -> (q9ProfitByNation _),
     "q18_big_orders" -> (q18BigOrders _),
-    "q21_waiting_suppliers" -> (q21WaitingSuppliers _)
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
+    "q13_cust_dist" -> (q13CustDist _),
+    "q17_small_qty" -> (q17SmallQty _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -843,6 +902,29 @@ object Joins {
         |GROUP BY n_name, s_name
         |ORDER BY numwait DESC, n_name, s_name
         |LIMIT 100""".stripMargin,
+    // the literal Q13 form: ON-clause filter inside the LEFT OUTER join —
+    // the zero bucket comes from join misses, which a WHERE would delete
+    "q13_cust_dist" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // the literal correlated form: the per-part average re-derived per
+    // outer row; the 0.2·avg predicate spelled in exact integer arithmetic
+    // (5·qty·cnt < sum) so no float division can disagree between engines
+    "q17_small_qty" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand = 'Brand#23'
+        |  AND 5 * CAST(l_quantity AS BIGINT) *
+        |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |    < (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem l2
+        |       WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "j01_exact_enrich" ->
       """SELECT p_brand, COUNT(*) AS n_items,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue

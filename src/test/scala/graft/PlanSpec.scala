@@ -399,6 +399,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q13 pre-aggregates orders below the outer join; urgency filter pushes to the scan") {
+    val p = planNoAutoBroadcast("q13_cust_dist")
+    // the custkey exchange must carry per-customer partial counts, not raw
+    // orders: the orders-side HashAggregate sits BELOW the LeftOuter join
+    val joinAt = p.indexOf("LeftOuter")
+    assert(joinAt >= 0, p)
+    assert(p.indexOf("HashAggregate", joinAt) >= 0,
+      s"q13: orders must pre-aggregate under the outer join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)"),
+      s"q13: urgency filter must reach the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q17 decorrelates the per-part average onto one lineitem exchange") {
+    val p = planNoAutoBroadcast("q17_small_qty")
+    // the brand key set broadcasts and prunes the fact; the per-part
+    // (sum, count) attaches as a window over l_partkey — j03-style scalar
+    // attach, so exactly ONE fact exchange and zero join-backs (the
+    // textbook agg+join rewrite plans two exchanges: column pruning
+    // specializes the subtrees and defeats static exchange reuse)
+    assert(p.contains("BroadcastHashJoin"), s"q17: brand keys must broadcast:\n$p")
+    assert(p.contains("Window"), s"q17: per-part stats must be a window:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"q17: one l_partkey exchange only:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).size === 0,
+      s"q17: no join-back:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q21 decorrelates both EXISTS branches into one lineitem exchange") {
     val p = planNoAutoBroadcast("q21_waiting_suppliers")
     // exactly: lineitem's one l_orderkey repartition (both rollups and the
