@@ -15,6 +15,7 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("g2")) { profileG2(dir); return }
+    if (args.headOption.contains("g2b")) { profileG2Current(dir); return }
     if (args.headOption.contains("g1b")) { profileG1b(dir); return }
     if (args.headOption.contains("d4vol")) { profileD4Volumes(dir); return }
     if (args.headOption.contains("d4r")) { profileD4R(dir); return }
@@ -183,6 +184,97 @@ object Profile {
   }
 
   /** Stage-by-stage timing of g2_triangles at bench parallelism. */
+  /** Stage timing of the CURRENT g2 implementation (round-11): where do
+    * the seconds go at sf0.1 after the probe-skip change? */
+  def profileG2Current(dir: String): Unit = {
+    val spark = GraftSession()
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.count() // warm
+    for (it <- 1 to 3) {
+    graft.util.Caches.releaseAll()
+    var tPrev = System.nanoTime()
+    def mark(name: String): Unit = {
+      val now = System.nanoTime()
+      println(f"[$it] ${(now - tPrev) / 1e9}%8.2fs  $name")
+      tPrev = now
+    }
+    val baskets = li.groupBy("ok").agg(sort_array(collect_set("pk")).as("ps"))
+    val edges = baskets
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+      )).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct()
+    val (e, mEdges) = graft.util.Caches.materialAdaptive(edges)
+    mark(s"materialAdaptive(edges) done, m=$mEdges")
+    val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val key = (d: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =>
+      d * lit(4294967296L) + id
+    val oriented = graft.util.Caches.materialKnown(e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(key(col("du"), col("u")) < key(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            key(col("dv"), col("v")).as("tk")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"),
+          key(col("du"), col("u")).as("tk"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.tk").as("tk")), mEdges)
+    mark("oriented declared (lazy)")
+    val pack = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      a * lit(4294967296L) + b
+    val packedE = oriented.select(pack(col("s"), col("t")).as("ck"))
+    val bloom = packedE.stat.bloomFilter("ck",
+      math.max(1L, math.min(mEdges, 100000000L)), 0.01)
+    mark("bloom built (materializes oriented)")
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightClose = (ck: org.apache.spark.sql.Column) =>
+      graft.functions.GraftFunctions.bloom_probe(ck, bloomBc)
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val closeParts = math.max(defaultParts, (mEdges / 300000L).toInt + 1)
+    def close(wedges: org.apache.spark.sql.DataFrame): Long = {
+      val closed = wedges.filter(mightClose(col("ck")))
+        .repartition(closeParts, col("ck"))
+        .join(packedE.repartition(closeParts, col("ck")).hint("SHUFFLE_HASH"), "ck")
+      closed
+        .select(explode(array(col("s"),
+          expr("ck div 4294967296"), pmod(col("ck"), lit(4294967296L)))).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+        .count()
+    }
+    // A: self-join wedges (round-10 shape)
+    val w1 = oriented.select(col("s"), col("t").as("t1"), col("tk").as("k1"))
+      .repartition(closeParts, col("s"))
+    val w2 = oriented.select(col("s"), col("t").as("t2"), col("tk").as("k2"))
+      .repartition(closeParts, col("s"))
+    val wedgesA = w1.join(w2, Seq("s")).filter(col("k1") < col("k2"))
+      .select(col("s"), pack(col("t1"), col("t2")).as("ck"))
+    val nA = close(wedgesA)
+    mark(s"A self-join wedges ($nA parts)")
+    // B: adjacency in-array wedges (round-11 shape)
+    val adjO = oriented
+      .repartition(closeParts, col("s"))
+      .groupBy("s")
+      .agg(sort_array(collect_list(struct(col("tk"), col("t")))).as("ns"))
+    val wedgesB = adjO
+      .select(col("s"), explode(expr(
+        "flatten(transform(ns, (x, i) -> " +
+          "transform(slice(ns, i + 2, size(ns)), y -> struct(x.t AS t1, y.t AS t2))))"
+      )).as("w"))
+      .select(col("s"), pack(col("w.t1"), col("w.t2")).as("ck"))
+    val nB = close(wedgesB)
+    mark(s"B adjacency wedges ($nB parts)")
+    val nA2 = close(wedgesA)
+    mark(s"A again ($nA2 parts)")
+    val nB2 = close(wedgesB)
+    mark(s"B again ($nB2 parts)")
+    }
+    spark.stop()
+  }
+
   def profileG2(dir: String): Unit = {
     val spark = GraftSession()
     val li = Tables.lineitem(spark, dir)

