@@ -230,6 +230,37 @@ object SemDedup {
     dropsFromAssign(assign, emb, docs, tau)
   }
 
+  /** Dispatch threshold for [[semDedupAuto]]. Measured (round 11, this
+    * box, targeted bench at each tier; n = embeddings cardinality):
+    *   n = 500  (sf0.001): d9 0.99 s vs d9b 1.14 s  (flat wins: fewer jobs)
+    *   n = 500  (sf0.01):  d9 1.58 s vs d9b 1.38 s  (wash — box noise)
+    *   n = 2000 (sf0.1):   d9 2.27 s vs d9b 1.86 s
+    *   n = 200k (sf10):    d9 55.9 s vs d9b 10.0 s  (r10 campaign)
+    * At n = 500 the two are within noise of each other; by 2000 the
+    * two-level path wins clearly and the gap then grows as n^0.5. The
+    * cutover (1024) sits between those tiers. The asymmetry is
+    * deliberate: past the cutover d9's Σ|cell|² ≈ n^1.5 pair volume is
+    * the documented scale-killer, while below it the flat variant is
+    * cheaper (one assignment pass, no hierarchy build) and finds more
+    * pairs (√n cells are larger than d9b's floor cells). */
+  val semDedupFlatMaxN = 1024L
+
+  /** d9 family auto-dispatch: ONE public entry point routing on the cheap
+    * deciding statistic (corpus cardinality) — the round-11 ask that
+    * retires d9's standalone `weak` scale grade: a user calling the family
+    * entry can no longer run the n^1.5 plan on a large corpus. The
+    * explicit variants remain for the oracle gate and for callers who
+    * want the flat baseline's richer within-cell coverage regardless. */
+  def semDedupAuto(emb: DataFrame, docs: DataFrame, n: Long,
+                   tau: Double): DataFrame =
+    if (chooseSemDedup(n) == "flat")
+      semDedupDrops(emb, docs,
+        math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt), tau)
+    else semDedupDropsTwoLevel(emb, docs, n, tau)
+
+  private[dedup] def chooseSemDedup(n: Long): String =
+    if (n <= semDedupFlatMaxN) "flat" else "two-level"
+
   def d9SemDedup(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.cachedCount(spark, dir, "embeddings")
     val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -243,15 +274,34 @@ object SemDedup {
       Tables.documents(spark, dir), n, tau = 0.3).orderBy("doc_id")
   }
 
+  /** d9c: the dispatching entry as a driver query. The oracle gate runs at
+    * sf0.01, whose embeddings table is 500 rows (same as sf0.001 — only
+    * sf0.1 grows it to 2000), so the deterministic route there is the
+    * FLAT path and the oracle is d9's SQL verbatim; SemDedupSpec proves
+    * the two-level route fires above the cutover. */
+  def d9cSemDedupAuto(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.cachedCount(spark, dir, "embeddings")
+    semDedupAuto(Tables.embeddings(spark, dir), Tables.documents(spark, dir),
+      n, tau = 0.3).orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_semdedup" -> (d9SemDedup _),
-    "d9b_semdedup_2level" -> (d9bSemDedup2Level _)
+    "d9b_semdedup_2level" -> (d9bSemDedup2Level _),
+    "d9c_semdedup_auto" -> (d9cSemDedupAuto _)
   )
 
   private val dotSql = Knn.dotSql
 
   def oracle: Map[String, String] = Map(
-    "d9_semdedup" ->
+    "d9_semdedup" -> d9Sql,
+    // dispatch at the gate's corpus (500 embeddings at sf0.01) routes to
+    // the flat path — the auto query's oracle IS d9's
+    "d9c_semdedup_auto" -> d9Sql,
+    "d9b_semdedup_2level" -> d9bSql
+  )
+
+  private lazy val d9Sql: String =
       s"""WITH params AS (
         |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist
         |  FROM embeddings),
@@ -299,8 +349,9 @@ object SemDedup {
         |    row_number() OVER (PARTITION BY dropped ORDER BY cos DESC, kept ASC) AS rk
         |  FROM beat)
         |SELECT dropped AS doc_id, kept AS kept_id, cell, cos
-        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
-    "d9b_semdedup_2level" ->
+        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  private lazy val d9bSql: String =
       s"""WITH params AS (
         |  SELECT COUNT(*) AS n,
         |    GREATEST(16, COUNT(*) // 256) AS nlist,
@@ -372,5 +423,4 @@ object SemDedup {
         |  FROM beat)
         |SELECT dropped AS doc_id, kept AS kept_id, cell, cos
         |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
-  )
 }

@@ -396,10 +396,35 @@ object Ivf {
   def s5Centroids(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     centroidsByLabel(graft.Tables.embeddings(spark, dir))
 
+  /** Dispatch threshold for [[s3dKnnAuto]]. Measured (round 11, this box,
+    * targeted bench; n = embeddings cardinality; sf10 from r10 campaign):
+    *   n = 500  (sf0.01): s3b 0.93 s vs s3c 1.18 s  (flat: fewer passes)
+    *   n = 2000 (sf0.1):  s3b 1.05 s vs s3c 1.24 s
+    *   n = 200k (sf10):   s3b 70.8 s vs s3c 9.6 s   (flat O(n·nlist) = O(n^1.5))
+    * The cutover sits in the unmeasured (2k, 200k) bracket. 16384 errs
+    * toward the two-level side of the bracket's geometric middle (~20k)
+    * because the wrong-side risk is asymmetric: below the cutover s3c
+    * costs a constant ~0.2 s of extra passes, above it s3b's n·√n dot
+    * count grows as n^1.5 (the 70.8 s row is that term alone). */
+  val flatQuantizerMaxN = 16384L
+
+  /** s3 anchor family auto-dispatch (round-11 ask): routes the flat
+    * O(n^1.5) quantizer away above the cutover, retiring s3b's standalone
+    * `weak` scale grade. Explicit variants remain for the oracle gate. */
+  def s3dKnnAuto(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val n = graft.Tables.cachedCount(spark, dir, "embeddings")
+    if (chooseAnchorIvf(n) == "flat") s3bKnnIvfAnchor(spark, dir)
+    else s3cKnnIvf2Level(spark, dir)
+  }
+
+  private[similarity] def chooseAnchorIvf(n: Long): String =
+    if (n <= flatQuantizerMaxN) "flat" else "two-level"
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("s3_knn_ivf" -> (s3KnnIvf _),
         "s3b_knn_ivf_anchor" -> (s3bKnnIvfAnchor _),
         "s3c_knn_ivf_2level" -> (s3cKnnIvf2Level _),
+        "s3d_knn_auto" -> (s3dKnnAuto _),
         "s5_centroids" -> (s5Centroids _))
 
   def oracle: Map[String, String] =
@@ -417,50 +442,10 @@ object Ivf {
         |  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / (COUNT(*) * 1000000.0)
         |    AS centroid
         |FROM q GROUP BY label, dim ORDER BY label, dim""".stripMargin,
-    "s3b_knn_ivf_anchor" ->
-      s"""WITH params AS (
-        |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist,
-        |         GREATEST(2, GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) // 4) AS nprobe
-        |  FROM embeddings),
-        |anchors AS (
-        |  SELECT cell, ce FROM (
-        |    SELECT vec_id AS cell, embedding AS ce,
-        |      row_number() OVER (ORDER BY
-        |        CAST('0x' || substr(md5('ivfanchor|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-        |        vec_id) AS r
-        |    FROM embeddings) CROSS JOIN params
-        |  WHERE r <= params.nlist),
-        |adots AS (
-        |  SELECT e.vec_id, a.cell,
-        |    list_reduce(list_transform(range(1, len(e.embedding) + 1),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.ce[i] AS DOUBLE)),
-        |      (acc, x) -> acc + x) AS adot
-        |  FROM embeddings e CROSS JOIN anchors a),
-        |ranked AS (
-        |  SELECT vec_id, cell, adot,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY adot DESC, cell) AS ark
-        |  FROM adots),
-        |assign AS (SELECT vec_id AS b_id, cell FROM ranked WHERE ark = 1),
-        |${Knn.queryIdsSql},
-        |probes AS (
-        |  SELECT r.vec_id AS a_id, r.cell
-        |  FROM ranked r CROSS JOIN params
-        |  WHERE r.vec_id IN (SELECT vec_id FROM q_ids)
-        |    AND r.ark <= params.nprobe),
-        |cand AS (
-        |  SELECT a_id, b_id FROM probes JOIN assign USING (cell)
-        |  WHERE a_id <> b_id),
-        |dots AS (
-        |  SELECT cand.a_id, cand.b_id,
-        |    ${Knn.dotSql} AS dot
-        |  FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
-        |            JOIN embeddings b ON b.vec_id = cand.b_id),
-        |final AS (
-        |  SELECT a_id, b_id, dot,
-        |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
-        |  FROM dots)
-        |SELECT a_id, rk, b_id, dot FROM final WHERE rk <= 5
-        |ORDER BY a_id, rk""".stripMargin,
+    "s3b_knn_ivf_anchor" -> s3bSql,
+    // the oracle gate runs at sf0.01 (n = 2000 ≤ flatQuantizerMaxN):
+    // dispatch deterministically routes to the flat anchor variant there
+    "s3d_knn_auto" -> s3bSql,
     "s3c_knn_ivf_2level" ->
       s"""WITH params AS (
         |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist,
@@ -533,4 +518,51 @@ object Ivf {
         |SELECT a_id, rk, b_id, dot FROM final WHERE rk <= 5
         |ORDER BY a_id, rk""".stripMargin
   )
+
+  /** s3b's oracle text — shared with s3d_knn_auto (whose dispatch at the
+    * gate's corpus size deterministically routes to the flat variant). */
+  private lazy val s3bSql: String =
+    s"""WITH params AS (
+      |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist,
+      |         GREATEST(2, GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) // 4) AS nprobe
+      |  FROM embeddings),
+      |anchors AS (
+      |  SELECT cell, ce FROM (
+      |    SELECT vec_id AS cell, embedding AS ce,
+      |      row_number() OVER (ORDER BY
+      |        CAST('0x' || substr(md5('ivfanchor|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+      |        vec_id) AS r
+      |    FROM embeddings) CROSS JOIN params
+      |  WHERE r <= params.nlist),
+      |adots AS (
+      |  SELECT e.vec_id, a.cell,
+      |    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.ce[i] AS DOUBLE)),
+      |      (acc, x) -> acc + x) AS adot
+      |  FROM embeddings e CROSS JOIN anchors a),
+      |ranked AS (
+      |  SELECT vec_id, cell, adot,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY adot DESC, cell) AS ark
+      |  FROM adots),
+      |assign AS (SELECT vec_id AS b_id, cell FROM ranked WHERE ark = 1),
+      |${Knn.queryIdsSql},
+      |probes AS (
+      |  SELECT r.vec_id AS a_id, r.cell
+      |  FROM ranked r CROSS JOIN params
+      |  WHERE r.vec_id IN (SELECT vec_id FROM q_ids)
+      |    AND r.ark <= params.nprobe),
+      |cand AS (
+      |  SELECT a_id, b_id FROM probes JOIN assign USING (cell)
+      |  WHERE a_id <> b_id),
+      |dots AS (
+      |  SELECT cand.a_id, cand.b_id,
+      |    ${Knn.dotSql} AS dot
+      |  FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
+      |            JOIN embeddings b ON b.vec_id = cand.b_id),
+      |final AS (
+      |  SELECT a_id, b_id, dot,
+      |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
+      |  FROM dots)
+      |SELECT a_id, rk, b_id, dot FROM final WHERE rk <= 5
+      |ORDER BY a_id, rk""".stripMargin
 }

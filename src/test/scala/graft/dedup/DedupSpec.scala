@@ -36,6 +36,37 @@ class DedupSpec extends SparkSpec {
     assert(filtered === direct)
   }
 
+  test("d2 dispatch routes each corpus regime to its measured winner") {
+    // Round-11 dispatch ask. Offline calibration (min-over-runs, sf0.1-
+    // equivalent sizes, this box): decorrelated corpus r≈10.7 → naive
+    // 3.75 s vs prefix 4.11 s; moderate boilerplate r≈141 → 4.96 vs
+    // 4.24 s; heavy boilerplate r≈1251 → 89.4 vs 31.3 s. The threshold
+    // (50) must therefore send THIS corpus (r≈2) to naive and a
+    // boilerplate corpus to prefix — and both routes must return the
+    // identical pair set (the Bayardo equivalence, re-checked here on the
+    // regime where the prefix filter actually prunes hot shingles).
+    val (choice, out) = Dedup.ngramJaccardChoose(docs, 0.5)
+    assert(choice === "naive", "decorrelated test corpus must route naive")
+    assert(out.select("a_id", "b_id").as[(Long, Long)].collect().toSet ===
+      Dedup.ngramJaccardPairs(docs, 0.5)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet)
+    // boilerplate regime: 200 docs sharing 10 hot sentences -> hot-shingle
+    // df ~ 100, r = Σdf²/Σdf well past the threshold
+    val boiler = (0 until 10).map(i => (0 until 8).map(j => s"b${i}_$j").mkString(" "))
+    val bdocs = (0L until 200L).map { d =>
+      val shared = boiler.zipWithIndex.collect { case (s, i) if (d + i) % 2 == 0 => s }
+      val uniq = (0 until 12).map(k => s"u${d}_$k").mkString(" ")
+      (d, (shared :+ uniq).mkString(" "))
+    }.toDF("doc_id", "text")
+    val (bChoice, bOut) = Dedup.ngramJaccardChoose(bdocs, 0.5)
+    assert(bChoice === "prefix", "boilerplate corpus must route prefix")
+    val bNaive = Dedup.ngramJaccardPairs(bdocs, 0.5)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(bNaive.nonEmpty)
+    assert(bOut.select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet === bNaive)
+  }
+
   test("SimHash puts near-dup pairs at small Hamming distance") {
     val nearDups = Dedup.ngramJaccardPairs(docs, 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet

@@ -124,6 +124,25 @@ class SemDedupSpec extends SparkSpec {
     assert(r64 >= 0.40, f"recall collapsed at the richer hierarchy: $r64%.3f < 0.40")
   }
 
+  test("d9 dispatch routes each cardinality regime to its measured winner") {
+    // Round-11 dispatch ask. Measured (targeted bench, this box; n =
+    // embeddings cardinality): n=500 (sf0.001): d9 0.99 s vs d9b 1.14 s,
+    // (sf0.01): 1.58 vs 1.38 — a wash within box noise; n=2000 (sf0.1):
+    // 2.27 vs 1.86; n=200000 (sf10, r10 campaign): 55.9 vs 10.0. The
+    // cutover (1024) must route the sub-cutover corpus flat and
+    // everything measured above it two-level.
+    assert(SemDedup.chooseSemDedup(500L) === "flat")
+    assert(SemDedup.chooseSemDedup(2000L) === "two-level")
+    assert(SemDedup.chooseSemDedup(200000L) === "two-level")
+    // the auto entry's output IS the routed branch's output (sf0.001:
+    // n = 500 -> flat -> identical to d9)
+    val emb = Tables.embeddings(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val auto = SemDedup.semDedupAuto(emb, docs, emb.count(), 0.3)
+      .select("doc_id", "kept_id").as[(Long, Long)].collect().toSet
+    assert(auto === out.map(t => (t._1, t._2)).toSet)
+  }
+
   test("cell cap: hard size bound, drops a subset of uncapped, default off") {
     val emb = Tables.embeddings(spark, sf0001)
     val docs = Tables.documents(spark, sf0001)

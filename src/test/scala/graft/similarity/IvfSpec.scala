@@ -113,6 +113,24 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("s3 anchor-family dispatch routes each cardinality regime to its measured winner") {
+    // Round-11 dispatch ask. Measured (targeted bench, this box; n =
+    // embeddings cardinality; sf10 from the r10 campaign): n=500 (sf0.01):
+    // s3b 0.93 s vs s3c 1.18 s; n=2000 (sf0.1): 1.05 vs 1.24; n=200000
+    // (sf10): 70.8 vs 9.6. The cutover (16384) sits in the unmeasured
+    // (2k, 200k) bracket, erring toward two-level (flat's wrong-side cost
+    // grows as n^1.5); both measured sides must route to their winner.
+    assert(Ivf.chooseAnchorIvf(500L) === "flat")
+    assert(Ivf.chooseAnchorIvf(2000L) === "flat")
+    assert(Ivf.chooseAnchorIvf(200000L) === "two-level")
+    // the auto entry's output IS the routed branch's (sf0.001 -> flat)
+    val auto = Ivf.s3dKnnAuto(spark, sf0001)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val flat = Ivf.s3bKnnIvfAnchor(spark, sf0001)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(auto === flat && auto.nonEmpty)
+  }
+
   test("centroidTopK probing all cells reproduces exact brute-force top-k") {
     // literal-centroid search must be exhaustive when every cell is probed,
     // regardless of how good the fitted centroids are
