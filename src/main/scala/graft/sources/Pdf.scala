@@ -23,12 +23,18 @@ package graft.sources
   *  - CID/Type0 composite fonts with Identity-H encoding (the layout
   *    modern statement producers emit): 2-byte CIDs, descendant-CIDFont
   *    /W + /DW advances, /ToUnicode CMap (bfchar + both bfrange forms)
-  *    for code→text.
+  *    for code→text;
+  *  - simple-font /Encoding /Differences re-encoding (code → glyph name →
+  *    text via an AGL subset; unknown names fall back to the identity
+  *    byte, monotone and contained);
+  *  - encrypted files are DETECTED (/Encrypt in a trailer or XRef-stream
+  *    dict) and refused per-file with an actionable message — extraction
+  *    would otherwise emit deterministic garbage.
   *
   * Not supported (documented boundary, errors are contained per file):
-  * encryption, non-Identity CMap encodings, /Differences re-encoding,
-  * non-Flate filters. Those need embedded-font/crypto machinery — the
-  * point where a real deployment swaps in a full library behind the SAME
+  * decryption itself, non-Identity CMap encodings, non-Flate filters.
+  * Those need embedded-font/crypto machinery — the point where a real
+  * deployment swaps in a full library behind the SAME
   * `Ingest.WordExtractor` seam this object plugs into.
   *
   * Geometry: PDF user space puts y up; the word table wants screen-style
@@ -355,6 +361,68 @@ object Pdf {
     case _ => Map.empty
   }
 
+  /** Adobe-Glyph-List subset: the names a statement producer's
+    * /Differences array realistically remaps (ASCII + the common Latin-1
+    * accents and typographic marks). Unknown names fall back to the
+    * identity byte — wrong for exotic glyphs but monotone and contained,
+    * the same policy as unmapped CIDs. */
+  private val glyphNames: Map[String, String] = {
+    val letters = (('A' to 'Z') ++ ('a' to 'z')).map(c => c.toString -> c.toString)
+    val digits = Seq("zero", "one", "two", "three", "four", "five", "six",
+      "seven", "eight", "nine").zipWithIndex
+      .map { case (n, i) => n -> ('0' + i).toChar.toString }
+    val punct = Map(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+      "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+      "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+      "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+      "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+      "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+      "braceright" -> "}", "asciitilde" -> "~",
+      "quoteleft" -> "‘", "quoteright" -> "’",
+      "quotedblleft" -> "“", "quotedblright" -> "”",
+      "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+      "Euro" -> "€", "sterling" -> "£", "cent" -> "¢",
+      "degree" -> "°", "eacute" -> "é", "egrave" -> "è",
+      "agrave" -> "à", "ccedilla" -> "ç", "uuml" -> "ü",
+      "ouml" -> "ö", "auml" -> "ä", "ntilde" -> "ñ")
+    letters.toMap ++ digits.toMap ++ punct
+  }
+
+  private def glyphChar(name: String): Option[String] =
+    glyphNames.get(name).orElse {
+      if (name.startsWith("uni") && name.length >= 7)
+        scala.util.Try(Integer.parseInt(name.substring(3, 7), 16).toChar.toString).toOption
+      else if (name.length >= 5 && name.length <= 7 && name.head == 'u')
+        scala.util.Try(new String(
+          Character.toChars(Integer.parseInt(name.tail, 16)))).toOption
+      else None
+    }
+
+  /** /Encoding /Differences of a simple font: `[ code name name code name
+    * ... ]` — each number resets the code counter, each name claims the
+    * next code (PDF 32000-1 §9.6.6.3). Returns code → replacement text. */
+  private def parseDifferences(encoding: V, resolve: V => V): Map[Int, String] =
+    resolve(encoding) match {
+      case d @ Dict(m) => m.get("Differences").map(resolve) match {
+        case Some(Arr(items)) =>
+          val out = Map.newBuilder[Int, String]
+          var code = 0
+          items.map(resolve).foreach {
+            case Num(c) => code = c.toInt
+            case Name(g) =>
+              glyphChar(g).foreach(ch => out += code -> ch)
+              code += 1
+            case _ =>
+          }
+          out.result()
+        case _ => Map.empty
+      }
+      case _ => Map.empty
+    }
+
   /** /ToUnicode CMap: `beginbfchar <src> <dst> endbfchar` pairs and
     * `beginbfrange <lo> <hi> (<dstStart> | [<dst>...])` ranges. Dst hex is
     * UTF-16BE (possibly multi-unit — ligatures). */
@@ -418,6 +486,21 @@ object Pdf {
     * in document order. */
   def extractWords(content: Array[Byte]): Seq[Word] = {
     val doc = new Doc(content)
+    // Encryption gate: an /Encrypt entry (classic trailer dict or an XRef
+    // stream's dict in packed layouts) means every string and stream is
+    // RC4/AES-enciphered — proceeding would extract deterministic garbage.
+    // Fail the FILE with an actionable message instead (the per-file catch
+    // in wordExtractor contains it); decryption is the documented
+    // library-swap boundary, like the other unsupported producers above.
+    val trailerEnc = "(?s)trailer\\s*<<.{0,2000}?/Encrypt\\s+\\d+\\s+\\d+\\s+R".r
+      .findFirstIn(doc.s).isDefined
+    val xrefEnc = doc.objects.values.exists { o =>
+      doc.dictGet(o.dict, "Type") == Name("XRef") &&
+        (o.dict match { case Dict(m) => m.contains("Encrypt"); case _ => false })
+    }
+    require(!trailerEnc && !xrefEnc,
+      "encrypted PDF (/Encrypt): decryption is not supported — decrypt the " +
+        "file first (e.g. `qpdf --decrypt in.pdf out.pdf`) and retry")
     val catalog = doc.objects.values.map(_.dict)
       .find(d => doc.dictGet(d, "Type") == Name("Catalog"))
       .getOrElse(throw new IllegalArgumentException("no /Catalog — not a PDF?"))
@@ -495,7 +578,13 @@ object Pdf {
                 ws.zipWithIndex.map { case (w, j) => (fc.toInt + j) -> doc.num(w, dflt) }.toMap
               case _ => Map.empty[Int, Double]
             }
-            fname -> Font(widths, dflt)
+            // simple-font /Differences re-encoding rides the same
+            // code→text channel the composite fonts use (Font.toUni)
+            val diffs = doc.dictGet(fd, "Encoding") match {
+              case Null => Map.empty[Int, String]
+              case enc => parseDifferences(enc, doc.resolve)
+            }
+            fname -> Font(widths, dflt, toUni = diffs)
           }
         }
         case _ => Map.empty

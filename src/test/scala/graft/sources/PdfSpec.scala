@@ -192,6 +192,55 @@ class PdfSpec extends SparkSpec {
     assert(words === Pdf.extractWords(base))
   }
 
+  test("encrypted PDF is refused with an actionable message, not garbled") {
+    // an /Encrypt trailer entry means all strings/streams are enciphered —
+    // extraction must fail the FILE loudly (contained per-file by
+    // wordExtractor), never silently emit deterministic garbage
+    val base = mkPdf(Seq(statementPage1), compress = false)
+    val s = new String(base, "ISO-8859-1")
+    val trailer = "trailer\n<< /Size 9 /Root 1 0 R /Encrypt 9 0 R " +
+      "/ID [<aabb> <aabb>] >>\n"
+    val enc = (s.stripSuffix("%%EOF\n") + trailer + "%%EOF\n").getBytes("ISO-8859-1")
+    val e = intercept[IllegalArgumentException] { Pdf.extractWords(enc) }
+    assert(e.getMessage.contains("encrypted PDF"))
+    assert(e.getMessage.contains("qpdf"))
+    // the binaryFile-scan wrapper contains it per-file
+    assert(Pdf.wordExtractor("enc.pdf", enc).isEmpty)
+  }
+
+  test("/Differences simple-font re-encoding extracts the plain twin's words") {
+    // A producer that re-encodes a simple font maps arbitrary byte codes
+    // to glyph NAMES: /Differences [ 65 /zero /one ... ] makes byte 'A'
+    // render '0'. The show strings below spell the amounts through the
+    // remap; extraction must equal the plainly-encoded twin, geometry
+    // included (same Courier metrics on both sides).
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    // remap: A->0 B->1 C->4 D->5 E->. F->/ G->2 (codes 65..71)
+    val cs =
+      "BT /F1 12 Tf 72 720 Td (amount) Tj ET\n" +         // unmapped codes pass through
+      "BT /F1 12 Tf 72 700 Td (ABFADFGAGA CEzA) Tj ET\n"  // digits+punct via remap
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 " +
+      "/MediaBox [ 0 0 612 792 ] >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier " +
+      "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [ 65 /zero /one /four /five /period /slash /two ] >> " +
+      ">>\nendobj\n")
+    w("4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R " +
+      "/Resources << /Font << /F1 3 0 R >> >> >>\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${cs.length} >>\nstream\n$cs\nendstream\nendobj\n")
+    w("%%EOF\n")
+    val remapped = Pdf.extractWords(out.toByteArray)
+    val twin =
+      "BT /F1 12 Tf 72 720 Td (amount) Tj ET\n" +
+      "BT /F1 12 Tf 72 700 Td (01/05/2020 4.z0) Tj ET\n"
+    val plain = Pdf.extractWords(mkPdf(Seq(twin), compress = false))
+    assert(remapped === plain)
+    assert(remapped.map(_.text).contains("01/05/2020"))
+  }
+
   test("corrupt oversized /Length cannot swallow later objects") {
     // A lying direct /Length used to push the covered-until cursor (via
     // the next `endstream` PAST dataEnd) beyond later legitimate objects,
