@@ -16,6 +16,7 @@ object Profile {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("g2")) { profileG2(dir); return }
     if (args.headOption.contains("g2b")) { profileG2Current(dir); return }
+    if (args.headOption.contains("s7vol")) { profileS7Volume(dir); return }
     if (args.headOption.contains("g1b")) { profileG1b(dir); return }
     if (args.headOption.contains("d4vol")) { profileD4Volumes(dir); return }
     if (args.headOption.contains("d4r")) { profileD4R(dir); return }
@@ -184,6 +185,30 @@ object Profile {
   }
 
   /** Stage-by-stage timing of g2_triangles at bench parallelism. */
+  /** s7 candidate-volume decomposition: is sf10→sf30 growth the pair
+    * budget (algorithmic) or the verify/execution regime? */
+  def profileS7Volume(dir: String): Unit = {
+    val spark = GraftSession()
+    import graft.similarity.Knn
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val bits = Knn.codeBits(n)
+    val t0 = System.nanoTime()
+    val codes = Knn.srpCodes(emb, bits)
+    val probes = (0 until bits).map(j => col("code").bitwiseXOR(lit(1L << j))) :+ col("code")
+    val qc = codes.select(col("id").as("a_id"), col("t"),
+      explode(array(probes: _*)).as("code"))
+    val bc = codes.toDF("b_id", "t", "code")
+    val joined = qc.join(bc, Seq("t", "code")).filter(col("a_id") =!= col("b_id"))
+    val rawPairs = joined.count()
+    val t1 = System.nanoTime()
+    val cand = joined.select("a_id", "b_id").distinct().count()
+    val t2 = System.nanoTime()
+    println(f"[s7vol] n=$n bits=$bits rawPairs=$rawPairs distinctCand=$cand " +
+      f"joinCount=${(t1 - t0) / 1e9}%.1fs distinct=${(t2 - t1) / 1e9}%.1fs")
+    spark.stop()
+  }
+
   /** Stage timing of the CURRENT g2 implementation (round-11): where do
     * the seconds go at sf0.1 after the probe-skip change? */
   def profileG2Current(dir: String): Unit = {

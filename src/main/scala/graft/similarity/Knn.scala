@@ -231,20 +231,60 @@ object Knn {
     * pushdown), nothing corpus-sized broadcast. Vectors whose probes hit
     * only singleton buckets contribute no rows — the standard LSH-graph
     * recall trade, pinned by KnnSpec's coverage/recall floor. */
-  def knnGraph(emb: DataFrame, k: Int, bits: Int = lshBits): DataFrame = {
-    val codes = graft.util.Caches.scoped(srpCodes(emb, bits))
+  def knnGraph(emb: DataFrame, k: Int, bits: Int = lshBits,
+               nRows: Long = 0L): DataFrame = {
+    // The corpus IS the query set here, so the candidate stream is
+    // ~6·n·(bits+1) pairs (bucket occupancy 6.1–6.5 measured at
+    // n = 200k/600k). Two scale choices follow, both measured on the
+    // round-11 sf10→sf30 curve where time grew 4.35× at 3× data while
+    // the candidate count itself grew 3.12× (i.e. the pair budget was
+    // linear and the EXECUTION shape was not):
+    //  1. Score INSIDE the bucket join. Both embeddings are already
+    //     co-located in the joined row, so the dot is computed where the
+    //     data sits and only (a_id, b_id, dot) ever shuffles again. The
+    //     stratum variants attach embeddings to candidates afterwards
+    //     (scoredTopK) — right when candidates are collision-sized, but
+    //     here that shape moved ~n·(b+1)·occupancy rows × two 64-float
+    //     payloads (tens of GB at 600k vectors) through the verify
+    //     exchanges. Duplicate pairs from multi-table/multi-probe
+    //     collisions re-verify (~3% extra dots) and dedup AFTER scoring
+    //     (dots of the same pair are bit-identical), replacing the wide
+    //     distinct+join-back with one skinny aggregate.
+    //  2. Volume-derived parallelism (the g2 closeParts pattern): ~1.5M
+    //     candidate rows per task at any n; the session default stands
+    //     when nRows is unknown (0) — right for the bounded-stratum
+    //     variants that share this file.
+    val defaultParts = emb.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(defaultParts,
+      (6L * nRows * (bits + 1) / 1500000L).toInt)
+    val codesE = graft.util.Caches.scoped(srpCodes(emb, bits)
+      .join(emb.select(col("vec_id").as("id"), col("embedding").as("e")), "id"))
     val probes = (0 until bits).map(j => col("code").bitwiseXOR(lit(1L << j))) :+ col("code")
-    val qc = codes.select(col("id").as("a_id"), col("t"),
-      explode(array(probes: _*)).as("code"))
-    val bc = codes.toDF("b_id", "t", "code")
-    val cand = qc.join(bc, Seq("t", "code")).filter(col("a_id") =!= col("b_id"))
-      .select("a_id", "b_id").distinct()
-    scoredTopK(emb, cand, k)
+    val qc = codesE.select(col("id").as("a_id"), col("t"), col("e").as("ea"),
+        explode(array(probes: _*)).as("code"))
+      .repartition(parts, col("t"), col("code"))
+    val bc = codesE.select(col("id").as("b_id"), col("t"), col("e").as("eb"),
+        col("code"))
+      .repartition(parts, col("t"), col("code"))
+    val scored = qc.join(bc, Seq("t", "code"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), dotFold(col("ea"), col("eb")).as("dot"))
+      // one a_id exchange serves the pair dedup (a_id ⊂ (a_id, b_id)
+      // clustering), the top-k window, AND bounds every task's rows
+      .repartition(parts, col("a_id"))
+      .groupBy("a_id", "b_id").agg(max(col("dot")).as("dot"))
+    val rk = Window.partitionBy("a_id").orderBy(col("dot").desc, col("b_id").asc)
+    scored.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= k)
+      .select(col("a_id"), col("rk"), col("b_id"), col("dot"))
   }
 
-  def s7KnnGraph(spark: SparkSession, dir: String): DataFrame =
-    knnGraph(Tables.embeddings(spark, dir), 5, dirBits(spark, dir))
+  def s7KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.cachedCount(spark, dir, "embeddings")
+    knnGraph(Tables.embeddings(spark, dir), 5, dirBits(spark, dir), n)
       .orderBy("a_id", "rk")
+  }
 
   val quantScale = 127
 

@@ -58,16 +58,26 @@ def main():
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out", default="target/scale/sf1")
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset to generate (e.g. "
+                         "documents,embeddings for the similarity/dedup "
+                         "scale tiers) — the other tables are skipped, not "
+                         "copied, so only run queries that read the subset")
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
 
     for t in COPY_AS_IS:
+        if only is not None and t not in only:
+            continue
         src, dst = f"{args.base}/{t}.parquet", f"{args.out}/{t}.parquet"
         con.execute(f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)")
         print(f"{t}: copied as-is")
 
     for t, keys in KEYSPACES.items():
+        if only is not None and t not in only:
+            continue
         src, dst = f"{args.base}/{t}.parquet", f"{args.out}/{t}.parquet"
         cols = [c[0] for c in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
         # keyspace sizes are a contract with the driver data — verify, don't trust
