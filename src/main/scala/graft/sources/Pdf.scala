@@ -13,7 +13,9 @@ package graft.sources
   *    (the modern-writer layout: packed objects inflated and parsed in);
   *  - page tree traversal (/Catalog → /Pages → /Kids, inheritable
   *    /MediaBox), multiple /Contents streams per page;
-  *  - content streams raw or /FlateDecode (JDK Inflater);
+  *  - content streams raw or filtered — /FlateDecode (JDK Inflater),
+  *    /ASCIIHexDecode, /ASCII85Decode, /RunLengthDecode, /LZWDecode
+  *    (TIFF-style, EarlyChange), including cascade arrays;
   *  - the text state machine: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, TJ
   *    (kerning-aware), ', ", cm, q/Q;
   *  - glyph advances from the font's /Widths + /FirstChar when present,
@@ -32,9 +34,10 @@ package graft.sources
   *    would otherwise emit deterministic garbage.
   *
   * Not supported (documented boundary, errors are contained per file):
-  * decryption itself, non-Identity CMap encodings, non-Flate filters.
-  * Those need embedded-font/crypto machinery — the point where a real
-  * deployment swaps in a full library behind the SAME
+  * decryption itself, non-Identity CMap encodings, /DecodeParms
+  * predictors (image/xref-stream territory), image filters (DCT/JBIG2/
+  * JPX/CCITT). Those need embedded-font/crypto/codec machinery — the
+  * point where a real deployment swaps in a full library behind the SAME
   * `Ingest.WordExtractor` seam this object plugs into.
   *
   * Geometry: PDF user space puts y up; the word table wants screen-style
@@ -272,14 +275,38 @@ object Pdf {
       val o = objs.getOrElse(n, return Array.empty)
       if (o.streamAt < 0) return Array.empty
       val len = numOf(dictGetIn(objs, o.dict, "Length"), -1).toInt
-      val end =
-        if (len >= 0) o.streamAt + len
-        else s.indexOf("endstream", o.streamAt) // fallback for odd writers
+      // same corrupt-/Length guard as the object sweep: a direct length
+      // that overruns the file or is not closely followed by `endstream`
+      // is distrusted in favor of the endstream scan
+      val end = {
+        val de = if (len >= 0) o.streamAt.toLong + len.toLong else -1L
+        val plausible = de >= o.streamAt && de <= s.length - 9 && {
+          val es = s.indexOf("endstream", de.toInt)
+          es >= 0 && es - de <= 8
+        }
+        if (plausible) de.toInt else s.indexOf("endstream", o.streamAt)
+      }
       val raw = java.util.Arrays.copyOfRange(bytes, o.streamAt, end)
-      dictGetIn(objs, o.dict, "Filter") match {
-        case Name("FlateDecode") | Arr(Vector(Name("FlateDecode"))) => inflate(raw)
-        case Null => raw
+      // /Filter is a name or a cascade array, applied in order; the
+      // decoders below cover every non-image filter a text/COA statement
+      // producer realistically emits (predictors — /DecodeParms with
+      // /Predictor > 1 — ride image and xref streams, not content
+      // streams, and stay out of scope)
+      val filters: Seq[String] = dictGetIn(objs, o.dict, "Filter") match {
+        case Name(n) => Seq(n)
+        case Arr(vs) => vs.map(resolveIn(objs, _)).collect { case Name(n) => n }
+        case Null => Seq.empty
         case f => throw new UnsupportedOperationException(s"PDF filter $f")
+      }
+      filters.foldLeft(raw) { (d, n) =>
+        n match {
+          case "FlateDecode" => inflate(d)
+          case "ASCIIHexDecode" => asciiHex(d)
+          case "ASCII85Decode" => ascii85(d)
+          case "RunLengthDecode" => runLength(d)
+          case "LZWDecode" => lzw(d)
+          case other => throw new UnsupportedOperationException(s"PDF filter /$other")
+        }
       }
     }
 
@@ -287,6 +314,123 @@ object Pdf {
     def dictGet(d: V, k: String): V = dictGetIn(objects, d, k)
     def num(v: V, dflt: Double = 0): Double = numOf(v, dflt)
     def streamData(ref: V): Array[Byte] = streamDataIn(objects, ref)
+  }
+
+  /** /ASCIIHexDecode: hex pairs, whitespace ignored, `>` EOD, odd final
+    * digit padded with 0 (PDF 32000-1 §7.4.2). */
+  private def asciiHex(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var done = false
+    var i = 0
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else if (!c.isWhitespace) sb.append(c)
+      i += 1
+    }
+    val h = if (sb.length % 2 == 1) sb.toString + "0" else sb.toString
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  }
+
+  /** /ASCII85Decode: base-85 4→5 groups, `z` shorthand for four zero
+    * bytes, `~>` EOD, partial final group padded with 'u' and truncated
+    * (PDF 32000-1 §7.4.3). */
+  private def ascii85(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val tuple = new Array[Int](5)
+    var k = 0
+    var i = if (data.length >= 2 && data(0) == '<' && data(1) == '~') 2 else 0
+    var done = false
+    def emit(v: Long, nBytes: Int): Unit = {
+      val b = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(b, 0, nBytes)
+    }
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && k == 0) emit(0L, 4)
+      else if (!c.isWhitespace) {
+        require(c >= '!' && c <= 'u', s"ASCII85Decode: invalid char '$c'")
+        tuple(k) = c - '!'; k += 1
+        if (k == 5) {
+          var v = 0L; tuple.foreach(t => v = v * 85 + t)
+          emit(v, 4); k = 0
+        }
+      }
+      i += 1
+    }
+    if (k > 1) { // k=1 is malformed (no bytes recoverable); k in 2..4 → k-1 bytes
+      var v = 0L
+      (0 until 5).foreach(j => v = v * 85 + (if (j < k) tuple(j) else 84))
+      emit(v, k - 1)
+    }
+    out.toByteArray
+  }
+
+  /** /RunLengthDecode: length byte L — L<128: copy L+1 literals; L>128:
+    * repeat next byte 257−L times; 128: EOD (PDF 32000-1 §7.4.5). */
+  private def runLength(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xff
+      if (l == 128) done = true
+      else if (l < 128) { out.write(data, i + 1, l + 1); i += l + 2 }
+      else {
+        var c = 257 - l
+        while (c > 0) { out.write(data(i + 1)); c -= 1 }
+        i += 2
+      }
+    }
+    out.toByteArray
+  }
+
+  /** /LZWDecode: TIFF-style LZW — 9-bit codes growing to 12, Clear=256,
+    * EOD=257, table rebuilt on Clear, width bumps one code EARLY
+    * (EarlyChange default 1; PDF 32000-1 §7.4.4). */
+  private def lzw(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 3)
+    val dict = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def reset(): Unit = {
+      dict.clear()
+      var i = 0
+      while (i < 256) { dict += Array(i.toByte); i += 1 }
+      dict += null; dict += null // 256 Clear, 257 EOD placeholders
+    }
+    reset()
+    var width = 9
+    var prev: Array[Byte] = null
+    var acc = 0L
+    var nbits = 0
+    var i = 0
+    var done = false
+    while (!done && (i < data.length || nbits >= width)) {
+      if (nbits < width && i < data.length) {
+        acc = (acc << 8) | (data(i) & 0xff); nbits += 8; i += 1
+      } else if (nbits < width) {
+        done = true // trailing partial bits without EOD: tolerate
+      } else {
+        val code = ((acc >> (nbits - width)) & ((1L << width) - 1)).toInt
+        nbits -= width
+        if (code == 256) { reset(); width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry =
+            if (code < dict.length && dict(code) != null) dict(code)
+            else if (code == dict.length && prev != null) prev :+ prev(0)
+            else throw new IllegalArgumentException(s"LZWDecode: bad code $code")
+          out.write(entry, 0, entry.length)
+          if (prev != null) dict += (prev :+ entry(0))
+          prev = entry
+          // EarlyChange=1: the encoder widens when the NEXT code would
+          // not fit, one code early
+          if (dict.length >= (1 << width) - 1 && width < 12) width += 1
+        }
+      }
+    }
+    out.toByteArray
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {

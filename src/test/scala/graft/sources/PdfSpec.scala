@@ -192,6 +192,95 @@ class PdfSpec extends SparkSpec {
     assert(words === Pdf.extractWords(base))
   }
 
+  test("ASCIIHex/ASCII85/RunLength/LZW filters and a cascade extract the raw twin") {
+    // per-filter encoders live HERE (the engine only decodes) — each
+    // variant must extract words identical to the raw twin, geometry
+    // included, proving the decode is byte-exact
+    def hexEnc(b: Array[Byte]): Array[Byte] =
+      (b.map("%02x".format(_)).mkString + ">").getBytes("ISO-8859-1")
+    def a85Enc(b: Array[Byte]): Array[Byte] = {
+      val sb = new StringBuilder
+      b.grouped(4).foreach { g =>
+        var v = 0L
+        g.foreach(x => v = (v << 8) | (x & 0xff))
+        v <<= 8 * (4 - g.length)
+        if (v == 0L && g.length == 4) sb.append('z')
+        else {
+          val cs = new Array[Char](5)
+          var t = v
+          (4 to 0 by -1).foreach { j => cs(j) = ('!' + (t % 85)).toChar; t /= 85 }
+          sb.appendAll(cs, 0, g.length + 1)
+        }
+      }
+      (sb.toString + "~>").getBytes("ISO-8859-1")
+    }
+    def rlEnc(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream
+      b.grouped(127).foreach { g => out.write(g.length - 1); out.write(g, 0, g.length) }
+      out.write(128)
+      out.toByteArray
+    }
+    def lzwEnc(b: Array[Byte]): Array[Byte] = {
+      // TIFF-style LZW with EarlyChange=1, the PDF default
+      val out = new java.io.ByteArrayOutputStream
+      var acc = 0L; var nbits = 0
+      def put(code: Int, width: Int): Unit = {
+        acc = (acc << width) | code; nbits += width
+        while (nbits >= 8) { out.write(((acc >> (nbits - 8)) & 0xff).toInt); nbits -= 8 }
+      }
+      val dict = scala.collection.mutable.HashMap[Seq[Byte], Int]()
+      def reset(): Unit = { dict.clear(); (0 until 256).foreach(i => dict(Seq(i.toByte)) = i) }
+      reset()
+      var next = 258; var width = 9
+      put(256, width) // leading Clear, as most encoders emit
+      var cur = Seq.empty[Byte]
+      b.foreach { x =>
+        val ext = cur :+ x
+        if (dict.contains(ext)) cur = ext
+        else {
+          put(dict(cur), width)
+          dict(ext) = next; next += 1
+          if (next >= (1 << width) - 1 && width < 12) width += 1
+          cur = Seq(x)
+        }
+      }
+      if (cur.nonEmpty) put(dict(cur), width)
+      put(257, width) // EOD
+      if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
+      out.toByteArray
+    }
+    val cs = (statementPage1 + statementPage2).getBytes("ISO-8859-1")
+    def pdfWith(filter: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream
+      def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      w("%PDF-1.4\n")
+      w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      w("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 " +
+        "/MediaBox [ 0 0 612 792 ] >>\nendobj\n")
+      w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>\nendobj\n")
+      w("4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R " +
+        "/Resources << /Font << /F1 3 0 R >> >> >>\nendobj\n")
+      w(s"5 0 obj\n<< /Length ${body.length} /Filter $filter >>\nstream\n")
+      out.write(body)
+      w("\nendstream\nendobj\n%%EOF\n")
+      out.toByteArray
+    }
+    val plain = Pdf.extractWords(pdfWith("[ ]", cs))
+    assert(plain.nonEmpty)
+    assert(Pdf.extractWords(pdfWith("/ASCIIHexDecode", hexEnc(cs))) === plain)
+    assert(Pdf.extractWords(pdfWith("/ASCII85Decode", a85Enc(cs))) === plain)
+    assert(Pdf.extractWords(pdfWith("/RunLengthDecode", rlEnc(cs))) === plain)
+    assert(Pdf.extractWords(pdfWith("/LZWDecode", lzwEnc(cs))) === plain)
+    // cascade: ASCII85 OVER flate — applied in array order
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(cs); deflater.finish()
+    val buf = new java.io.ByteArrayOutputStream
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
+    assert(Pdf.extractWords(pdfWith("[ /ASCII85Decode /FlateDecode ]",
+      a85Enc(buf.toByteArray))) === plain)
+  }
+
   test("encrypted PDF is refused with an actionable message, not garbled") {
     // an /Encrypt trailer entry means all strings/streams are enciphered —
     // extraction must fail the FILE loudly (contained per-file by
