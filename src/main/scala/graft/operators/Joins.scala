@@ -498,6 +498,95 @@ object Joins {
         .as("avg_yearly"))
   }
 
+  /** Q2-shape correlated-min + join-back: for every part, the supplier
+    * offering it at the minimum observed price (lineitem stands in for
+    * partsupp — this schema has none), ties to the smallest suppkey. The
+    * spec form is a correlated `= (SELECT MIN ...)` per outer row; the
+    * surviving plan folds min-price AND the argmin supplier into ONE
+    * lineitem aggregate — `min(struct(price, suppkey))` orders
+    * lexicographically, so no join-back against the min even exists
+    * (the textbook decorrelation still re-joins lineitem on (part, min)).
+    * The price rides RAW (a stored double, no arithmetic), so the
+    * argmin tie-break is bit-identical across engines. Dims broadcast. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val best = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .groupBy("l_partkey")
+      .agg(min(struct(col("l_extendedprice").as("price"),
+        col("l_suppkey").as("sk"))).as("b"))
+      .select(col("l_partkey"), col("b.price").as("min_price"),
+        col("b.sk").as("s_suppkey"))
+    best
+      .join(broadcast(Tables.part(spark, dir)
+        .select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name", "s_nationkey")), Seq("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select("n_nationkey", "n_name")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+        col("min_price"))
+      .orderBy(col("min_price").desc, col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q15-shape view + global max with ties kept: the supplier(s) whose
+    * 1996-Q1 revenue equals the maximum such revenue — Q15's one subtlety
+    * is that the max can tie and every winner must surface. The per-
+    * supplier rollup is one lineitem shuffle (decimal-exact revenue); the
+    * max is a 1-ROW scalar aggregate broadcast back over the rollup —
+    * never a window over an unpartitioned supplier frame, which would
+    * funnel a corpus-scaled table through one task at 100 TB. Revenue
+    * equality compares the decimal sums themselves (exact in both
+    * engines); the double cast happens only at the output boundary. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the rollup feeds BOTH the scalar max and the winner filter —
+    // uncached, column pruning specializes the two subtrees (the q17
+    // exchange-reuse lesson) and lineitem is scanned and shuffled twice
+    val rev = graft.util.Caches.scoped(Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .as("rev")))
+    val top = rev.agg(max(col("rev")).as("mx"))
+    rev.join(broadcast(top), col("rev") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast(DecimalType(38, 4)).cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q22-shape anti join + scalar-average subquery: nations of "rich but
+    * inactive" customers — balance above the average POSITIVE balance,
+    * and no urgent orders (the schema's stand-in for Q22's no-orders-at-
+    * all, which is vacuous here: every customer has orders). Two spec
+    * subqueries fold into scale-safe primitives: the scalar average is a
+    * 1-row aggregate broadcast over customer with the comparison in
+    * EXACT arithmetic (bal·n > Σbal — no decimal division whose rounding
+    * the engines could disagree on), and NOT EXISTS is a left-anti join
+    * against the distinct urgent-customer keys. One customer-side
+    * shuffle for the anti join, nation broadcast, 25-row aggregate. */
+  def q22InactiveRich(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val stats = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("s"), count(lit(1)).as("n"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    cust.crossJoin(broadcast(stats))
+      .filter(dec(col("c_acctbal")) * col("n") > col("s"))
+      .join(urgent, Seq("c_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select("n_nationkey", "n_name")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast(DecimalType(38, 4)).cast("double")
+          .as("totacctbal"))
+      .orderBy("n_name")
+  }
+
   /** J10 (extension): SCD2 point-in-time lookup — the consumption side of
     * the [[Aggregates.scd2]] dimension build: each purchase event is
     * enriched with the dimension version valid AT its event time. Because
@@ -679,7 +768,10 @@ object Joins {
     "q18_big_orders" -> (q18BigOrders _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "q13_cust_dist" -> (q13CustDist _),
-    "q17_small_qty" -> (q17SmallQty _)
+    "q17_small_qty" -> (q17SmallQty _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q22_inactive_rich" -> (q22InactiveRich _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -925,6 +1017,52 @@ object Joins {
         |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         |    < (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem l2
         |       WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    // the literal Q2 form: a correlated = (SELECT MIN ...) per outer row
+    "q2_min_cost_supplier" ->
+      """SELECT p_partkey, p_brand, s_name, n_name, min_price
+        |FROM (
+        |  SELECT l.l_partkey, l.l_extendedprice AS min_price,
+        |         MIN(l.l_suppkey) AS s_suppkey
+        |  FROM lineitem l
+        |  WHERE l.l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey)
+        |  GROUP BY l.l_partkey, l.l_extendedprice) best
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier USING (s_suppkey)
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY min_price DESC, p_partkey
+        |LIMIT 100""".stripMargin,
+    // the literal Q15 view-over-max form; ties kept by construction
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(CAST(rev AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = (SELECT MAX(rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    // the literal Q22 form: scalar-avg subquery spelled in the SAME exact
+    // arithmetic (bal·n > Σbal) so no decimal-division rounding can
+    // disagree, plus NOT EXISTS for the inactivity test
+    "q22_inactive_rich" ->
+      """WITH pos AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS s, COUNT(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS totacctbal
+        |FROM customer, nation, pos
+        |WHERE c_nationkey = n_nationkey
+        |  AND CAST(c_acctbal AS DECIMAL(18,4)) * pos.n > pos.s
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     "j01_exact_enrich" ->
       """SELECT p_brand, COUNT(*) AS n_items,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue

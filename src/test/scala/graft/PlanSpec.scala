@@ -428,6 +428,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q2 folds min-price and argmin supplier into one lineitem aggregate") {
+    val p = planNoAutoBroadcast("q2_min_cost_supplier")
+    // min(struct(price, suppkey)) needs no join-back against the min:
+    // exactly one fact exchange (the partkey rollup); dims broadcast
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"q2: one l_partkey exchange only (no decorrelation join-back):\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p) // part+supplier+nation
+    assert(!p.contains("SortMergeJoin"), s"q2: no fact-to-fact join exists:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q15 finds the max via a 1-row broadcast, never an unpartitioned window") {
+    val p = planNoAutoBroadcast("q15_top_supplier")
+    // the global max must come back as a broadcast scalar — a window over
+    // the supplier rollup would funnel a corpus-scaled frame into 1 task
+    assert(!p.contains("Window"), s"q15: no unpartitioned window:\n$p")
+    // the rollup is CACHED (it feeds both the max and the winner filter);
+    // the cached subtree prints once per consumer, so assert the cache is
+    // actually shared instead of counting its printed exchanges
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"q15: the supplier rollup must be cache-shared by max + filter:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p) // max scalar + supplier
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q22 decorrelates the scalar avg to a 1-row cross and NOT EXISTS to an anti join") {
+    val p = planNoAutoBroadcast("q22_inactive_rich")
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size === 1,
+      s"q22: exactly the 1-row stats cross join:\n$p")
+    assert(p.contains("LeftAnti"), s"q22: NOT EXISTS must be an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q21 decorrelates both EXISTS branches into one lineitem exchange") {
     val p = planNoAutoBroadcast("q21_waiting_suppliers")
     // exactly: lineitem's one l_orderkey repartition (both rollups and the
