@@ -422,6 +422,15 @@ object SetOpsWindows {
     graft.streaming.StreamOps.clickPurchaseJoin(Tables.events(spark, dir))
       .orderBy("p_id", "c_id")
 
+  /** §2.9 stream-stream LEFT OUTER interval join, batch form: purchases
+    * with no click in the window survive with null click columns — the
+    * EXACT transform StreamOps.clickPurchaseLeftOuter runs under
+    * watermarks, where the null rows instead emit on state expiry
+    * (StreamingSpec pins stream ≡ batch AND the expiry timing). */
+  def streamIntervalJoinOuter(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.clickPurchaseLeftOuter(Tables.events(spark, dir))
+      .orderBy("p_id", "c_id")
+
   /** §2.9 landing-pipeline batch twin: at-least-once redelivery (simulated
     * by a self-union) collapsed by key dedup, then the tumbling rollup —
     * the batch form of `StreamOps.dedupedTumblingCounts`. Spark only
@@ -461,6 +470,7 @@ object SetOpsWindows {
     "stream_tumbling" -> (tumblingWindow _),
     "stream_session" -> (sessionWindowBatch _),
     "stream_interval_join" -> (streamIntervalJoin _),
+    "stream_interval_join_outer" -> (streamIntervalJoinOuter _),
     "stream_dedup_agg" -> (streamDedupAgg _)
   )
 
@@ -482,6 +492,14 @@ object SetOpsWindows {
         |FROM events p JOIN events c
         |  ON p.user_id = c.user_id
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |ORDER BY p_id, c_id""".stripMargin,
+    "stream_interval_join_outer" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT OUTER JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
         |ORDER BY p_id, c_id""".stripMargin,
     "win_range_1h" ->

@@ -74,6 +74,34 @@ object StreamOps {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[clickPurchaseJoin]] with
+    * the unmatched side kept: a purchase with NO click in its trailing
+    * window still emits, null click columns, but only once the click-side
+    * watermark passes the last instant a matching click could arrive.
+    * That is the semantics that separates outer stream joins from batch:
+    * the null row comes from STATE EXPIRY, not from scanning the other
+    * side, so state stays bounded by the watermark horizon and the final
+    * sink equals the batch left outer (StreamingSpec pins both the
+    * equality and that the null row does NOT emit before the watermark
+    * advances). Same both-sides-bounded condition as the inner form —
+    * without it Spark rejects the outer join (state would be immortal). */
+  def clickPurchaseLeftOuter(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("p_id"), col("c_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** Stream-static enrichment join: each streaming event picks up its
     * user's dimension attributes from a STATIC (batch) customer frame —
     * the canonical streaming-ETL shape (fact stream ⋈ slowly-refreshed
