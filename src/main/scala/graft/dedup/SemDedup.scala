@@ -235,6 +235,7 @@ object SemDedup {
     *   n = 500  (sf0.001): d9 0.99 s vs d9b 1.14 s  (flat wins: fewer jobs)
     *   n = 500  (sf0.01):  d9 1.58 s vs d9b 1.38 s  (wash — box noise)
     *   n = 2000 (sf0.1):   d9 2.27 s vs d9b 1.86 s
+    *   n = 20k  (sf1):     d9 4.50 s vs d9b 3.46 s
     *   n = 200k (sf10):    d9 55.9 s vs d9b 10.0 s  (r10 campaign)
     * At n = 500 the two are within noise of each other; by 2000 the
     * two-level path wins clearly and the gap then grows as n^0.5. The

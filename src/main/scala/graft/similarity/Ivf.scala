@@ -400,13 +400,14 @@ object Ivf {
     * targeted bench; n = embeddings cardinality; sf10 from r10 campaign):
     *   n = 500  (sf0.01): s3b 0.93 s vs s3c 1.18 s  (flat: fewer passes)
     *   n = 2000 (sf0.1):  s3b 1.05 s vs s3c 1.24 s
+    *   n = 20k  (sf1):    s3b 4.70 s vs s3c 2.95 s  (two-level, 1.6×)
     *   n = 200k (sf10):   s3b 70.8 s vs s3c 9.6 s   (flat O(n·nlist) = O(n^1.5))
-    * The cutover sits in the unmeasured (2k, 200k) bracket. 16384 errs
-    * toward the two-level side of the bracket's geometric middle (~20k)
+    * The cutover sits in the measured (2k, 20k) bracket. 8192 errs
+    * toward the two-level side of the bracket's geometric middle (~6.3k)
     * because the wrong-side risk is asymmetric: below the cutover s3c
     * costs a constant ~0.2 s of extra passes, above it s3b's n·√n dot
     * count grows as n^1.5 (the 70.8 s row is that term alone). */
-  val flatQuantizerMaxN = 16384L
+  val flatQuantizerMaxN = 8192L
 
   /** s3 anchor family auto-dispatch (round-11 ask): routes the flat
     * O(n^1.5) quantizer away above the cutover, retiring s3b's standalone

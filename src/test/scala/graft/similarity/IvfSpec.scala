@@ -116,12 +116,14 @@ class IvfSpec extends SparkSpec {
   test("s3 anchor-family dispatch routes each cardinality regime to its measured winner") {
     // Round-11 dispatch ask. Measured (targeted bench, this box; n =
     // embeddings cardinality; sf10 from the r10 campaign): n=500 (sf0.01):
-    // s3b 0.93 s vs s3c 1.18 s; n=2000 (sf0.1): 1.05 vs 1.24; n=200000
-    // (sf10): 70.8 vs 9.6. The cutover (16384) sits in the unmeasured
-    // (2k, 200k) bracket, erring toward two-level (flat's wrong-side cost
-    // grows as n^1.5); both measured sides must route to their winner.
+    // s3b 0.93 s vs s3c 1.18 s; n=2000 (sf0.1): 1.05 vs 1.24; n=20000
+    // (sf1): 4.70 vs 2.95 — two-level already 1.6× ahead; n=200000
+    // (sf10): 70.8 vs 9.6. The cutover (8192) sits in the measured
+    // (2k, 20k) bracket, erring toward two-level (flat's wrong-side cost
+    // grows as n^1.5); every measured point must route to its winner.
     assert(Ivf.chooseAnchorIvf(500L) === "flat")
     assert(Ivf.chooseAnchorIvf(2000L) === "flat")
+    assert(Ivf.chooseAnchorIvf(20000L) === "two-level")
     assert(Ivf.chooseAnchorIvf(200000L) === "two-level")
     // the auto entry's output IS the routed branch's (sf0.001 -> flat)
     val auto = Ivf.s3dKnnAuto(spark, sf0001)
