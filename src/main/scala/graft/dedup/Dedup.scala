@@ -124,11 +124,13 @@ object Dedup {
     * box, min-over-runs):
     *   - decorrelated test corpus  r≈10.7: naive 3.75 s, prefix 4.11 s
     *     (naive also wins at sf10, where r stays ≈11 by salting);
+    *   - light boilerplate         r≈9.6:  naive 1.27 s, prefix 2.69 s;
+    *   - mid boilerplate           r≈32:   naive 1.47 s, prefix 2.00 s;
     *   - moderate boilerplate      r≈141:  naive 4.96 s, prefix 4.24 s;
     *   - heavy boilerplate         r≈1251: naive 89.4 s, prefix 31.3 s.
-    * Crossover sits between r≈11 and r≈141; 50 splits the gap and errs
-    * toward prefix, whose wrong-side cost is a constant factor while the
-    * naive plan's grows with the square of the hot-shingle df. */
+    * Crossover sits in the measured (32, 141) bracket; 50 errs toward
+    * prefix, whose wrong-side cost is a constant factor while the naive
+    * plan's grows with the square of the hot-shingle df. */
   val ngramNaiveMaxRatio = 50.0
 
   /** D2 auto: ONE public entry point that measures the deciding statistic
