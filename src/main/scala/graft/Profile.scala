@@ -17,6 +17,7 @@ object Profile {
     if (args.headOption.contains("g2")) { profileG2(dir); return }
     if (args.headOption.contains("g2b")) { profileG2Current(dir); return }
     if (args.headOption.contains("s7vol")) { profileS7Volume(dir); return }
+    if (args.headOption.contains("d10")) { profileD10(dir); return }
     if (args.headOption.contains("g1b")) { profileG1b(dir); return }
     if (args.headOption.contains("d4vol")) { profileD4Volumes(dir); return }
     if (args.headOption.contains("d4r")) { profileD4R(dir); return }
@@ -185,6 +186,37 @@ object Profile {
   }
 
   /** Stage-by-stage timing of g2_triangles at bench parallelism. */
+  /** d10 stage decomposition: shingles/bands build vs candidate join vs
+    * the pairsCommon verify — which term owns the 27 s at sf10? */
+  def profileD10(dir: String): Unit = {
+    val spark = GraftSession()
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, dir)
+    docs.count() // warm
+    var t0 = System.nanoTime()
+    def mark(name: String): Unit = {
+      val now = System.nanoTime()
+      println(f"[d10] ${(now - t0) / 1e9}%8.2fs  $name")
+      t0 = now
+    }
+    val sh = graft.util.Caches.scoped(graft.text.TextAnalysis.shingleRows(docs))
+    println(s"[d10] shingle rows: ${sh.count()}")
+    mark("shingles built+counted")
+    val bands = graft.util.Caches.scoped(Dedup.minHashBands(sh))
+    println(s"[d10] band rows: ${bands.count()}")
+    mark("bands built+counted")
+    val probe = bands.filter(col("doc_id") % 10 === 0).toDF("a_id", "band", "sig")
+    val index = bands.filter(col("doc_id") % 10 =!= 0).toDF("b_id", "band2", "sig2")
+    val cand = probe
+      .join(index, col("band") === col("band2") && col("sig") === col("sig2"))
+      .select("a_id", "b_id").distinct()
+    println(s"[d10] candidates: ${cand.count()}")
+    mark("candidate join+distinct")
+    val n = Dedup.incrementalNearDupPairs(docs, 0.5).count()
+    mark(s"full d10 from cache ($n pairs)")
+    spark.stop()
+  }
+
   /** s7 candidate-volume decomposition: is sf10→sf30 growth the pair
     * budget (algorithmic) or the verify/execution regime? */
   def profileS7Volume(dir: String): Unit = {
