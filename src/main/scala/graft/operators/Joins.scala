@@ -587,6 +587,49 @@ object Joins {
       .orderBy("n_name")
   }
 
+  /** Q14-shape conditional fraction: the share of one month's revenue that
+    * came from PROMO-type parts — numerator and denominator are decimal
+    * sums over the SAME joined frame (one pass, map-side partials), and
+    * the percentage is one double division of two decimal-exact values, so
+    * both engines compute the identical IEEE result. Part broadcasts;
+    * the date filter pushes to the lineitem scan. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0))).cast(DecimalType(38, 4)).cast("double") /
+        sum(rev).cast(DecimalType(38, 4)).cast("double")).as("promo_revenue"))
+  }
+
+  /** Q19-shape disjunctive-predicate join: revenue from three brand ×
+    * size-range × quantity-range bundles, OR'ed together. The scale point
+    * is that the OR block must stay a RESIDUAL on an equi join — the
+    * partkey equality is common to every disjunct, so the plan is one
+    * broadcast hash join with the disjunction evaluated post-match
+    * (PlanSpec-pinned); an engine that can't factor the conjunction out
+    * of the OR falls into a cartesian. One row out. */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+    val pt = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val bundle =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey") && bundle)
+      .agg(Aggregates.sumMoney(
+        dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .as("revenue"))
+  }
+
   /** J10 (extension): SCD2 point-in-time lookup — the consumption side of
     * the [[Aggregates.scd2]] dimension build: each purchase event is
     * enriched with the dimension version valid AT its event time. Because
@@ -771,7 +814,9 @@ object Joins {
     "q17_small_qty" -> (q17SmallQty _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q15_top_supplier" -> (q15TopSupplier _),
-    "q22_inactive_rich" -> (q22InactiveRich _)
+    "q22_inactive_rich" -> (q22InactiveRich _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q19_discounted_revenue" -> (q19DiscountedRevenue _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -1017,6 +1062,24 @@ object Joins {
         |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         |    < (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem l2
         |       WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT 100.0 *
+        |  CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))
+        |    ELSE 0 END) AS DECIMAL(38,4)) AS DOUBLE) /
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     // the literal Q2 form: a correlated = (SELECT MIN ...) per outer row
     "q2_min_cost_supplier" ->
       """SELECT p_partkey, p_brand, s_name, n_name, min_price

@@ -461,6 +461,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q19's disjunctive predicate stays a residual on the partkey equi join") {
+    val p = planNoAutoBroadcast("q19_discounted_revenue")
+    // the partkey equality is common to every disjunct: the plan must be
+    // one hash join with the OR block evaluated post-match — an engine
+    // that can't factor it out of the OR falls into a nested loop
+    assert(p.contains("BroadcastHashJoin"), s"q19:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q19: the OR block must not degrade the join:\n$p")
+  }
+
   test("q21 decorrelates both EXISTS branches into one lineitem exchange") {
     val p = planNoAutoBroadcast("q21_waiting_suppliers")
     // exactly: lineitem's one l_orderkey repartition (both rollups and the
