@@ -147,10 +147,14 @@ object Dedup {
   private[dedup] def ngramJaccardChoose(docs: DataFrame,
                                         threshold: Double): (String, DataFrame) = {
     val sh = graft.util.Caches.scoped(shingleRows(docs))
-    val r = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val row = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .agg((sum(col("df") * col("df")).cast("double") /
         sum(col("df")).cast("double")).as("r"))
-      .head.getDouble(0)
+      .head
+    // empty corpus (zero shingle rows): the sums are NULL — route to the
+    // naive path, which returns the same empty pair frame the explicit
+    // variants do, instead of NPEing on getDouble
+    val r = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
     if (r <= ngramNaiveMaxRatio) ("naive", ngramJaccardPairs(docs, threshold))
     else ("prefix", ngramJaccardPairsPrefix(docs, threshold))
   }

@@ -407,26 +407,34 @@ object Graph {
     // Wedge generation: ORIENTED ADJACENCY + in-array pairing (the same
     // shape as g2's basket build), not a self-join. One m-row exchange on
     // the apex replaces the former TWO apex repartitions + sort-merge
-    // self-join, and the pair transform emits each wedge ONCE (k1 < k2 by
+    // self-join, and the pairing emits each wedge ONCE (k1 < k2 by
     // construction: sort_array orders neighbors by tk, strict because tk
     // is unique) where the join emitted Σoutdeg² rows and filtered half
     // AFTER materializing them (measured: this stage 3.2 s → 2.0 s at
     // sf0.1). The m-derived partition count still bounds every task's
-    // wedge output — the 120M-edge pointer-array failure mode; per-apex
-    // fan-out is outdeg² ≤ O(m) by the orientation's √m out-degree cap,
-    // identical to the self-join's per-key group volume. Neighbor lists
-    // are ≤ O(√m) structs (~350 KB at 120M edges) — bounded, and the
-    // explode streams pairs straight into the next shuffle's writer.
+    // wedge output — the 120M-edge pointer-array failure mode.
+    //
+    // Pairing is a TWO-generator chain, not one flatten(transform(...)):
+    // a single flattened pair array is outdeg²/2 structs materialized in
+    // ONE row before its explode, and the orientation only caps outdeg at
+    // O(√m) — a max-out-degree apex (a large surviving clique) would
+    // build an O(m)-element array, gigabytes at 10⁸ edges. Exploding the
+    // neighbor list FIRST (posexplode) and slicing the tail per exploded
+    // row keeps every materialized value O(outdeg) = O(√m) — ~350 KB at
+    // 120M edges — while the generators stream the same Σoutdeg² total
+    // volume row-by-row into the shuffle writer. Carrying ns across the
+    // first generator duplicates O(outdeg) bytes per neighbor, Σoutdeg²
+    // total — the same order as the wedge volume itself, and it never
+    // crosses the network (both generators live in one stage).
     val adjO = oriented
       .repartition(closeParts, col("s"))
       .groupBy("s")
       .agg(sort_array(collect_list(struct(col("tk"), col("t")))).as("ns"))
     val wedges = adjO
-      .select(col("s"), explode(expr(
-        "flatten(transform(ns, (x, i) -> " +
-          "transform(slice(ns, i + 2, size(ns)), y -> struct(x.t AS t1, y.t AS t2))))"
-      )).as("w"))
-      .select(col("s"), pack(col("w.t1"), col("w.t2")).as("ck"))
+      .select(col("s"), col("ns"), posexplode(col("ns")))
+      .select(col("s"), col("col.t").as("t1"),
+        explode(expr("transform(slice(ns, pos + 2, size(ns)), y -> y.t)")).as("t2"))
+      .select(col("s"), pack(col("t1"), col("t2")).as("ck"))
     val closed = wedges.filter(mightClose(col("ck")))
       .repartition(closeParts, col("ck"))
       .join(packedE.repartition(closeParts, col("ck")).hint("SHUFFLE_HASH"), "ck")

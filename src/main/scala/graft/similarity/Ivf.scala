@@ -444,8 +444,9 @@ object Ivf {
         |    AS centroid
         |FROM q GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "s3b_knn_ivf_anchor" -> s3bSql,
-    // the oracle gate runs at sf0.01 (n = 2000 ≤ flatQuantizerMaxN):
-    // dispatch deterministically routes to the flat anchor variant there
+    // the oracle gate runs at sf0.01 (n = 500 ≤ flatQuantizerMaxN; the
+    // calibration table above records the tier cardinalities): dispatch
+    // deterministically routes to the flat anchor variant there
     "s3d_knn_auto" -> s3bSql,
     "s3c_knn_ivf_2level" ->
       s"""WITH params AS (

@@ -173,6 +173,18 @@ object Pdf {
 
   private class Doc(bytes: Array[Byte]) {
     val s = new String(bytes, "ISO-8859-1")
+    /** Corrupt-/Length plausibility: a declared stream end `de` is trusted
+      * only when it lands inside the file and `endstream` follows within 8
+      * bytes of pure whitespace. ONE predicate shared by the object sweep
+      * and streamDataIn — two copies with different criteria would compute
+      * different stream ends for the same marginally-corrupt object. */
+    private def lengthPlausible(streamAt: Int, de: Long): Boolean =
+      de >= streamAt && de <= s.length - 9 && {
+        val es = s.indexOf("endstream", de.toInt)
+        es >= 0 && es - de <= 8 &&
+          s.substring(de.toInt, es).forall(c =>
+            c == '\r' || c == '\n' || c == ' ' || c == '\t')
+      }
     /** All body objects: classic `N G obj` bodies scanned directly (xref
       * ignored — robust to linearized or truncated files), then every
       * /Type /ObjStm stream inflated and its packed objects parsed in — the
@@ -221,14 +233,12 @@ object Pdf {
                   // parse. Distrust the length when it overruns the file
                   // or isn't followed closely by `endstream`, and fall
                   // back to the nearest `endstream` after streamAt.
+                  // The predicate is SHARED with streamDataIn so the sweep
+                  // and extraction can never compute different stream ends
+                  // for the same marginally-corrupt object.
                   val de = streamAt.toLong + directLen.toLong
-                  val plausible = de >= streamAt && de <= s.length - 9 && {
-                    val es = s.indexOf("endstream", de.toInt)
-                    es >= 0 && es - de <= 8 &&
-                      s.substring(de.toInt, es).forall(c =>
-                        c == '\r' || c == '\n' || c == ' ' || c == '\t')
-                  }
-                  if (plausible) de.toInt else s.indexOf("endstream", streamAt)
+                  if (lengthPlausible(streamAt, de)) de.toInt
+                  else s.indexOf("endstream", streamAt)
                 } else s.indexOf("endstream", streamAt)
               val esIdx = s.indexOf("endstream", math.max(streamAt, dataEnd))
               covered = if (esIdx >= 0) esIdx + "endstream".length
@@ -275,16 +285,13 @@ object Pdf {
       val o = objs.getOrElse(n, return Array.empty)
       if (o.streamAt < 0) return Array.empty
       val len = numOf(dictGetIn(objs, o.dict, "Length"), -1).toInt
-      // same corrupt-/Length guard as the object sweep: a direct length
-      // that overruns the file or is not closely followed by `endstream`
-      // is distrusted in favor of the endstream scan
+      // same corrupt-/Length guard as the object sweep — literally the
+      // SAME predicate (lengthPlausible), so both code paths compute one
+      // stream end for the same marginally-corrupt object
       val end = {
         val de = if (len >= 0) o.streamAt.toLong + len.toLong else -1L
-        val plausible = de >= o.streamAt && de <= s.length - 9 && {
-          val es = s.indexOf("endstream", de.toInt)
-          es >= 0 && es - de <= 8
-        }
-        if (plausible) de.toInt else s.indexOf("endstream", o.streamAt)
+        if (len >= 0 && lengthPlausible(o.streamAt, de)) de.toInt
+        else s.indexOf("endstream", o.streamAt)
       }
       val raw = java.util.Arrays.copyOfRange(bytes, o.streamAt, end)
       // /Filter is a name or a cascade array, applied in order; the

@@ -67,6 +67,16 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet === bNaive)
   }
 
+  test("d2 dispatch on an empty corpus returns an empty pair frame, not NPE") {
+    // zero shingle rows make the deciding-statistic sums NULL; the router
+    // must treat that as r=0 (naive path) and return the same empty frame
+    // the explicit variants do (ADVICE round-11 finding)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (choice, out) = Dedup.ngramJaccardChoose(empty, 0.5)
+    assert(choice === "naive")
+    assert(out.count() === 0)
+  }
+
   test("SimHash puts near-dup pairs at small Hamming distance") {
     val nearDups = Dedup.ngramJaccardPairs(docs, 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet

@@ -105,6 +105,19 @@ class GraphSpec extends SparkSpec {
     assert(got === perVertex.filter(_._2 > 0L).toMap)
   }
 
+  test("triangleCounts on a clique (max-out-degree apex shape)") {
+    // K25: C(25,3)=2300 triangles, each vertex in C(24,2)=276. A clique is
+    // the worst case for per-apex wedge fan-out (the lowest-ordered vertex
+    // keeps ALL its edges under the orientation) — the shape the two-
+    // generator pairing chain must handle without materializing an
+    // outdeg²/2 pair array in one row (ADVICE round-11 medium finding).
+    val k = 25L
+    val e = (for (u <- 1L to k; v <- (u + 1) to k) yield (u, v)).toDF("u", "v")
+    val r = Graph.triangleCounts(e)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r === (1L to k).map(_ -> 276L).toMap)
+  }
+
   test("bfsHops matches brute-force BFS on a pseudo-random graph") {
     val n = 20L
     val all = for (u <- 1L to n; v <- 1L to n if u != v) yield (u, v)
