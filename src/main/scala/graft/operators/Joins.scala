@@ -630,6 +630,174 @@ object Joins {
         .as("revenue"))
   }
 
+  /** Q6-shape forecast-revenue filter-sum: one scan, zero joins — the whole
+    * query is a pushed-down predicate bundle and one decimal sum. At 100 TB
+    * the plan IS the scan: the date/discount/quantity filters reach the
+    * parquet reader (PushedFilters), partial aggregation leaves one 1-row
+    * partial per task, and only those partials shuffle. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(Aggregates.sumMoney(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .as("revenue"))
+
+  /** Q7-shape volume shipping: revenue flow between two nations by ship
+    * year, both directions. The spec's nation-pair disjunction factors into
+    * single-nation prefilters on each broadcast dim chain — suppliers and
+    * customers outside the pair never reach the fact join — plus a cheap
+    * "different endpoints" residual, so the only shuffle is lineitem⋈orders,
+    * already thinned map-side to the two nations' suppliers. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_3", "NATION_9"))
+      .select("n_nationkey", "n_name")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(Aggregates.sumMoney(
+        dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q8-shape national market share: of the ECONOMY-part revenue sold to one
+    * region's customers over two years, the fraction supplied by one nation,
+    * per order year. The share is two decimal sums over ONE joined pass (a
+    * conditional numerator, the q14 discipline) divided once in double at
+    * the output boundary. The dim chain (part filter, supplier→nation,
+    * customer→nation→region) broadcasts and prunes the fact stream before
+    * its only shuffle — the q9 contract, PlanSpec-pinned. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY").select("p_partkey")
+    val suppN = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val regionCust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val rev = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_year")
+      .agg((sum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0)))
+        .cast(DecimalType(38, 4)).cast("double") /
+        sum(rev).cast(DecimalType(38, 4)).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q10-shape returned items: the 20 customers with the most revenue lost
+    * to returns in one quarter. The return-flag filter pushes to the
+    * lineitem scan, orders is date-pruned before the fact join, and the
+    * per-customer rollup happens on the fact key BEFORE customer/nation
+    * attach (broadcast onto an already-reduced frame) — at 100 TB nothing
+    * wider than (custkey, revenue) survives the shuffle. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(Aggregates.sumMoney(
+        dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).as("revenue"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q11-shape important stock (lineitem stands in for the schema's missing
+    * partsupp): parts whose supply value from one nation's suppliers exceeds
+    * a fixed fraction of that nation's total. The scalar subquery is a 1-ROW
+    * aggregate over the cache-shared per-part rollup broadcast back (the
+    * q15/q22 pattern) — never an unpartitioned window. The HAVING comparison
+    * runs in exact INTEGER cents (value_c·10⁴ > Σvalue_c, both BIGINT:
+    * cents·quantity sums stay < 2⁶³ up to ~3·10¹⁸ cents ≈ 10¹² fact rows —
+    * and no decimal/double rounding the engines could disagree on). */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    // exact integer carrier: 2-decimal price → cents (decimal-exact cast,
+    // then an exact long), × integral quantity
+    val cents = (dec(col("l_extendedprice")) * lit(100)).cast("long") *
+      col("l_quantity").cast("long")
+    val sv = graft.util.Caches.scoped(Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey"), cents.as("cents"))
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("cents")).as("value_c")))
+    val total = sv.agg(sum(col("value_c")).as("total_c"))
+    sv.crossJoin(broadcast(total))
+      .filter(col("value_c") * lit(10000L) > col("total_c"))
+      .select(col("l_partkey").as("p_partkey"),
+        (col("value_c").cast("double") / lit(100.0)).as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** Q12-shape shipmode priority (schema analog: l_returnflag stands in for
+    * the missing l_shipmode, and "late" = shipped more than 60 days after
+    * the order date, echoing Q12's commit/receipt-date comparisons):
+    * conditional high/low-priority line counts per class over ONE
+    * lineitem⋈orders join, the lateness predicate a residual on the equi
+    * join — never a band join. 3-row output. */
+  def q12ShipmodePriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag").as("ship_class"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("ship_class")
+  }
+
   /** J10 (extension): SCD2 point-in-time lookup — the consumption side of
     * the [[Aggregates.scd2]] dimension build: each purchase event is
     * enriched with the dimension version valid AT its event time. Because
@@ -816,7 +984,13 @@ object Joins {
     "q15_top_supplier" -> (q15TopSupplier _),
     "q22_inactive_rich" -> (q22InactiveRich _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
-    "q19_discounted_revenue" -> (q19DiscountedRevenue _)
+    "q19_discounted_revenue" -> (q19DiscountedRevenue _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q11_important_stock" -> (q11ImportantStock _),
+    "q12_shipmode_priority" -> (q12ShipmodePriority _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -945,6 +1119,78 @@ object Joins {
         |FROM iv a JOIN iv b
         |  ON a.user_id < b.user_id AND a.t0 <= b.t1 AND b.t0 <= a.t1
         |ORDER BY a_user, a_session, b_user, b_session""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |               CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |               CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+        |    OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS DECIMAL(38,4)) AS DOUBLE) /
+        |  CAST(CAST(SUM(vol) AS DECIMAL(38,4)) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+        |    AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |    AND s_nationkey = n2.n_nationkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND p_type = 'ECONOMY') t
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |               CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // exact integer-cents arithmetic on both sides: value_c·10⁴ > Σvalue_c,
+    // no decimal/double rounding an engine could disagree on (DuckDB's SUM
+    // over BIGINT widens to HUGEINT — cast back; the decimal→BIGINT cents
+    // cast is exact because prices carry 2 decimals)
+    "q11_important_stock" ->
+      """WITH sv AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) *
+        |             CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_c
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS p_partkey,
+        |  CAST(value_c AS DOUBLE) / 100.0 AS part_value
+        |FROM sv
+        |WHERE value_c * 10000 > (SELECT CAST(SUM(value_c) AS BIGINT) FROM sv)
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+    "q12_shipmode_priority" ->
+      """SELECT l_returnflag AS ship_class,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY ship_class ORDER BY ship_class""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *

@@ -453,6 +453,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q8 dim chain broadcasts and prunes the fact before its only shuffle") {
+    val p = planNoAutoBroadcast("q8_market_share")
+    // part filter, supplier→nation, customer→nation→region all ride
+    // explicit broadcast hints; lineitem⋈orders is the one fact shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5, p)
+    assert(p.contains("SortMergeJoin [l_orderkey"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q11 takes the scalar total as a 1-row broadcast over the cache-shared rollup") {
+    val p = planNoAutoBroadcast("q11_important_stock")
+    // never an unpartitioned window over the per-part rollup
+    assert(!p.contains("Window"), s"q11: no unpartitioned window:\n$p")
+    // the rollup feeds BOTH the scalar total and the HAVING filter via cache
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"q11: the per-part rollup must be cache-shared:\n$p")
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size === 1,
+      s"q11: exactly the 1-row total cross join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q22 decorrelates the scalar avg to a 1-row cross and NOT EXISTS to an anti join") {
     val p = planNoAutoBroadcast("q22_inactive_rich")
     assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size === 1,
