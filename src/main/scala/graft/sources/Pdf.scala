@@ -29,16 +29,22 @@ package graft.sources
   *  - simple-font /Encoding /Differences re-encoding (code → glyph name →
   *    text via an AGL subset; unknown names fall back to the identity
   *    byte, monotone and contained);
-  *  - encrypted files are DETECTED (/Encrypt in a trailer or XRef-stream
-  *    dict) and refused per-file with an actionable message — extraction
-  *    would otherwise emit deterministic garbage.
+  *  - ENCRYPTED files via the PDF 1.7 §7.6 standard security handler with
+  *    an empty user password — the overwhelmingly common bank-statement
+  *    configuration: RC4 40–128 bit (V1/V2, R2/R3) and AES-128-CBC
+  *    (V4/R4, /CFM /AESV2), with /Encrypt + /ID read structurally from
+  *    classic trailers or XRef-stream dicts. The empty password is
+  *    VERIFIED against /U before any decryption; password-protected
+  *    (non-empty user password), V5/AES-256, and custom-handler files are
+  *    refused per-file with an actionable message — extraction would
+  *    otherwise emit deterministic garbage.
   *
   * Not supported (documented boundary, errors are contained per file):
-  * decryption itself, non-Identity CMap encodings, /DecodeParms
-  * predictors (image/xref-stream territory), image filters (DCT/JBIG2/
-  * JPX/CCITT). Those need embedded-font/crypto/codec machinery — the
-  * point where a real deployment swaps in a full library behind the SAME
-  * `Ingest.WordExtractor` seam this object plugs into.
+  * V5/AES-256 decryption, real (non-empty) passwords, non-Identity CMap
+  * encodings, /DecodeParms predictors (image/xref-stream territory),
+  * image filters (DCT/JBIG2/JPX/CCITT). Those need embedded-font/codec
+  * machinery — the point where a real deployment swaps in a full library
+  * behind the SAME `Ingest.WordExtractor` seam this object plugs into.
   *
   * Geometry: PDF user space puts y up; the word table wants screen-style
   * top/bottom (y down from the page top, like pdfplumber). With baseline
@@ -169,7 +175,112 @@ object Pdf {
 
   // ---- document model ---------------------------------------------------
 
-  private case class Obj(dict: V, streamAt: Int /* -1 if none */ )
+  private case class Obj(dict: V, streamAt: Int /* -1 if none */,
+                         gen: Int = 0 /* generation — decryption key input */)
+
+  /** Per-document decryption state for the standard security handler:
+    * the file key (Algorithm 2, verified against /U) plus which cipher
+    * streams ride ("rc4" | "aes" | "identity"). Per-object keys per
+    * §7.6.2: MD5(fileKey ‖ objnum₂₄LE ‖ gen₁₆LE [‖ "sAlT"]), truncated to
+    * min(len+5, 16). */
+  private[sources] final class Crypt(fileKey: Array[Byte], stmCipher: String) {
+    def decryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      stmCipher match {
+        case "identity" => data
+        case "rc4" => PdfCrypt.rc4(objKey(num, gen, aesSalt = false), data)
+        case "aes" => PdfCrypt.aesCbcDecrypt(objKey(num, gen, aesSalt = true), data)
+      }
+    private def objKey(num: Int, gen: Int, aesSalt: Boolean): Array[Byte] = {
+      val ext = fileKey ++ Array[Byte](
+        (num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
+        (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte) ++
+        (if (aesSalt) Array[Byte](0x73, 0x41, 0x6c, 0x54) else Array.empty[Byte])
+      PdfCrypt.md5(ext).take(math.min(fileKey.length + 5, 16))
+    }
+  }
+
+  /** PDF 1.7 §7.6 standard security handler primitives (decrypt side; all
+    * public-spec algorithms). Matches the reference capability at
+    * `pdf_parser.py:132`, where pdfplumber/pdfminer reads password-free
+    * encrypted statements through its own handler. */
+  private[sources] object PdfCrypt {
+    /** §7.6.3.3 standard padding string. */
+    val PAD: Array[Byte] = Array(
+      0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+      0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+    def md5(bs: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      bs.foreach(d.update)
+      d.digest()
+    }
+
+    /** RC4 (KSA + PRGA — the public algorithm). */
+    def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val sbox = Array.tabulate(256)(_.toByte)
+      var j = 0
+      var i = 0
+      while (i < 256) {
+        j = (j + sbox(i) + key(i % key.length)) & 0xff
+        val t = sbox(i); sbox(i) = sbox(j); sbox(j) = t
+        i += 1
+      }
+      val out = new Array[Byte](data.length)
+      var a = 0; var b = 0
+      var k = 0
+      while (k < data.length) {
+        a = (a + 1) & 0xff
+        b = (b + sbox(a)) & 0xff
+        val t = sbox(a); sbox(a) = sbox(b); sbox(b) = t
+        out(k) = (data(k) ^ sbox((sbox(a) + sbox(b)) & 0xff)).toByte
+        k += 1
+      }
+      out
+    }
+
+    /** AESV2 stream layout: 16-byte IV prefix, AES-128-CBC body, PKCS#7
+      * padding stripped manually (NoPadding cipher so a writer with broken
+      * padding still decrypts; javax.crypto AES is JDK-standard). */
+    def aesCbcDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      if (data.length < 32) return Array.empty
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(data, 0, 16))
+      val body = c.doFinal(data, 16, (data.length - 16) / 16 * 16)
+      val padLen = body.last & 0xff
+      if (padLen >= 1 && padLen <= 16 && padLen <= body.length)
+        java.util.Arrays.copyOfRange(body, 0, body.length - padLen)
+      else body
+    }
+
+    /** Algorithm 2: file encryption key from the EMPTY user password. */
+    def fileKey(o: Array[Byte], p: Int, id0: Array[Byte], r: Int,
+                keyBytes: Int, encryptMetadata: Boolean): Array[Byte] = {
+      val pLe = Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+        ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+      val tail =
+        if (r >= 4 && !encryptMetadata)
+          Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+        else Array.empty[Byte]
+      var h = md5(PAD, o, pLe, id0, tail)
+      if (r >= 3) { var i = 0; while (i < 50) { h = md5(h.take(keyBytes)); i += 1 } }
+      h.take(keyBytes)
+    }
+
+    /** Algorithm 4 (R2) / Algorithm 5 (R3+): the /U value the empty user
+      * password produces — equality against the stored /U (full 32 bytes
+      * for R2, first 16 for R3+) verifies the password. */
+    def userCheck(key: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+      if (r == 2) rc4(key, PAD)
+      else {
+        var t = rc4(key, md5(PAD, id0))
+        var i = 1
+        while (i <= 19) { t = rc4(key.map(b => (b ^ i).toByte), t); i += 1 }
+        t
+      }
+  }
 
   private class Doc(bytes: Array[Byte]) {
     val s = new String(bytes, "ISO-8859-1")
@@ -185,13 +296,14 @@ object Pdf {
           s.substring(de.toInt, es).forall(c =>
             c == '\r' || c == '\n' || c == ' ' || c == '\t')
       }
-    /** All body objects: classic `N G obj` bodies scanned directly (xref
-      * ignored — robust to linearized or truncated files), then every
-      * /Type /ObjStm stream inflated and its packed objects parsed in — the
-      * layout modern writers emit. Classic definitions win on collision
-      * (incremental updates append classic objects). */
-    val objects: Map[Int, Obj] = {
-      val objRe = "(?s)(\\d+)\\s+\\d+\\s+obj\\b".r
+    /** Classic `N G obj` bodies scanned directly (xref ignored — robust to
+      * linearized or truncated files). Built FIRST and separately from
+      * [[objects]]: encryption setup needs the classic map (the /Encrypt
+      * dict is always a classic object — the spec forbids packing it), and
+      * ObjStm unpacking needs encryption (packed streams are enciphered
+      * like any other stream). */
+    private val classicObjs: Map[Int, Obj] = {
+      val objRe = "(?s)(\\d+)\\s+(\\d+)\\s+obj\\b".r
       // Linear sweep with a covered-until cursor: a compressed stream body
       // can contain `N G obj` by CHANCE, and accepting such a hit would
       // shadow a real object (classic wins over ObjStm-packed on
@@ -244,11 +356,119 @@ object Pdf {
               covered = if (esIdx >= 0) esIdx + "endstream".length
                         else if (dataEnd >= 0) dataEnd else m.end
             }
-            classicB += m.group(1).toInt -> Obj(v, streamAt)
+            classicB += m.group(1).toInt -> Obj(v, streamAt, m.group(2).toInt)
           } catch { case _: RuntimeException => () }
         }
       }
-      val classic = classicB.result()
+      classicB.result()
+    }
+
+    /** Trailer-dict candidates: every `trailer` keyword's dict plus every
+      * XRef-stream dict (packed layouts carry /Encrypt and /ID there).
+      * Structured parse, not a regex — a DIRECT encryption dictionary
+      * (`/Encrypt << … >>`, legal per spec) and entries anywhere in the
+      * trailer are both found (round-11 ADVICE: the old bounded-lookahead
+      * regex missed both shapes). */
+    private val trailerDicts: Seq[Dict] = {
+      val classicTrailers = "trailer".r.findAllMatchIn(s).flatMap { m =>
+        try new Parser(s, m.end).value() match {
+          case d: Dict => Some(d)
+          case _ => None
+        } catch { case _: RuntimeException => None }
+      }.toSeq
+      val xrefDicts = classicObjs.values.flatMap { o =>
+        o.dict match {
+          case d: Dict if d.m.get("Type").contains(Name("XRef")) => Some(d)
+          case _ => None
+        }
+      }.toSeq
+      classicTrailers ++ xrefDicts
+    }
+
+    /** Standard-security-handler state (None = unencrypted): built from the
+      * classic map before ObjStm unpacking, since packed streams are
+      * themselves encrypted. Supported: empty user password, RC4 40–128 bit
+      * (V1/V2 R2/R3) and AES-128-CBC (V4/R4 /CFM /AESV2) — the
+      * configurations real bank statements ship with. Everything else
+      * (V5/AES-256, custom handlers, non-empty user password) is REFUSED
+      * per-file with an actionable message — extraction would otherwise
+      * emit deterministic garbage. */
+    val crypt: Option[Crypt] = {
+      def refuse(why: String): Nothing = throw new IllegalArgumentException(
+        s"encrypted PDF (/Encrypt): $why — decrypt the file first " +
+          "(e.g. `qpdf --decrypt in.pdf out.pdf`) and retry")
+      def strBytes(v: V): Array[Byte] = resolveIn(classicObjs, v) match {
+        case Str(b) => b
+        case _ => Array.empty
+      }
+      trailerDicts.collectFirst {
+        case d if d.m.contains("Encrypt") => d.m("Encrypt")
+      }.map { ev =>
+        val ed = resolveIn(classicObjs, ev)
+        ed match {
+          case Dict(_) => ()
+          case _ => refuse("unreadable encryption dictionary")
+        }
+        if (dictGetIn(classicObjs, ed, "Filter") != Name("Standard"))
+          refuse("non-standard security handler")
+        val v = numOf(dictGetIn(classicObjs, ed, "V"), 0).toInt
+        val r = numOf(dictGetIn(classicObjs, ed, "R"), 2).toInt
+        if (v >= 5 || r >= 5) refuse("AES-256 (V5/R5+) is not supported")
+        if (v == 3) refuse("V=3 custom key algorithm is not supported")
+        val o = strBytes(dictGetIn(classicObjs, ed, "O")).take(32)
+        val u = strBytes(dictGetIn(classicObjs, ed, "U")).take(32)
+        if (o.length < 32 || u.length < 16) refuse("malformed /O or /U value")
+        val p = numOf(dictGetIn(classicObjs, ed, "P"), -1).toLong.toInt
+        val id0 = trailerDicts.collectFirst {
+          case d if d.m.contains("ID") => resolveIn(classicObjs, d.m("ID")) match {
+            case Arr(vs) if vs.nonEmpty => strBytes(vs.head)
+            case _ => Array.empty[Byte]
+          }
+        }.getOrElse(Array.empty[Byte])
+        val encryptMetadata = dictGetIn(classicObjs, ed, "EncryptMetadata") match {
+          case Num(d) => d != 0 // the value parser maps true/false to Num(1)/Num(0)
+          case _ => true
+        }
+        // stream cipher: V1/V2 encrypt every stream with RC4 directly; V4
+        // routes through the named crypt filter (/StmF -> /CF entry's /CFM)
+        val stmCipher: String =
+          if (v <= 2) "rc4"
+          else dictGetIn(classicObjs, ed, "StmF") match {
+            case Name("Identity") | Null => "identity"
+            case Name(stmF) =>
+              dictGetIn(classicObjs,
+                dictGetIn(classicObjs, ed, "CF"), stmF) match {
+                case cf =>
+                  dictGetIn(classicObjs, cf, "CFM") match {
+                    case Name("V2") => "rc4"
+                    case Name("AESV2") => "aes"
+                    case Name("None") | Null => "identity"
+                    case other => refuse(s"crypt filter method $other is not supported")
+                  }
+              }
+            case _ => "identity"
+          }
+        val lengthBits = numOf(dictGetIn(classicObjs, ed, "Length"), 40).toInt
+        val keyBytes = if (v == 1) 5 else math.max(5, math.min(16, lengthBits / 8))
+        val key = PdfCrypt.fileKey(o, p, id0, r, keyBytes, encryptMetadata)
+        // verify the EMPTY user password against /U (Algorithm 4/5);
+        // a mismatch means the file needs a real password — refuse, the
+        // key would decrypt to garbage
+        val uComputed = PdfCrypt.userCheck(key, id0, r)
+        val uOk =
+          if (r == 2) java.util.Arrays.equals(uComputed, u)
+          else java.util.Arrays.equals(uComputed.take(16), u.take(16))
+        if (!uOk) refuse("password-protected (non-empty user password)")
+        new Crypt(key, stmCipher)
+      }
+    }
+
+    /** All body objects: [[classicObjs]] plus every /Type /ObjStm stream
+      * inflated (decrypted first when applicable) and its packed objects
+      * parsed in — the layout modern writers emit. Classic definitions win
+      * on collision (incremental updates append classic objects). */
+    val objects: Map[Int, Obj] = {
+      val classic = classicObjs
       // object streams: /N pairs of (objnum, offset) then the bare objects,
       // offsets relative to /First
       val packed = classic.collect {
@@ -293,7 +513,17 @@ object Pdf {
         if (len >= 0 && lengthPlausible(o.streamAt, de)) de.toInt
         else s.indexOf("endstream", o.streamAt)
       }
-      val raw = java.util.Arrays.copyOfRange(bytes, o.streamAt, end)
+      val rawEnc = java.util.Arrays.copyOfRange(bytes, o.streamAt, end)
+      // decryption precedes filters (§7.6.1: encryption is applied to the
+      // already-filtered bytes, so decode order is decrypt → defilter).
+      // Cross-reference streams are NEVER encrypted (§7.5.8.2).
+      val raw = crypt match {
+        case Some(c) if !(o.dict match {
+          case Dict(m) => m.get("Type").contains(Name("XRef"))
+          case _ => false
+        }) => c.decryptStream(n, o.gen, rawEnc)
+        case _ => rawEnc
+      }
       // /Filter is a name or a cascade array, applied in order; the
       // decoders below cover every non-image filter a text/COA statement
       // producer realistically emits (predictors — /DecodeParms with
@@ -636,22 +866,12 @@ object Pdf {
   /** Extract positioned words from one PDF file. Pages are numbered from 1
     * in document order. */
   def extractWords(content: Array[Byte]): Seq[Word] = {
+    // Encrypted files are handled INSIDE Doc: the standard security handler
+    // (empty user password, RC4/AES-128) decrypts transparently; anything
+    // unsupported (V5, custom handlers, a real password) throws the
+    // actionable refusal from Doc.crypt — contained per-file by the catch
+    // in wordExtractor, never silently garbled.
     val doc = new Doc(content)
-    // Encryption gate: an /Encrypt entry (classic trailer dict or an XRef
-    // stream's dict in packed layouts) means every string and stream is
-    // RC4/AES-enciphered — proceeding would extract deterministic garbage.
-    // Fail the FILE with an actionable message instead (the per-file catch
-    // in wordExtractor contains it); decryption is the documented
-    // library-swap boundary, like the other unsupported producers above.
-    val trailerEnc = "(?s)trailer\\s*<<.{0,2000}?/Encrypt\\s+\\d+\\s+\\d+\\s+R".r
-      .findFirstIn(doc.s).isDefined
-    val xrefEnc = doc.objects.values.exists { o =>
-      doc.dictGet(o.dict, "Type") == Name("XRef") &&
-        (o.dict match { case Dict(m) => m.contains("Encrypt"); case _ => false })
-    }
-    require(!trailerEnc && !xrefEnc,
-      "encrypted PDF (/Encrypt): decryption is not supported — decrypt the " +
-        "file first (e.g. `qpdf --decrypt in.pdf out.pdf`) and retry")
     val catalog = doc.objects.values.map(_.dict)
       .find(d => doc.dictGet(d, "Type") == Name("Catalog"))
       .getOrElse(throw new IllegalArgumentException("no /Catalog — not a PDF?"))
