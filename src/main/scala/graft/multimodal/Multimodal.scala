@@ -93,6 +93,91 @@ object Multimodal {
       .as[Frame]
   }
 
+  // ---- real image-header metadata (mm3) ---------------------------------
+
+  private def be2(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be4(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** A REAL (signature + CRC-valid IHDR) PNG header for the given dims —
+    * what `binaryFile` over an image corpus would hand the parser. */
+  def pngHeader(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val typeAndData = "IHDR".getBytes("ISO-8859-1") ++
+      be4(w) ++ be4(h) ++ Array[Byte](8, 6, 0, 0, 0) // depth 8, RGBA
+    val crc = new java.util.zip.CRC32()
+    crc.update(typeAndData)
+    sig ++ be4(13) ++ typeAndData ++ be4(crc.getValue.toInt)
+  }
+
+  /** A real JPEG marker stream: SOI, JFIF APP0, a COM segment (so the
+    * parser must WALK markers, not assume a fixed SOF offset), baseline
+    * SOF0 with the dims, EOI. */
+  def jpegHeader(w: Int, h: Int): Array[Byte] = {
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be2(16) ++
+      "JFIF\u0000".getBytes("ISO-8859-1") ++ Array[Byte](1, 1, 0) ++
+      be2(72) ++ be2(72) ++ Array[Byte](0, 0)
+    val com = Array(0xff, 0xfe).map(_.toByte) ++ be2(4) ++
+      "ok".getBytes("ISO-8859-1")
+    val sof0 = Array(0xff, 0xc0).map(_.toByte) ++ be2(11) ++
+      Array[Byte](8) ++ be2(h) ++ be2(w) ++ Array[Byte](1, 0x11, 0)
+    val eoi = Array(0xff, 0xd9).map(_.toByte)
+    soi ++ app0 ++ com ++ sof0 ++ eoi
+  }
+
+  /** Synthesize a REAL-format image table from `documents` metadata (even
+    * doc_id → PNG, odd → JPEG; dims derived from n_chars) — stands in for
+    * `binaryFile` over an image corpus, and makes the expected metadata
+    * SQL-reconstructible for the oracle while the bytes stay genuine. */
+  def syntheticImages(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val w = (nChars % 640).toInt + 1
+        val h = (nChars % 480).toInt + 1
+        (id, if (id % 2 == 0) pngHeader(w, h) else jpegHeader(w, h))
+      }
+  }
+
+  /** Dependency-free image-header metadata — NOT a stub: PNG via the
+    * signature + IHDR chunk (big-endian dims, bit depth at offset 24),
+    * JPEG via a marker WALK (APPn/COM/DQT segments skipped by their
+    * declared big-endian lengths until a start-of-frame marker SOFn —
+    * C0–CF minus the non-frame C4/C8/CC — whose payload is precision,
+    * height, width). Returns None for truncated/alien bytes — contained
+    * per file, like the PDF reader. */
+  def imageMeta(content: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    def u2(i: Int): Int = ((content(i) & 0xff) << 8) | (content(i + 1) & 0xff)
+    def u4(i: Int): Int = (u2(i) << 16) | u2(i + 2)
+    if (content.length >= 25 &&
+      (content(0) & 0xff) == 0x89 && content(1) == 'P' &&
+      content(2) == 'N' && content(3) == 'G' &&
+      new String(content, 12, 4, "ISO-8859-1") == "IHDR")
+      Some(("png", u4(16), u4(20), content(24) & 0xff))
+    else if (content.length >= 4 &&
+      (content(0) & 0xff) == 0xff && (content(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 4 <= content.length && (content(i) & 0xff) == 0xff) {
+        val marker = content(i + 1) & 0xff
+        // EOI or start-of-scan before any frame header: no dims to read
+        if (marker == 0xd9 || marker == 0xda) return None
+        val len = u2(i + 2)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (i + 9 > content.length) return None
+          return Some(("jpeg", u2(i + 7), u2(i + 5), content(i + 4) & 0xff))
+        }
+        if (len < 2) return None // malformed segment length
+        i += 2 + len
+      }
+      None
+    } else None
+  }
+
   /** Resize stub: recompute metadata only; a real impl rewrites `content`. */
   def resizeStub(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._

@@ -47,10 +47,37 @@ object MultimodalQueries {
     Multimodal.sampleFrames(Multimodal.syntheticMedia(spark, dir), stepMs = 5000)
       .toDF().orderBy("doc_id", "frame_idx")
 
+  /** mm3: REAL image-header decoding (round-12 ask — "more than a byte
+    * histogram"): the table carries genuine PNG/JPEG bytes (CRC-valid IHDR,
+    * walked marker stream) and [[Multimodal.imageMeta]] parses dims/depth
+    * from the FORMAT, not from row metadata — through the same batched
+    * mapPartitions seam as mm1, so a real pixel decoder slots in behind
+    * the identical plumbing. The oracle reconstructs the expected values
+    * from the documents arithmetic the synthesizer used, closing the
+    * build→parse loop; MultimodalSpec additionally pins hand-assembled
+    * real fixtures (1×1 PNG, EXIF-prefixed JPEG, truncation). */
+  def mm3ImageMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.syntheticImages(spark, dir)
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.batchSize).flatMap { batch =>
+          // per-batch decoder init would go here (mm1 contract)
+          batch.iterator.flatMap { case (id, bytes) =>
+            Multimodal.imageMeta(bytes).map {
+              case (f, w, h, bd) => (id, f, w, h, bd)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "format", "width", "height", "bit_depth")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm1b_media_meta" -> (mm1bMediaMeta _),
-    "mm2_frame_sample" -> (mm2FrameSample _)
+    "mm2_frame_sample" -> (mm2FrameSample _),
+    "mm3_image_meta" -> (mm3ImageMeta _)
   )
 
   /** mm1b's SQL twin reconstructs the synthetic-media metadata from
@@ -98,6 +125,18 @@ object MultimodalQueries {
         |  CAST(n_chars % 640 AS INT) AS width,
         |  CAST(n_chars % 480 AS INT) AS height,
         |  n_chars * 40 AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm3: even doc_id → PNG, odd → JPEG; dims = n_chars % 640/480 + 1,
+    // bit depth 8 in both headers the synthesizer writes. A row surviving
+    // to the hash gate means the REAL format bytes round-tripped through
+    // the real parser to exactly these values — any header/endianness/
+    // marker-walk bug changes the parsed dims and fails the hash.
+    "mm3_image_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(n_chars % 640 + 1 AS INT) AS width,
+        |  CAST(n_chars % 480 + 1 AS INT) AS height,
+        |  CAST(8 AS INT) AS bit_depth
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm2_frame_sample" ->
       """WITH v AS (
