@@ -431,6 +431,15 @@ object SetOpsWindows {
     graft.streaming.StreamOps.clickPurchaseLeftOuter(Tables.events(spark, dir))
       .orderBy("p_id", "c_id")
 
+  /** §2.9 stream-stream FULL OUTER interval join, batch form: unmatched
+    * PURCHASES and unmatched CLICKS both survive null-padded — the EXACT
+    * transform StreamOps.clickPurchaseFullOuter runs under watermarks,
+    * where each side's null rows emit on its own state expiry
+    * (StreamingSpec pins stream ≡ batch and both expiry timings). */
+  def streamIntervalJoinFull(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.clickPurchaseFullOuter(Tables.events(spark, dir))
+      .orderBy(col("p_id").asc_nulls_first, col("c_id").asc_nulls_first)
+
   /** §2.9 landing-pipeline batch twin: at-least-once redelivery (simulated
     * by a self-union) collapsed by key dedup, then the tumbling rollup —
     * the batch form of `StreamOps.dedupedTumblingCounts`. Spark only
@@ -471,6 +480,7 @@ object SetOpsWindows {
     "stream_session" -> (sessionWindowBatch _),
     "stream_interval_join" -> (streamIntervalJoin _),
     "stream_interval_join_outer" -> (streamIntervalJoinOuter _),
+    "stream_interval_join_full" -> (streamIntervalJoinFull _),
     "stream_dedup_agg" -> (streamDedupAgg _)
   )
 
@@ -502,6 +512,15 @@ object SetOpsWindows {
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
         |ORDER BY p_id, c_id""".stripMargin,
+    "stream_interval_join_full" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |  coalesce(p.user_id, c.user_id) AS user_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""".stripMargin,
     "win_range_1h" ->
       """SELECT event_id, user_id,
         |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)

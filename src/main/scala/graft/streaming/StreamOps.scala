@@ -102,6 +102,35 @@ object StreamOps {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** Stream-stream FULL OUTER interval join — the remaining stateful join
+    * mode after [[clickPurchaseLeftOuter]]: BOTH sides' unmatched rows
+    * emit null-padded, each on ITS OWN watermark-driven state expiry. An
+    * unmatched purchase surfaces once the click watermark passes the last
+    * instant a matching click could carry; an unmatched click surfaces
+    * once the purchase watermark passes the last instant a purchase whose
+    * trailing 10-minute window could still cover it. The user key
+    * coalesces across sides so the output schema is total. Same
+    * both-sides-bounded time condition — the GC contract. StreamingSpec
+    * pins final sink ≡ batch AND that null rows for BOTH sides emit only
+    * after the opposing watermark passes. */
+  def clickPurchaseFullOuter(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "full_outer")
+      .select(col("p_id"), col("c_id"),
+        coalesce(col("user_id"), col("c_user")).as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** Stream-static enrichment join: each streaming event picks up its
     * user's dimension attributes from a STATIC (batch) customer frame —
     * the canonical streaming-ETL shape (fact stream ⋈ slowly-refreshed

@@ -196,6 +196,55 @@ class StreamingSpec extends SparkSpec {
     assert(batch === got)
   }
 
+  test("stream-stream FULL OUTER join: BOTH sides' null rows emit only on expiry, final sink = batch") {
+    val data = mkEvents(
+      (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      (2, "2024-01-01 10:05:00", 1, "purchase", 9.0),  // joins click 1
+      (3, "2024-01-01 10:20:00", 1, "purchase", 9.0),  // NO click in window
+      (4, "2024-01-01 10:18:00", 2, "click", 1.0),
+      (5, "2024-01-01 10:19:00", 2, "click", 1.0),
+      (6, "2024-01-01 10:25:00", 2, "purchase", 9.0),  // joins clicks 4 AND 5
+      (7, "2024-01-01 10:30:00", 3, "click", 1.0))     // NO purchase at all
+    val stream = MemoryStream[StreamOps.UserEvent]
+    val q = StreamOps.clickPurchaseFullOuter(stream.toDF()).writeStream
+      .format("memory").queryName("ssfoj").outputMode("append").start()
+    try {
+      stream.addData(data); q.processAllAvailable()
+      // NEITHER side's null row may exist yet: the purchase-side null (3)
+      // waits on the click watermark, the click-side null (7) waits on the
+      // purchase watermark — both-side state expiry is exactly what this
+      // join mode adds over LEFT OUTER
+      val early = spark.table("ssfoj").select("p_id", "c_id")
+        .as[(Option[Long], Option[Long])].collect().toSet
+      assert(!early.contains((Some(3L), None)),
+        s"purchase-side null emitted before watermark expiry: $early")
+      assert(!early.contains((None, Some(7L))),
+        s"click-side null emitted before watermark expiry: $early")
+      // late ticks on BOTH side filters (see the LEFT OUTER test for why),
+      // twice — the watermark lags one batch
+      stream.addData(mkEvents(
+        (99, "2024-01-01 12:00:00", 9, "click", 0.0),
+        (199, "2024-01-01 12:00:00", 8, "purchase", 0.0)))
+      q.processAllAvailable()
+      stream.addData(mkEvents(
+        (100, "2024-01-01 12:40:00", 9, "click", 0.0),
+        (200, "2024-01-01 12:40:00", 8, "purchase", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // tick rows (ids ≥ 99) may or may not have expired by stream end —
+    // assert on the data rows only
+    val got = spark.table("ssfoj").select("p_id", "c_id")
+      .as[(Option[Long], Option[Long])].collect().toSet
+      .filter(r => r._1.exists(_ <= 7L) || r._2.exists(_ <= 7L))
+    assert(got === Set(
+      (Some(2L), Some(1L)), (Some(6L), Some(4L)), (Some(6L), Some(5L)),
+      (Some(3L), None), (None, Some(7L))))
+    // batch execution of the identical transform agrees (nulls immediate)
+    val batch = StreamOps.clickPurchaseFullOuter(data.toDF())
+      .select("p_id", "c_id").as[(Option[Long], Option[Long])].collect().toSet
+    assert(batch === got)
+  }
+
   test("stream-static dim join enriches each micro-batch, stateless") {
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("dim_key", "dim_segment")
     val stream = MemoryStream[StreamOps.UserEvent]
