@@ -16,6 +16,7 @@ object Profile {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("g2")) { profileG2(dir); return }
     if (args.headOption.contains("g2b")) { profileG2Current(dir); return }
+    if (args.headOption.contains("g2floor")) { profileG2Floor(dir); return }
     if (args.headOption.contains("s7vol")) { profileS7Volume(dir); return }
     if (args.headOption.contains("d10")) { profileD10(dir); return }
     if (args.headOption.contains("g1b")) { profileG1b(dir); return }
@@ -328,6 +329,86 @@ object Profile {
     mark(s"A again ($nA2 parts)")
     val nB2 = close(wedgesB)
     mark(s"B again ($nB2 parts)")
+    }
+    spark.stop()
+  }
+
+  /** Round-12 g2 floor decision (VERDICT #8): serialized action-boundary
+    * latencies of the CURRENT implementation at sf0.1, plus a bloom-less
+    * close variant — is any stage cuttable, or is the remainder a floor?
+    * Stages: (1) baskets→edges→materialAdaptive count; (2) bloom build
+    * (the pass that also materializes `oriented`); (3) adjacency + wedge
+    * generators + bloom probe + close join + final rollup, one action;
+    * (4) the same close WITHOUT the bloom probe (is the prune still a win
+    * at this scale, i.e. is cutting it a pessimization?). */
+  def profileG2Floor(dir: String): Unit = {
+    val spark = GraftSession()
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.count() // warm
+    for (it <- 1 to 3) {
+      graft.util.Caches.releaseAll()
+      var tPrev = System.nanoTime()
+      def mark(name: String): Unit = {
+        val now = System.nanoTime()
+        println(f"[g2floor $it] ${(now - tPrev) / 1e9}%8.2fs  $name")
+        tPrev = now
+      }
+      val baskets = li.groupBy("ok").agg(sort_array(collect_set("pk")).as("ps"))
+      val edges = baskets
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+        )).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .distinct()
+      val (e, mEdges) = graft.util.Caches.materialAdaptive(edges)
+      mark(s"1 edges+materialAdaptive (m=$mEdges)")
+      val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val key = (d: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =>
+        d * lit(4294967296L) + id
+      val oriented = graft.util.Caches.materialKnown(e
+        .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+        .select(
+          when(key(col("du"), col("u")) < key(col("dv"), col("v")),
+            struct(col("u").as("s"), col("v").as("t"),
+              key(col("dv"), col("v")).as("tk")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"),
+            key(col("du"), col("u")).as("tk"))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"), col("e.tk").as("tk")), mEdges)
+      val pack = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        a * lit(4294967296L) + b
+      val packedE = oriented.select(pack(col("s"), col("t")).as("ck"))
+      val bloom = packedE.stat.bloomFilter("ck",
+        math.max(1L, math.min(mEdges, 100000000L)), 0.01)
+      mark("2 bloom build (materializes oriented)")
+      val bloomBc = spark.sparkContext.broadcast(bloom)
+      val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val closeParts = math.max(defaultParts, (mEdges / 300000L).toInt + 1)
+      val adjO = oriented
+        .repartition(closeParts, col("s"))
+        .groupBy("s")
+        .agg(sort_array(collect_list(struct(col("tk"), col("t")))).as("ns"))
+      val wedges = adjO
+        .select(col("s"), col("ns"), posexplode(col("ns")))
+        .select(col("s"), col("col.t").as("t1"),
+          explode(expr("transform(slice(ns, pos + 2, size(ns)), y -> y.t)")).as("t2"))
+        .select(col("s"), pack(col("t1"), col("t2")).as("ck"))
+      def close(pruned: org.apache.spark.sql.DataFrame): Long =
+        pruned
+          .repartition(closeParts, col("ck"))
+          .join(packedE.repartition(closeParts, col("ck")).hint("SHUFFLE_HASH"), "ck")
+          .select(explode(array(col("s"),
+            expr("ck div 4294967296"), pmod(col("ck"), lit(4294967296L)))).as("part"))
+          .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+          .count()
+      val n1 = close(wedges.filter(
+        graft.functions.GraftFunctions.bloom_probe(col("ck"), bloomBc)))
+      mark(s"3 wedges+bloomprobe+close+rollup ($n1 parts)")
+      val n2 = close(wedges)
+      mark(s"4 same close WITHOUT bloom ($n2 parts)")
     }
     spark.stop()
   }

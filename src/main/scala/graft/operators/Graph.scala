@@ -305,7 +305,22 @@ object Graph {
     * (on wedge apex, then on the candidate pair) — shuffle-partitionable,
     * no theta join. The orientation key packs (degree, id) into one long:
     * deg·2³² + id, unique because ids are. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  /** Bloom-prune cutover for [[triangleCounts]] (round-12 g2-floor
+    * measurement, this box, min-over-3):
+    *   - sf0.1, m = 1.2M: close WITHOUT bloom 3.1 s vs 3.7 s with + 1.8 s
+    *     build — the probe CPU on 41M wedges plus the build pass exceed
+    *     the shuffle it saves; bloomless g2 is ~2 s faster end-to-end;
+    *   - sf1, m = 12M: the prune saved 31.4 → 7.6 s of the closing phase
+    *     (round-10 measurement) — overwhelming win.
+    * Crossover sits in the (1.2M, 12M) bracket; 2M errs toward KEEPING
+    * the bloom because its wrong-side cost is a ~2 s constant while the
+    * bloomless wrong side shuffles the full Θ(m^1.5) wedge volume. */
+  val bloomMinEdges = 2000000L
+
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCounts(edges, bloomMinEdges)
+
+  def triangleCounts(edges: DataFrame, bloomCutover: Long): DataFrame = {
     // edges: undirected distinct pairs (u, v), u < v, both Long.
     // Materialized SIZE-CONDITIONALLY (Caches.materialAdaptive): the degree
     // count and the orientation join both read it (an unmaterialized edge
@@ -378,16 +393,26 @@ object Graph {
     //     side (the whole point of the prune is that it is huge); hashing
     //     the m/N-rows-per-task edge side instead is the textbook
     //     asymmetric-join choice and stays bounded at any scale.
-    val bloom = packedE.stat.bloomFilter("ck", math.max(1L, math.min(m, 100000000L)), 0.01)
-    val bloomBc = oriented.sparkSession.sparkContext.broadcast(bloom)
-    // Codegen Expression, not a Scala UDF: the probe runs once per WEDGE
-    // (the highest-volume filter in the engine) and a UDF would box every
-    // row and split the stage out of whole-stage codegen. The expression
-    // holds the Broadcast handle, so the bits ship once via torrent, and
-    // resolves the filter once per codegen instance (ExpressionsSpec pins
-    // both the semantics and the codegen participation).
-    val mightClose = (ck: org.apache.spark.sql.Column) =>
-      graft.functions.GraftFunctions.bloom_probe(ck, bloomBc)
+    // The prune is CONDITIONAL on the measured edge count (see
+    // [[bloomMinEdges]]): below the cutover the probe CPU + build pass
+    // exceed the shuffle saved and the whole stage is skipped — the
+    // round-12 g2 small-scale-floor cut. The exactness argument is
+    // unchanged either way (the bloom only ever drops rows the join would
+    // drop). Codegen Expression, not a Scala UDF: the probe runs once per
+    // WEDGE (the highest-volume filter in the engine) and a UDF would box
+    // every row and split the stage out of whole-stage codegen. The
+    // expression holds the Broadcast handle, so the bits ship once via
+    // torrent, and resolves the filter once per codegen instance
+    // (ExpressionsSpec pins both the semantics and the codegen
+    // participation).
+    val mightClose: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      if (m < bloomCutover) None
+      else {
+        val bloom = packedE.stat.bloomFilter("ck",
+          math.max(1L, math.min(m, 100000000L)), 0.01)
+        val bloomBc = oriented.sparkSession.sparkContext.broadcast(bloom)
+        Some(ck => graft.functions.GraftFunctions.bloom_probe(ck, bloomBc))
+      }
     // A bare SHUFFLE_HASH hint is a hard requirement Spark cannot back out
     // of, and with a FIXED partition count the per-task hash relation grows
     // with the corpus — the sf10 curve run caught exactly that failure
@@ -435,7 +460,7 @@ object Graph {
       .select(col("s"), col("col.t").as("t1"),
         explode(expr("transform(slice(ns, pos + 2, size(ns)), y -> y.t)")).as("t2"))
       .select(col("s"), pack(col("t1"), col("t2")).as("ck"))
-    val closed = wedges.filter(mightClose(col("ck")))
+    val closed = mightClose.map(p => wedges.filter(p(col("ck")))).getOrElse(wedges)
       .repartition(closeParts, col("ck"))
       .join(packedE.repartition(closeParts, col("ck")).hint("SHUFFLE_HASH"), "ck")
     closed

@@ -118,6 +118,21 @@ class GraphSpec extends SparkSpec {
     assert(r === (1L to k).map(_ -> 276L).toMap)
   }
 
+  test("triangleCounts bloom-pruned and bloomless paths agree (conditional prune)") {
+    // the round-12 cutover skips the bloom stage below bloomMinEdges; both
+    // code paths must count identically — the prune is exactness-neutral
+    val n = 24L
+    val all = for (u <- 1L to n; v <- (u + 1) to n) yield (u, v)
+    val edges = all.filter { case (u, v) => (u * 2654435761L + v * 40503L) % 3 == 0 }
+      .toDF("u", "v")
+    val noBloom = Graph.triangleCounts(edges, bloomCutover = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val withBloom = Graph.triangleCounts(edges, bloomCutover = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withBloom === noBloom)
+    assert(noBloom.nonEmpty)
+  }
+
   test("bfsHops matches brute-force BFS on a pseudo-random graph") {
     val n = 20L
     val all = for (u <- 1L to n; v <- 1L to n if u != v) yield (u, v)
