@@ -259,7 +259,7 @@ object SemDedup {
         math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt), tau)
     else semDedupDropsTwoLevel(emb, docs, n, tau)
 
-  private[dedup] def chooseSemDedup(n: Long): String =
+  private[graft] def chooseSemDedup(n: Long): String =
     if (n <= semDedupFlatMaxN) "flat" else "two-level"
 
   def d9SemDedup(spark: SparkSession, dir: String): DataFrame = {

@@ -418,7 +418,7 @@ object Ivf {
     else s3cKnnIvf2Level(spark, dir)
   }
 
-  private[similarity] def chooseAnchorIvf(n: Long): String =
+  private[graft] def chooseAnchorIvf(n: Long): String =
     if (n <= flatQuantizerMaxN) "flat" else "two-level"
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
