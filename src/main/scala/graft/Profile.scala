@@ -352,14 +352,11 @@ object Profile {
         println(f"[dispatch $it] ${(now - tPrev) / 1e9}%8.2fs  $name")
         tPrev = now
       }
-      // d2c: r = Σdf²/Σdf over the shingle table (the expensive stat)
-      val sh = graft.text.TextAnalysis.shingleRows(docs)
-      val row = sh.groupBy("s").agg(count(lit(1)).as("df"))
-        .agg((sum(col("df") * col("df")).cast("double") /
-          sum(col("df")).cast("double")).as("r")).head
-      val r = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-      val d2route = if (r <= graft.dedup.Dedup.ngramNaiveMaxRatio) "naive" else "prefix"
-      mark(f"d2c stat r=$r%.1f -> route $d2route")
+      // d2c: the REAL chooser (count + md5 doc sample + shingle df
+      // aggregate with the thinning correction) — its returned frame is
+      // lazy, so only the statistic jobs execute inside the mark
+      val (d2route, _) = graft.dedup.Dedup.ngramJaccardChoose(docs, 0.5)
+      mark(s"d2c stat (sampled chooser) -> route $d2route")
       // d9c / s3d: corpus cardinality (a raw count job — NOT the memo,
       // time the real work the first invocation pays)
       val n = Tables.embeddings(spark, dir).count()

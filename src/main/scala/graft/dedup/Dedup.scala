@@ -133,28 +133,49 @@ object Dedup {
     * plan's grows with the square of the hot-shingle df. */
   val ngramNaiveMaxRatio = 50.0
 
+  /** Docs-sample cap for the d2c deciding statistic. Round-12 sf10
+    * measurement: the EXACT statistic (full shingle df aggregate) cost
+    * 12.4 s — 44% of the naive winner's 28.1 s — so past this cap the
+    * ratio is ESTIMATED from a deterministic md5 hash-sample of documents
+    * with the binomial-thinning correction r ≈ (r̂ − (1−f))/f: a shingle
+    * with corpus df d appears in an f-sample Binomial(d, f) times, so
+    * E[Σd_s²] ≈ f²·Σd² + f(1−f)·Σd and the sampled ratio concentrates on
+    * f·r + (1−f). The regimes the threshold separates (r ≈ 11 / 141 /
+    * 1251) sit orders of magnitude apart — far beyond the estimator's
+    * noise at ≥50k sampled docs. Corpora at or under the cap keep f = 1:
+    * the statistic is EXACT there, so small-corpus routing (every spec
+    * regime and the oracle gate) is bit-identical to round 11. */
+  val dispatchSampleDocs = 50000L
+
   /** D2 auto: ONE public entry point that measures the deciding statistic
     * and routes — the round-11 dispatch ask. The naive/prefix twins stay
     * public for the oracle gate; this is what a user should call, so the
     * scale-killer (naive on boilerplate text, prefix overhead on
     * decorrelated corpora) can no longer be picked silently. The stats
-    * pass costs one shingle aggregation — the prefix path pays the same
-    * df aggregation anyway, and the shingle table is cache-shared with
-    * whichever variant runs (Spark's CacheManager dedups by plan). */
+    * pass is one shingle aggregation over at most [[dispatchSampleDocs]]
+    * sampled documents — sub-10% of either variant's runtime at sf10. */
   def ngramJaccardPairsAuto(docs: DataFrame, threshold: Double): DataFrame =
     ngramJaccardChoose(docs, threshold)._2
 
-  private[dedup] def ngramJaccardChoose(docs: DataFrame,
-                                        threshold: Double): (String, DataFrame) = {
-    val sh = graft.util.Caches.scoped(shingleRows(docs))
-    val row = sh.groupBy("s").agg(count(lit(1)).as("df"))
+  private[graft] def ngramJaccardChoose(docs: DataFrame, threshold: Double,
+                                        sampleCap: Long = dispatchSampleDocs)
+      : (String, DataFrame) = {
+    val n = docs.count()
+    val f = if (n <= sampleCap) 1.0 else sampleCap.toDouble / n
+    val statDocs =
+      if (f >= 1.0) docs
+      else docs.filter(
+        md5Hash60(concat(lit("d2cstat|"), col("doc_id").cast("string")))
+          < lit((f * (1L << 60).toDouble).toLong))
+    val row = shingleRows(statDocs).groupBy("s").agg(count(lit(1)).as("df"))
       .agg((sum(col("df") * col("df")).cast("double") /
         sum(col("df")).cast("double")).as("r"))
       .head
     // empty corpus (zero shingle rows): the sums are NULL — route to the
     // naive path, which returns the same empty pair frame the explicit
     // variants do, instead of NPEing on getDouble
-    val r = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    val rHat = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    val r = if (f >= 1.0) rHat else math.max(0.0, (rHat - (1.0 - f)) / f)
     if (r <= ngramNaiveMaxRatio) ("naive", ngramJaccardPairs(docs, threshold))
     else ("prefix", ngramJaccardPairsPrefix(docs, threshold))
   }

@@ -67,6 +67,28 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet === bNaive)
   }
 
+  test("d2 dispatch statistic sampled past the cap still routes both regimes") {
+    // force sampling (f = 0.5 on the 200-doc boilerplate corpus / f = 0.25
+    // at cap 50 on the decorrelated docs): the binomial-thinning corrected
+    // estimate r ≈ (r̂ − (1−f))/f must land on the same side of the
+    // threshold as the exact statistic — the regimes sit orders of
+    // magnitude apart, which is exactly why sampling is safe
+    val boiler = (0 until 10).map(i => (0 until 8).map(j => s"b${i}_$j").mkString(" "))
+    val bdocs = (0L until 200L).map { d =>
+      val shared = boiler.zipWithIndex.collect { case (s, i) if (d + i) % 2 == 0 => s }
+      val uniq = (0 until 12).map(k => s"u${d}_$k").mkString(" ")
+      (d, (shared :+ uniq).mkString(" "))
+    }.toDF("doc_id", "text")
+    val (bChoice, _) = Dedup.ngramJaccardChoose(bdocs, 0.5, sampleCap = 100L)
+    assert(bChoice === "prefix", "sampled boilerplate stat must still route prefix")
+    val (choice, out) = Dedup.ngramJaccardChoose(docs, 0.5, sampleCap = 50L)
+    assert(choice === "naive", "sampled decorrelated stat must still route naive")
+    // and the routed frame is still the exact naive result
+    assert(out.select("a_id", "b_id").as[(Long, Long)].collect().toSet ===
+      Dedup.ngramJaccardPairs(docs, 0.5)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet)
+  }
+
   test("d2 dispatch on an empty corpus returns an empty pair frame, not NPE") {
     // zero shingle rows make the deciding-statistic sums NULL; the router
     // must treat that as r=0 (naive path) and return the same empty frame
