@@ -29,22 +29,28 @@ package graft.sources
   *  - simple-font /Encoding /Differences re-encoding (code → glyph name →
   *    text via an AGL subset; unknown names fall back to the identity
   *    byte, monotone and contained);
-  *  - ENCRYPTED files via the PDF 1.7 §7.6 standard security handler with
-  *    an empty user password — the overwhelmingly common bank-statement
-  *    configuration: RC4 40–128 bit (V1/V2, R2/R3) and AES-128-CBC
-  *    (V4/R4, /CFM /AESV2), with /Encrypt + /ID read structurally from
-  *    classic trailers or XRef-stream dicts. The empty password is
-  *    VERIFIED against /U before any decryption; password-protected
-  *    (non-empty user password), V5/AES-256, and custom-handler files are
-  *    refused per-file with an actionable message — extraction would
-  *    otherwise emit deterministic garbage.
+  *  - ENCRYPTED files via the standard security handler with an empty
+  *    user password — the overwhelmingly common bank-statement
+  *    configuration: RC4 40–128 bit (V1/V2, R2/R3), AES-128-CBC (V4/R4,
+  *    /CFM /AESV2) per PDF 1.7 §7.6, AND AES-256 (V5/R5/R6, /CFM /AESV3)
+  *    per ISO 32000-2 (Algorithm 2.B key stretching, /UE file-key
+  *    unwrapping) — with /Encrypt + /ID read structurally from classic
+  *    trailers or XRef-stream dicts. The empty password is VERIFIED
+  *    (against /U for legacy revisions, the 2.B validation hash for V5)
+  *    before any decryption; password-protected (non-empty user
+  *    password) and custom-handler files are refused per-file with an
+  *    actionable message — extraction would otherwise emit deterministic
+  *    garbage. Only streams are decrypted: no dictionary STRING on the
+  *    extraction path carries text (show strings live inside content
+  *    streams; /ToUnicode is a stream), so word output matches a
+  *    full-handler reader.
   *
   * Not supported (documented boundary, errors are contained per file):
-  * V5/AES-256 decryption, real (non-empty) passwords, non-Identity CMap
-  * encodings, /DecodeParms predictors (image/xref-stream territory),
-  * image filters (DCT/JBIG2/JPX/CCITT). Those need embedded-font/codec
-  * machinery — the point where a real deployment swaps in a full library
-  * behind the SAME `Ingest.WordExtractor` seam this object plugs into.
+  * real (non-empty) passwords, non-Identity CMap encodings,
+  * /DecodeParms predictors (image/xref-stream territory), image filters
+  * (DCT/JBIG2/JPX/CCITT). Those need embedded-font/codec machinery —
+  * the point where a real deployment swaps in a full library behind the
+  * SAME `Ingest.WordExtractor` seam this object plugs into.
   *
   * Geometry: PDF user space puts y up; the word table wants screen-style
   * top/bottom (y down from the page top, like pdfplumber). With baseline
@@ -189,6 +195,10 @@ object Pdf {
         case "identity" => data
         case "rc4" => PdfCrypt.rc4(objKey(num, gen, aesSalt = false), data)
         case "aes" => PdfCrypt.aesCbcDecrypt(objKey(num, gen, aesSalt = true), data)
+        // V5: the 32-byte file key is used DIRECTLY — no per-object keys
+        // (ISO 32000-2 §7.6.3.2 Note: the object-key derivation step is
+        // dropped for AESV3)
+        case "aes256" => PdfCrypt.aesCbcDecrypt(fileKey, data)
       }
     private def objKey(num: Int, gen: Int, aesSalt: Boolean): Array[Byte] = {
       val ext = fileKey ++ Array[Byte](
@@ -239,20 +249,56 @@ object Pdf {
       out
     }
 
-    /** AESV2 stream layout: 16-byte IV prefix, AES-128-CBC body, PKCS#7
-      * padding stripped manually (NoPadding cipher so a writer with broken
-      * padding still decrypts; javax.crypto AES is JDK-standard). */
+    /** AESV2/AESV3 stream layout: 16-byte IV prefix, AES-CBC body (key
+      * length picks 128 vs 256), PKCS#7 padding stripped manually
+      * (NoPadding cipher so a writer with broken padding still decrypts;
+      * javax.crypto AES is JDK-standard). */
     def aesCbcDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
       if (data.length < 32) return Array.empty
-      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-      c.init(javax.crypto.Cipher.DECRYPT_MODE,
-        new javax.crypto.spec.SecretKeySpec(key, "AES"),
-        new javax.crypto.spec.IvParameterSpec(data, 0, 16))
-      val body = c.doFinal(data, 16, (data.length - 16) / 16 * 16)
+      val body = aesCbcNoPad(decrypt = true, key, data.take(16),
+        java.util.Arrays.copyOfRange(data, 16, 16 + (data.length - 16) / 16 * 16))
       val padLen = body.last & 0xff
       if (padLen >= 1 && padLen <= 16 && padLen <= body.length)
         java.util.Arrays.copyOfRange(body, 0, body.length - padLen)
       else body
+    }
+
+    /** Raw AES-CBC with an explicit IV and no padding — the primitive the
+      * V5 key schedule (Algorithm 2.B rounds, /UE unwrapping) is built on. */
+    def aesCbcNoPad(decrypt: Boolean, key: Array[Byte], iv: Array[Byte],
+                    data: Array[Byte]): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(if (decrypt) javax.crypto.Cipher.DECRYPT_MODE
+             else javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      c.doFinal(data)
+    }
+
+    /** ISO 32000-2 Algorithm 2.B — the V5 password hash. R5 (the interim
+      * Adobe revision) is the plain SHA-256 of password ‖ salt ‖ udata;
+      * R6 adds the 64+ round AES/SHA-256/384/512 stretching loop (the
+      * pdf.js/qpdf-verified formulation: the stop condition reads the
+      * PREVIOUS round's E with the incremented round counter). */
+    def hash2B(pwd: Array[Byte], salt: Array[Byte], udata: Array[Byte],
+               r: Int): Array[Byte] = {
+      def sha(n: Int, b: Array[Byte]): Array[Byte] =
+        java.security.MessageDigest.getInstance(s"SHA-$n").digest(b)
+      var k = sha(256, pwd ++ salt ++ udata)
+      if (r == 5) return k
+      var e = Array[Byte](0)
+      var i = 0
+      while (i < 64 || (e(e.length - 1) & 0xff) > i - 32) {
+        val block = pwd ++ k ++ udata
+        val k1 = new java.io.ByteArrayOutputStream(block.length * 64)
+        var j = 0
+        while (j < 64) { k1.write(block); j += 1 }
+        e = aesCbcNoPad(decrypt = false, k.take(16), k.slice(16, 32), k1.toByteArray)
+        val mod = e.take(16).map(_ & 0xff).sum % 3
+        k = sha(if (mod == 0) 256 else if (mod == 1) 384 else 512, e)
+        i += 1
+      }
+      k.take(32)
     }
 
     /** Algorithm 2: file encryption key from the EMPTY user password. */
@@ -413,27 +459,10 @@ object Pdf {
           refuse("non-standard security handler")
         val v = numOf(dictGetIn(classicObjs, ed, "V"), 0).toInt
         val r = numOf(dictGetIn(classicObjs, ed, "R"), 2).toInt
-        if (v >= 5 || r >= 5) refuse("AES-256 (V5/R5+) is not supported")
-        if (v == 3) refuse("V=3 custom key algorithm is not supported")
-        val o = strBytes(dictGetIn(classicObjs, ed, "O")).take(32)
-        val u = strBytes(dictGetIn(classicObjs, ed, "U")).take(32)
-        if (o.length < 32 || u.length < 16) refuse("malformed /O or /U value")
-        val p = numOf(dictGetIn(classicObjs, ed, "P"), -1).toLong.toInt
-        val id0 = trailerDicts.collectFirst {
-          case d if d.m.contains("ID") => resolveIn(classicObjs, d.m("ID")) match {
-            case Arr(vs) if vs.nonEmpty => strBytes(vs.head)
-            case _ => Array.empty[Byte]
-          }
-        }.getOrElse(Array.empty[Byte])
-        val encryptMetadata = dictGetIn(classicObjs, ed, "EncryptMetadata") match {
-          case Num(d) => d != 0 // the value parser maps true/false to Num(1)/Num(0)
-          case _ => true
-        }
-        // stream cipher: V1/V2 encrypt every stream with RC4 directly; V4
-        // routes through the named crypt filter (/StmF -> /CF entry's /CFM)
-        val stmCipher: String =
-          if (v <= 2) "rc4"
-          else dictGetIn(classicObjs, ed, "StmF") match {
+        // the V4/V5 named-crypt-filter resolution is shared: /StmF names a
+        // /CF entry whose /CFM picks the stream cipher
+        def cfCipher(aesName: String, aesCipher: String): String =
+          dictGetIn(classicObjs, ed, "StmF") match {
             case Name("Identity") | Null => "identity"
             case Name(stmF) =>
               dictGetIn(classicObjs,
@@ -441,25 +470,66 @@ object Pdf {
                 case cf =>
                   dictGetIn(classicObjs, cf, "CFM") match {
                     case Name("V2") => "rc4"
-                    case Name("AESV2") => "aes"
+                    case Name(`aesName`) => aesCipher
                     case Name("None") | Null => "identity"
                     case other => refuse(s"crypt filter method $other is not supported")
                   }
               }
             case _ => "identity"
           }
-        val lengthBits = numOf(dictGetIn(classicObjs, ed, "Length"), 40).toInt
-        val keyBytes = if (v == 1) 5 else math.max(5, math.min(16, lengthBits / 8))
-        val key = PdfCrypt.fileKey(o, p, id0, r, keyBytes, encryptMetadata)
-        // verify the EMPTY user password against /U (Algorithm 4/5);
-        // a mismatch means the file needs a real password — refuse, the
-        // key would decrypt to garbage
-        val uComputed = PdfCrypt.userCheck(key, id0, r)
-        val uOk =
-          if (r == 2) java.util.Arrays.equals(uComputed, u)
-          else java.util.Arrays.equals(uComputed.take(16), u.take(16))
-        if (!uOk) refuse("password-protected (non-empty user password)")
-        new Crypt(key, stmCipher)
+        if (v == 5 && (r == 5 || r == 6)) {
+          // AES-256 (ISO 32000-2 / PDF 2.0): /U is hash(32) ‖ validation
+          // salt(8) ‖ key salt(8); verify the EMPTY user password via
+          // Algorithm 2.B over the validation salt, then unwrap the file
+          // key from /UE with the key-salt hash (AES-256-CBC, zero IV).
+          val u48 = strBytes(dictGetIn(classicObjs, ed, "U")).take(48)
+          if (u48.length < 48) refuse("malformed /U for V5")
+          val uHash = u48.take(32)
+          val vSalt = u48.slice(32, 40)
+          val kSalt = u48.slice(40, 48)
+          val calc = PdfCrypt.hash2B(Array.empty, vSalt, Array.empty, r)
+          if (!java.util.Arrays.equals(calc, uHash))
+            refuse("password-protected (non-empty user password)")
+          val ue = strBytes(dictGetIn(classicObjs, ed, "UE")).take(32)
+          if (ue.length < 32) refuse("malformed /UE for V5")
+          val ik = PdfCrypt.hash2B(Array.empty, kSalt, Array.empty, r)
+          val fileKey = PdfCrypt.aesCbcNoPad(decrypt = true, ik,
+            new Array[Byte](16), ue)
+          new Crypt(fileKey, cfCipher("AESV3", "aes256"))
+        } else {
+          if (v >= 5 || r >= 5) refuse(s"V=$v/R=$r encryption is not supported")
+          if (v == 3) refuse("V=3 custom key algorithm is not supported")
+          val o = strBytes(dictGetIn(classicObjs, ed, "O")).take(32)
+          val u = strBytes(dictGetIn(classicObjs, ed, "U")).take(32)
+          if (o.length < 32 || u.length < 16) refuse("malformed /O or /U value")
+          val p = numOf(dictGetIn(classicObjs, ed, "P"), -1).toLong.toInt
+          val id0 = trailerDicts.collectFirst {
+            case d if d.m.contains("ID") => resolveIn(classicObjs, d.m("ID")) match {
+              case Arr(vs) if vs.nonEmpty => strBytes(vs.head)
+              case _ => Array.empty[Byte]
+            }
+          }.getOrElse(Array.empty[Byte])
+          val encryptMetadata = dictGetIn(classicObjs, ed, "EncryptMetadata") match {
+            case Num(d) => d != 0 // the value parser maps true/false to Num(1)/Num(0)
+            case _ => true
+          }
+          // stream cipher: V1/V2 encrypt every stream with RC4 directly;
+          // V4 routes through the named crypt filter
+          val stmCipher: String =
+            if (v <= 2) "rc4" else cfCipher("AESV2", "aes")
+          val lengthBits = numOf(dictGetIn(classicObjs, ed, "Length"), 40).toInt
+          val keyBytes = if (v == 1) 5 else math.max(5, math.min(16, lengthBits / 8))
+          val key = PdfCrypt.fileKey(o, p, id0, r, keyBytes, encryptMetadata)
+          // verify the EMPTY user password against /U (Algorithm 4/5);
+          // a mismatch means the file needs a real password — refuse, the
+          // key would decrypt to garbage
+          val uComputed = PdfCrypt.userCheck(key, id0, r)
+          val uOk =
+            if (r == 2) java.util.Arrays.equals(uComputed, u)
+            else java.util.Arrays.equals(uComputed.take(16), u.take(16))
+          if (!uOk) refuse("password-protected (non-empty user password)")
+          new Crypt(key, stmCipher)
+        }
       }
     }
 

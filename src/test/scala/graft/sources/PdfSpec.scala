@@ -132,6 +132,50 @@ class PdfSpec extends SparkSpec {
     assert(words === classic)
   }
 
+  test("ENCRYPTED object streams: AES-256 over the packed modern layout") {
+    // the real modern-bank-statement shape: non-stream objects packed in a
+    // FlateDecode /ObjStm, everything encrypted — the ObjStm must be
+    // decrypted BEFORE inflation and its packed objects parsed from the
+    // plaintext; the content stream rides the same decrypt path
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val cs = statementPage1
+    w("%PDF-1.6\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val packed = Seq(
+      2 -> ("<< /Type /Pages /Kids [ 4 0 R ] /Count 1 " +
+        "/MediaBox [ 0 0 612 792 ] >>"),
+      3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+      4 -> ("<< /Type /Page /Parent 2 0 R /Contents 5 0 R " +
+        "/Resources << /Font << /F1 3 0 R >> >> >>"))
+    val bodies = packed.map(_._2)
+    val offsets = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
+    val header = packed.map(_._1).zip(offsets)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + " "
+    val stmData = header + bodies.mkString("\n")
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(stmData.getBytes("ISO-8859-1")); deflater.finish()
+    val buf = new java.io.ByteArrayOutputStream
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
+    // encryption wraps the FILTERED bytes: encrypt(deflate(objstm))
+    val objStmEnc = TestPdfCrypt.v5EncryptBody(6, buf.toByteArray)
+    w(s"6 0 obj\n<< /Type /ObjStm /N ${packed.length} /First ${header.length} " +
+      s"/Length ${objStmEnc.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(objStmEnc)
+    w("\nendstream\nendobj\n")
+    val csEnc = TestPdfCrypt.v5EncryptBody(5, cs.getBytes("ISO-8859-1"))
+    w(s"5 0 obj\n<< /Length ${csEnc.length} >>\nstream\n")
+    out.write(csEnc)
+    w("\nendstream\nendobj\n")
+    w(TestPdfCrypt.v5EncObjAndTrailer(r = 6))
+    w("%%EOF\n")
+    val words = Pdf.extractWords(out.toByteArray)
+    val classic = Pdf.extractWords(mkPdf(Seq(statementPage1), compress = false))
+    assert(words === classic)
+    assert(words.nonEmpty)
+  }
+
   test("CID/Type0 Identity-H: 2-byte CIDs + /W + /ToUnicode extract the classic twin") {
     // Same visible page as statementPage1, but packed the way modern
     // statement producers do: a Type0 font with Identity-H encoding,
@@ -316,7 +360,7 @@ class PdfSpec extends SparkSpec {
     }
   }
 
-  test("password-protected and V5/AES-256 files are refused, not garbled") {
+  test("password-protected files are refused (legacy AND V5), not garbled") {
     val plain = mkPdf(Seq(statementPage1), compress = false)
     // non-empty USER password: the empty-password /U check must fail closed
     val locked = TestPdfCrypt.encryptPdf(plain, "rc4-128",
@@ -324,16 +368,36 @@ class PdfSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { Pdf.extractWords(locked) }
     assert(e.getMessage.contains("password-protected"))
     assert(e.getMessage.contains("qpdf"))
-    // V5/R6 (AES-256): refused before any key derivation
+    // V5/R6 with a real user password: the 2.B validation hash fails closed
+    val lockedV5 = TestPdfCrypt.encryptPdfV5(plain, r = 6,
+      userPwd = "hunter2".getBytes("ISO-8859-1"))
+    val e2 = intercept[IllegalArgumentException] { Pdf.extractWords(lockedV5) }
+    assert(e2.getMessage.contains("password-protected"))
+    // a V5 dict with garbage /U is malformed, refused before key work
     val s = new String(plain, "ISO-8859-1")
-    val v5 = (s.stripSuffix("%%EOF\n") +
+    val v5bad = (s.stripSuffix("%%EOF\n") +
       "90 0 obj\n<< /Filter /Standard /V 5 /R 6 /O <00> /U <00> /P -3904 >>\nendobj\n" +
       s"trailer\n<< /Root 1 0 R /Encrypt 90 0 R /ID [<${TestPdfCrypt.idHex}> <${TestPdfCrypt.idHex}>] >>\n%%EOF\n")
       .getBytes("ISO-8859-1")
-    val e2 = intercept[IllegalArgumentException] { Pdf.extractWords(v5) }
-    assert(e2.getMessage.contains("AES-256"))
-    // both contained per-file by the binaryFile-scan wrapper
+    val e3 = intercept[IllegalArgumentException] { Pdf.extractWords(v5bad) }
+    assert(e3.getMessage.contains("malformed /U"))
+    // all contained per-file by the binaryFile-scan wrapper
     assert(Pdf.wordExtractor("locked.pdf", locked).isEmpty)
+    assert(Pdf.wordExtractor("lockedv5.pdf", lockedV5).isEmpty)
+  }
+
+  test("AES-256 (V5/R6 and the interim R5) twins extract the plain twin's words") {
+    // ISO 32000-2 configuration: Algorithm 2.B validation hash, /UE
+    // file-key unwrap, AESV3 streams keyed by the file key directly —
+    // FlateDecode under the encryption proves decrypt->defilter ordering
+    val plain = mkPdf(Seq(statementPage1, statementPage2), compress = true)
+    val want = Pdf.extractWords(plain)
+    assert(want.nonEmpty)
+    for (r <- Seq(5, 6)) {
+      val enc = TestPdfCrypt.encryptPdfV5(plain, r = r)
+      assert(!new String(enc, "ISO-8859-1").contains("COFFEE"), s"R$r")
+      assert(Pdf.extractWords(enc) === want, s"R$r")
+    }
   }
 
   test("owner-locked file with EMPTY user password decrypts (the common bank config)") {
@@ -583,6 +647,94 @@ object TestPdfCrypt {
 
   val idHex = "0123456789abcdef0123456789abcdef"
   val id0: Array[Byte] = idHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** ISO 32000-2 Algorithm 2.B, test-side copy (R5: plain SHA-256; R6:
+    * the 64+ round stretching loop). */
+  def hash2B(pwd: Array[Byte], salt: Array[Byte], udata: Array[Byte], r: Int): Array[Byte] = {
+    def sha(n: Int, b: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance(s"SHA-$n").digest(b)
+    var k = sha(256, pwd ++ salt ++ udata)
+    if (r == 5) return k
+    var e = Array[Byte](0)
+    var i = 0
+    while (i < 64 || (e(e.length - 1) & 0xff) > i - 32) {
+      val k1 = Array.fill(64)(pwd ++ k ++ udata).flatten
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      e = c.doFinal(k1)
+      val mod = e.take(16).map(_ & 0xff).sum % 3
+      k = sha(if (mod == 0) 256 else if (mod == 1) 384 else 512, e)
+      i += 1
+    }
+    k.take(32)
+  }
+
+  private def aesNoPad(enc: Boolean, key: Array[Byte], iv: Array[Byte],
+                       data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (enc) javax.crypto.Cipher.ENCRYPT_MODE else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** Fixed 32-byte V5 file key for the test fixtures. */
+  val v5FileKey: Array[Byte] =
+    md5("v5-filekey-a".getBytes) ++ md5("v5-filekey-b".getBytes)
+
+  /** AESV3 stream body: deterministic IV prefix + AES-256-CBC with the
+    * file key directly (V5 drops per-object keys), PKCS#7 padded. */
+  def v5EncryptBody(num: Int, body: Array[Byte]): Array[Byte] = {
+    val iv = md5(Array(num.toByte)).take(16)
+    val padLen = 16 - (body.length % 16)
+    iv ++ aesNoPad(enc = true, v5FileKey, iv,
+      body ++ Array.fill(padLen)(padLen.toByte))
+  }
+
+  /** The /Encrypt object (number 90) + trailer for a V5 file keyed by
+    * [[v5FileKey]]: /U, /UE, /O, /OE per ISO 32000-2. */
+  def v5EncObjAndTrailer(r: Int, userPwd: Array[Byte] = Array.empty): String = {
+    val vSalt = "VsaltFix".getBytes("ISO-8859-1")
+    val kSalt = "KsaltFix".getBytes("ISO-8859-1")
+    val u48 = hash2B(userPwd, vSalt, Array.empty, r) ++ vSalt ++ kSalt
+    val ue = aesNoPad(enc = true, hash2B(userPwd, kSalt, Array.empty, r),
+      new Array[Byte](16), v5FileKey)
+    val oVSalt = "ovaltFix".getBytes("ISO-8859-1")
+    val oKSalt = "okaltFix".getBytes("ISO-8859-1")
+    val ownerPwd = "owner-secret".getBytes("ISO-8859-1")
+    val o48 = hash2B(ownerPwd, oVSalt, u48, r) ++ oVSalt ++ oKSalt
+    val oe = aesNoPad(enc = true, hash2B(ownerPwd, oKSalt, u48, r),
+      new Array[Byte](16), v5FileKey)
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    s"90 0 obj\n<< /Filter /Standard /V 5 /R $r /Length 256 " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/O <${hex(o48)}> /U <${hex(u48)}> /OE <${hex(oe)}> /UE <${hex(ue)}> " +
+      "/P -3904 >>\nendobj\n" +
+      s"trailer\n<< /Root 1 0 R /Encrypt 90 0 R /ID [<$idHex> <$idHex>] >>\n"
+  }
+
+  /** AES-256 (V5) encryptor over a TestPdf-produced file. */
+  def encryptPdfV5(plain: Array[Byte], r: Int,
+                   userPwd: Array[Byte] = Array.empty): Array[Byte] = {
+    val s = new String(plain, "ISO-8859-1")
+    val objRe = "(\\d+) 0 obj\\n<< /Length (\\d+)([^>]*)>>\\nstream\\n".r
+    val out = new StringBuilder
+    var pos = 0
+    for (m <- objRe.findAllMatchIn(s)) {
+      val num = m.group(1).toInt
+      val len = m.group(2).toInt
+      out.append(s.substring(pos, m.start))
+      val enc = v5EncryptBody(num, plain.slice(m.end, m.end + len))
+      out.append(s"$num 0 obj\n<< /Length ${enc.length}${m.group(3)}>>\nstream\n")
+      out.append(new String(enc, "ISO-8859-1"))
+      pos = m.end + len
+    }
+    out.append(s.substring(pos))
+    (out.toString.stripSuffix("%%EOF\n") + v5EncObjAndTrailer(r, userPwd) + "%%EOF\n")
+      .getBytes("ISO-8859-1")
+  }
 
   /** Encrypt every stream body of a TestPdf-produced file (rewriting its
     * /Length) and append the /Encrypt object + trailer.
