@@ -15,7 +15,9 @@ package graft.sources
   *    /MediaBox), multiple /Contents streams per page;
   *  - content streams raw or filtered — /FlateDecode (JDK Inflater),
   *    /ASCIIHexDecode, /ASCII85Decode, /RunLengthDecode, /LZWDecode
-  *    (TIFF-style, EarlyChange), including cascade arrays;
+  *    (TIFF-style, EarlyChange), including cascade arrays, plus
+  *    /DecodeParms predictors on Flate/LZW (TIFF /Predictor 2 and the
+  *    PNG filter family ≥ 10 with /Colors //BitsPerComponent //Columns);
   *  - the text state machine: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, TJ
   *    (kerning-aware), ', ", cm, q/Q;
   *  - glyph advances from the font's /Widths + /FirstChar when present,
@@ -46,11 +48,11 @@ package graft.sources
   *    full-handler reader.
   *
   * Not supported (documented boundary, errors are contained per file):
-  * real (non-empty) passwords, non-Identity CMap encodings,
-  * /DecodeParms predictors (image/xref-stream territory), image filters
-  * (DCT/JBIG2/JPX/CCITT). Those need embedded-font/codec machinery —
-  * the point where a real deployment swaps in a full library behind the
-  * SAME `Ingest.WordExtractor` seam this object plugs into.
+  * real (non-empty) passwords, non-Identity CMap encodings, image
+  * filters (DCT/JBIG2/JPX/CCITT). Those need embedded-font/codec
+  * machinery — the point where a real deployment swaps in a full
+  * library behind the SAME `Ingest.WordExtractor` seam this object
+  * plugs into.
   *
   * Geometry: PDF user space puts y up; the word table wants screen-style
   * top/bottom (y down from the page top, like pdfplumber). With baseline
@@ -605,14 +607,33 @@ object Pdf {
         case Null => Seq.empty
         case f => throw new UnsupportedOperationException(s"PDF filter $f")
       }
-      filters.foldLeft(raw) { (d, n) =>
-        n match {
+      // /DecodeParms (or its /DP alias) pairs with /Filter positionally:
+      // an array per filter, or a single dict for a single filter
+      val parmsSeq: Seq[V] = (dictGetIn(objs, o.dict, "DecodeParms") match {
+        case Null => dictGetIn(objs, o.dict, "DP")
+        case x => x
+      }) match {
+        case Arr(vs) => vs.map(resolveIn(objs, _))
+        case Null => Seq.empty
+        case x => Seq(x)
+      }
+      filters.zipWithIndex.foldLeft(raw) { case (d, (n, fi)) =>
+        val dec = n match {
           case "FlateDecode" => inflate(d)
           case "ASCIIHexDecode" => asciiHex(d)
           case "ASCII85Decode" => ascii85(d)
           case "RunLengthDecode" => runLength(d)
           case "LZWDecode" => lzw(d)
           case other => throw new UnsupportedOperationException(s"PDF filter /$other")
+        }
+        parmsSeq.lift(fi).getOrElse(Null) match {
+          case pm @ Dict(_) if n == "FlateDecode" || n == "LZWDecode" =>
+            unpredict(dec,
+              numOf(dictGetIn(objs, pm, "Predictor"), 1).toInt,
+              numOf(dictGetIn(objs, pm, "Colors"), 1).toInt,
+              numOf(dictGetIn(objs, pm, "BitsPerComponent"), 8).toInt,
+              numOf(dictGetIn(objs, pm, "Columns"), 1).toInt)
+          case _ => dec
         }
       }
     }
@@ -621,6 +642,70 @@ object Pdf {
     def dictGet(d: V, k: String): V = dictGetIn(objects, d, k)
     def num(v: V, dflt: Double = 0): Double = numOf(v, dflt)
     def streamData(ref: V): Array[Byte] = streamDataIn(objects, ref)
+  }
+
+  /** /DecodeParms predictor inversion for Flate/LZW streams (PDF 32000-1
+    * §7.4.4.4): TIFF horizontal differencing (/Predictor 2, 8-bit
+    * components) and the PNG filter family (/Predictor ≥ 10 — per-row tag
+    * byte, None/Sub/Up/Average/Paeth per the public PNG spec),
+    * parameterized by /Colors, /BitsPerComponent, /Columns. A short final
+    * row is processed to the bytes available — contained, not fatal. */
+  private def unpredict(data: Array[Byte], pred: Int, colors: Int,
+                        bpc: Int, columns: Int): Array[Byte] = {
+    if (pred <= 1 || data.isEmpty) return data
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowBytes = (colors * bpc * columns + 7) / 8
+    if (pred == 2) {
+      require(bpc == 8, s"TIFF predictor requires 8-bit components, got $bpc")
+      val out = data.clone()
+      var r = 0
+      while (r.toLong * rowBytes < out.length) {
+        val start = r * rowBytes
+        val end = math.min(start + rowBytes, out.length)
+        var i = start + bpp
+        while (i < end) { out(i) = (out(i) + out(i - bpp)).toByte; i += 1 }
+        r += 1
+      }
+      out
+    } else {
+      // PNG: rows of (tag ‖ rowBytes), each unfiltered against the prior
+      // decoded row (zeros above the first row)
+      val stride = rowBytes + 1
+      val nRows = (data.length + stride - 1) / stride
+      val out = new java.io.ByteArrayOutputStream(nRows * rowBytes)
+      val prev = new Array[Byte](rowBytes)
+      var r = 0
+      while (r < nRows) {
+        val start = r * stride
+        val tag = data(start) & 0xff
+        val len = math.min(rowBytes, data.length - start - 1)
+        val cur = new Array[Byte](len)
+        System.arraycopy(data, start + 1, cur, 0, len)
+        var i = 0
+        while (i < len) {
+          val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+          val b = prev(i) & 0xff
+          val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+          val x = cur(i) & 0xff
+          cur(i) = (tag match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case t => throw new UnsupportedOperationException(s"PNG filter tag $t")
+          }).toByte
+          i += 1
+        }
+        out.write(cur, 0, len)
+        System.arraycopy(cur, 0, prev, 0, len)
+        r += 1
+      }
+      out.toByteArray
+    }
   }
 
   /** /ASCIIHexDecode: hex pairs, whitespace ignored, `>` EOD, odd final

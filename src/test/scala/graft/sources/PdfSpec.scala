@@ -325,6 +325,88 @@ class PdfSpec extends SparkSpec {
       a85Enc(buf.toByteArray))) === plain)
   }
 
+  test("/DecodeParms predictors: PNG filter family and TIFF differencing decode the plain twin") {
+    // encoders live HERE: the content stream is predictor-FILTERED then
+    // deflated (decode order is inflate -> unpredict); the PNG side cycles
+    // every tag (None/Sub/Up/Average/Paeth) so each unfilter path is hit
+    val cs = (statementPage1 + statementPage2).getBytes("ISO-8859-1")
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val buf = new java.io.ByteArrayOutputStream
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      buf.toByteArray
+    }
+    def pngEncode(b: Array[Byte], columns: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream
+      val prev = new Array[Byte](columns)
+      var r = 0
+      b.grouped(columns).foreach { row =>
+        val tag = r % 5
+        out.write(tag)
+        val filtered = row.zipWithIndex.map { case (x, i) =>
+          val a = if (i >= 1) row(i - 1) & 0xff else 0
+          val pb = prev(i) & 0xff
+          val c = if (i >= 1) prev(i - 1) & 0xff else 0
+          (tag match {
+            case 0 => x & 0xff
+            case 1 => (x & 0xff) - a
+            case 2 => (x & 0xff) - pb
+            case 3 => (x & 0xff) - (a + pb) / 2
+            case 4 =>
+              val p = a + pb - c
+              val pa = math.abs(p - a); val pbb = math.abs(p - pb); val pc = math.abs(p - c)
+              (x & 0xff) - (if (pa <= pbb && pa <= pc) a else if (pbb <= pc) pb else c)
+          }).toByte
+        }
+        out.write(filtered, 0, filtered.length)
+        java.util.Arrays.fill(prev, 0.toByte)
+        System.arraycopy(row, 0, prev, 0, row.length)
+        r += 1
+      }
+      out.toByteArray
+    }
+    def tiffEncode(b: Array[Byte], columns: Int): Array[Byte] = {
+      val out = b.clone()
+      // difference right-to-left per row so decoding's left-to-right
+      // accumulation inverts it
+      b.indices.grouped(columns).foreach { idx =>
+        idx.reverse.dropRight(1).foreach { i =>
+          out(i) = (b(i) - b(i - 1)).toByte
+        }
+      }
+      out
+    }
+    def pdfWith(parms: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream
+      def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      w("%PDF-1.4\n")
+      w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      w("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 " +
+        "/MediaBox [ 0 0 612 792 ] >>\nendobj\n")
+      w("3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>\nendobj\n")
+      w("4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R " +
+        "/Resources << /Font << /F1 3 0 R >> >> >>\nendobj\n")
+      w(s"5 0 obj\n<< /Length ${body.length} /Filter /FlateDecode " +
+        s"/DecodeParms $parms >>\nstream\n")
+      out.write(body)
+      w("\nendstream\nendobj\n%%EOF\n")
+      out.toByteArray
+    }
+    val plain = Pdf.extractWords(mkPdf(Seq(statementPage1 + statementPage2), compress = false))
+    assert(plain.nonEmpty)
+    // PNG predictor 12 (the value is informational past >=10; the per-row
+    // tag decides), columns 23 -> a ragged final row
+    val png = pdfWith("<< /Predictor 12 /Columns 23 >>",
+      deflate(pngEncode(cs, 23)))
+    assert(Pdf.extractWords(png) === plain)
+    // TIFF predictor 2, columns 13
+    val tiff = pdfWith("<< /Predictor 2 /Columns 13 >>",
+      deflate(tiffEncode(cs, 13)))
+    assert(Pdf.extractWords(tiff) === plain)
+  }
+
   test("encrypted PDF is refused with an actionable message, not garbled") {
     // an /Encrypt trailer entry means all strings/streams are enciphered —
     // extraction must fail the FILE loudly (contained per-file by
