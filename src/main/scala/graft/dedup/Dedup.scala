@@ -115,6 +115,37 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** D11: Broder CONTAINMENT join — the OTHER resemblance metric from the
+    * original shingling paper (Broder, SEQUENCES'97): c(A,B) = |A∩B|/|A|,
+    * the fraction of A's shingles inside B. Where Jaccard finds near-
+    * DUPLICATES, containment finds SUBSET relationships — quoted posts,
+    * boilerplate-wrapped articles, excerpt pages — which resemblance
+    * misses when |B| ≫ |A| (j = |A∩B|/|A∪B| → 0 while c → 1). Directional:
+    * each unordered overlap pair yields both orientations, filtered on
+    * the contained side's ratio. Same inverted-join overlap count as d2
+    * (one shuffle on the shingle key, one on the pair); at corpus scale
+    * the candidate stage routes through the same band index as d10 —
+    * containment ≥ τ implies the pair shares a band with probability the
+    * LSH curve gives, so the exact join here is the small-corpus oracle
+    * form, like naive d2. */
+  def containmentPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val sh = graft.util.Caches.scoped(shingleRows(docs))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.toDF("a_id", "s")
+      .join(sh.toDF("b_id", "s2"), col("s") === col("s2") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
+      .select(explode(array(
+        struct(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+          (col("common").cast("double") / col("na")).as("containment")),
+        struct(col("b_id").as("contained_id"), col("a_id").as("container_id"),
+          (col("common").cast("double") / col("nb")).as("containment")))).as("p"))
+      .select(col("p.contained_id"), col("p.container_id"), col("p.containment"))
+      .filter(col("containment") >= tau)
+  }
+
   /** Measured-stats dispatch threshold for [[ngramJaccardPairsAuto]]: route
     * to the naive inverted join while Σdf²/Σdf ≤ this, else prefix filter.
     * Σdf² is the naive join's exact output volume, Σdf the corpus shingle
@@ -489,6 +520,10 @@ object Dedup {
   def d2NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, dir), 0.5).orderBy("a_id", "b_id")
 
+  def d11Containment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir), 0.6)
+      .orderBy("contained_id", "container_id")
+
   /** d2b: the prefix-filtered SCALE path as its own driver query. Its
     * oracle is the NAIVE all-shingle SQL — a hash match is an independent
     * proof of the Bayardo prefix theorem's zero-false-negative claim on
@@ -578,7 +613,8 @@ object Dedup {
     "d4_simhash" -> (d4Simhash _),
     "d4b_simhash_tight" -> (d4bSimhashTight _),
     "d8_dup_ngram_coverage" -> (d8DupNgramCoverage _),
-    "d10_incremental_neardup" -> (d10IncrementalNearDup _)
+    "d10_incremental_neardup" -> (d10IncrementalNearDup _),
+    "d11_containment" -> (d11Containment _)
   )
 
   private[graft] val shingleSqlCtes =
@@ -623,6 +659,25 @@ object Dedup {
         |SELECT doc_id, fp, lang, n_chars FROM f WHERE doc_id = canon
         |ORDER BY doc_id""".stripMargin,
     "d2_ngram_jaccard" -> d2NaiveSql,
+    // directional Broder containment: both orientations of each overlap
+    // pair, filtered on the CONTAINED side's ratio ("dirs" — `both` is a
+    // DuckDB reserved word)
+    "d11_containment" ->
+      s"""WITH $shingleSqlCtes,
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dirs AS (
+        |  SELECT p.a_id AS contained_id, p.b_id AS container_id,
+        |    CAST(common AS DOUBLE) / sa.n AS containment
+        |  FROM pairs p JOIN sizes sa ON p.a_id = sa.doc_id
+        |  UNION ALL
+        |  SELECT p.b_id, p.a_id, CAST(common AS DOUBLE) / sb.n
+        |  FROM pairs p JOIN sizes sb ON p.b_id = sb.doc_id)
+        |SELECT contained_id, container_id, containment FROM dirs
+        |WHERE containment >= 0.6
+        |ORDER BY contained_id, container_id""".stripMargin,
     // the prefix-filtered path must produce the IDENTICAL pair set — its
     // oracle IS the naive form, so a hash match proves zero false negatives
     "d2b_jaccard_prefix" -> d2NaiveSql,

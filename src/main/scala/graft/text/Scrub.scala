@@ -91,15 +91,69 @@ object Scrub {
       .select("doc_id", "url", "domain")
   }
 
+  /** Deterministic MESSY-URL augmentation for t20: five source variants —
+    * plain, case-mangled scheme+host, explicit default port, reordered
+    * query params + fragment, trailing slash — that all canonicalize to
+    * one URL per doc_id group (doc_id % 100), so the dedup genuinely
+    * collapses cross-variant groups. */
+  private def withMessyUrl(docs: DataFrame): DataFrame = {
+    val k = (col("doc_id") % 100).cast("string")
+    val variant = (col("doc_id") % 5).cast("int")
+    val url = when(variant === 0,
+        concat(lit("http://host"), k, lit(".example.com/a/"), k, lit("?x=1&b=2")))
+      .when(variant === 1,
+        concat(lit("HTTP://HOST"), k, lit(".EXAMPLE.COM/a/"), k, lit("?x=1&b=2")))
+      .when(variant === 2,
+        concat(lit("http://host"), k, lit(".example.com:80/a/"), k, lit("?x=1&b=2")))
+      .when(variant === 3,
+        concat(lit("http://host"), k, lit(".example.com/a/"), k, lit("?b=2&x=1#frag")))
+      .otherwise(
+        concat(lit("http://host"), k, lit(".example.com/a/"), k, lit("/?x=1&b=2")))
+    docs.withColumn("url", url)
+  }
+
+  /** t20: URL canonicalization + canonical-URL dedup — the CommonCrawl-
+    * style "one document per canonical URL" pass. Canonical form:
+    * lowercase scheme+host, default port stripped, fragment dropped,
+    * query params SORTED, trailing path slash removed (root kept). All
+    * pure codegen'd projections (regexp_extract / split / sort_array —
+    * no UDF), then ONE canonical-key shuffle for the keep-lowest-doc_id
+    * election — the d1 exact-dedup shape, so it scales identically. */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = regexp_replace(hostPort,
+      ":80$|:443$", "") // default ports only; other ports survive
+    val path0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = when(path0 === "" || path0 === "/", lit("/"))
+      .otherwise(regexp_replace(path0, "/+$", ""))
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val qSorted = array_join(sort_array(split(query, "&")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), qSorted)))
+  }
+
+  def canonicalUrlDedup(docs: DataFrame): DataFrame = {
+    withMessyUrl(docs)
+      .select(col("doc_id"), canonicalizeUrl(col("url")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_variants"))
+      .orderBy("canonical_url")
+  }
+
   def t11PiiRedact(spark: SparkSession, dir: String): DataFrame =
     redactPii(Tables.documents(spark, dir)).orderBy("doc_id")
 
   def t12UrlExtract(spark: SparkSession, dir: String): DataFrame =
     extractUrls(Tables.documents(spark, dir)).orderBy("doc_id", "url")
 
+  def t20UrlCanonical(spark: SparkSession, dir: String): DataFrame =
+    canonicalUrlDedup(Tables.documents(spark, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_pii_redact" -> (t11PiiRedact _),
-    "t12_url_extract" -> (t12UrlExtract _)
+    "t12_url_extract" -> (t12UrlExtract _),
+    "t20_url_canonical" -> (t20UrlCanonical _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -121,6 +175,36 @@ object Scrub {
         |      '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
         |    '10\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g') AS redacted
         |FROM aug ORDER BY doc_id""".stripMargin,
+    "t20_url_canonical" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN 'http://host' || (doc_id % 100) || '.example.com/a/' || (doc_id % 100) || '?x=1&b=2'
+        |      WHEN 1 THEN 'HTTP://HOST' || (doc_id % 100) || '.EXAMPLE.COM/a/' || (doc_id % 100) || '?x=1&b=2'
+        |      WHEN 2 THEN 'http://host' || (doc_id % 100) || '.example.com:80/a/' || (doc_id % 100) || '?x=1&b=2'
+        |      WHEN 3 THEN 'http://host' || (doc_id % 100) || '.example.com/a/' || (doc_id % 100) || '?b=2&x=1#frag'
+        |      ELSE 'http://host' || (doc_id % 100) || '.example.com/a/' || (doc_id % 100) || '/?x=1&b=2'
+        |    END AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':80$|:443$', '') AS host,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM aug),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN path0 = '' OR path0 = '/' THEN '/'
+        |          ELSE regexp_replace(path0, '/+$', '') END) ||
+        |    (CASE WHEN query = '' THEN ''
+        |          ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END)
+        |    AS canonical_url
+        |  FROM parts)
+        |SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_variants
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     "t12_url_extract" ->
       """WITH aug AS (
         |  SELECT doc_id, text || ' see https://site' || (doc_id % 7)

@@ -99,6 +99,21 @@ class DedupSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("d11 containment finds subset pairs that Jaccard misses") {
+    // B = boilerplate wrapper around A's full text: c(A,B) ≈ 1 while
+    // j(A,B) is small — the excerpt/quote case containment exists for
+    val aText = (1 to 10).map(i => s"core$i").mkString(" ")
+    val bText = (1 to 60).map(i => s"wrap$i").mkString(" ") + " " + aText
+    val docs = Seq((1L, aText), (2L, bText), (3L, "unrelated words entirely here"))
+      .toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(docs, 0.9)
+      .select("contained_id", "container_id").as[(Long, Long)].collect().toSet
+    assert(c === Set((1L, 2L)), "A must be contained in B, never the reverse")
+    val j = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!j.contains((1L, 2L)), "resemblance must miss the subset pair")
+  }
+
   test("SimHash puts near-dup pairs at small Hamming distance") {
     val nearDups = Dedup.ngramJaccardPairs(docs, 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet

@@ -46,6 +46,35 @@ class ScrubSpec extends SparkSpec {
     assert(urls.filter(!col("url").startsWith("http")).count() === 0L)
   }
 
+  test("t20 canonicalization collapses all five messy variants; real ports survive") {
+    val out = Scrub.canonicalUrlDedup(docs).collect()
+    // every canonical group collapses exactly the docs sharing doc_id % 100
+    val n = docs.count()
+    val groups = docs.select((col("doc_id") % 100).as("g")).groupBy("g").count()
+      .as[(Long, Long)].collect().toMap
+    assert(out.length === groups.size)
+    out.foreach { r =>
+      val canon = r.getString(0)
+      // lowercase, portless, fragmentless, params sorted, no trailing slash
+      assert(canon.matches("http://host\\d+\\.example\\.com/a/\\d+\\?b=2&x=1"), canon)
+      val g = canon.replaceAll(".*/a/(\\d+)\\?.*", "$1").toLong
+      assert(r.getLong(2) === groups(g), canon)        // n_variants
+      assert(r.getLong(1) % 100 === g)                 // keeper in the group
+    }
+    // the expression directly on edge-case literals
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(Scrub.canonicalizeUrl(col("u"))).head.getString(0)
+    // :443 strips on https; a NON-default port survives; fragment drops;
+    // params sort; trailing slash strips; host lowercases
+    assert(canon("https://Host.Example.com:443/p/?z=1&a=2#f") ===
+      "https://host.example.com/p?a=2&z=1")
+    assert(canon("https://host.example.com:8443/p") ===
+      "https://host.example.com:8443/p")
+    // root path is kept as "/" (never stripped to empty)
+    assert(canon("http://h.example.com/") === "http://h.example.com/")
+    assert(canon("http://h.example.com") === "http://h.example.com/")
+  }
+
   test("split assignment is total, deterministic, and train-dominant") {
     val s = CorpusOps.splitAssign(docs)
     assert(s.count() === docs.count())
