@@ -73,11 +73,20 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** mm4: the resize stage as a first-class driver query — metadata math
+    * today (the stub recomputes dims; a real impl also rewrites bytes),
+    * truncating IEEE scale arithmetic both engines reproduce exactly. */
+  def mm4ResizeMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeStub(Multimodal.syntheticMedia(spark, dir), maxDim = 100)
+      .toDF().select("doc_id", "media_type", "width", "height")
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm1b_media_meta" -> (mm1bMediaMeta _),
     "mm2_frame_sample" -> (mm2FrameSample _),
-    "mm3_image_meta" -> (mm3ImageMeta _)
+    "mm3_image_meta" -> (mm3ImageMeta _),
+    "mm4_resize_meta" -> (mm4ResizeMeta _)
   )
 
   /** mm1b's SQL twin reconstructs the synthetic-media metadata from
@@ -138,6 +147,21 @@ object MultimodalQueries {
         |  CAST(n_chars % 480 + 1 AS INT) AS height,
         |  CAST(8 AS INT) AS bit_depth
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm4: scale = maxDim / max(w,h) in double, components scaled THEN
+    // truncated (Scala .toInt ≡ DuckDB trunc-then-cast; plain CAST rounds)
+    "mm4_resize_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(n_chars % 640 AS INT) AS w, CAST(n_chars % 480 AS INT) AS h
+        |  FROM documents)
+        |SELECT doc_id, media_type,
+        |  CASE WHEN GREATEST(w, h) <= 100 OR GREATEST(w, h) = 0 THEN w
+        |       ELSE CAST(trunc(w * (100.0 / GREATEST(w, h))) AS INT) END AS width,
+        |  CASE WHEN GREATEST(w, h) <= 100 OR GREATEST(w, h) = 0 THEN h
+        |       ELSE CAST(trunc(h * (100.0 / GREATEST(w, h))) AS INT) END AS height
+        |FROM m ORDER BY doc_id""".stripMargin,
     "mm2_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id, unnest(range(0, (n_chars * 40 - 1) // 5000 + 1)) AS k

@@ -10,9 +10,13 @@ import org.apache.spark.sql.types._
   *
   * Implements the public SQLite file format (sqlite.org/fileformat2.html):
   * page header / table B-tree traversal (interior + leaf), varints, the
-  * record serial-type system, payload overflow chains, and the
-  * INTEGER-PRIMARY-KEY rowid alias. UTF-8 databases only (header text
-  * encoding 1 — what the stdlib `sqlite3` writes by default).
+  * record serial-type system, payload overflow chains, the
+  * INTEGER-PRIMARY-KEY rowid alias, and WAL-mode reads via sidecar frame
+  * replay (sqlite.org/walformat.html: salt + cumulative-checksum verified
+  * frames up to the last commit overlay the main image — the recovery
+  * read sqlite3 itself performs, so an uncheckpointed database serves the
+  * committed snapshot, never a stale one). UTF-8 databases only (header
+  * text encoding 1 — what the stdlib `sqlite3` writes by default).
   *
   * Scale shape: this is a DIM-SIDE source by contract — the reference's
   * mapping table is user-curated and broadcast-size, so the file is read
@@ -70,24 +74,19 @@ object Sqlite {
     val enc = u32(bytes, 56)
     require(enc == 1 || enc == 0, // 0: fresh db with no tables yet
       s"$path: unsupported text encoding $enc (only UTF-8 = 1)")
-    // WAL safety gate: header bytes 18/19 are the file-format write/read
+    // WAL handling: header bytes 18/19 are the file-format write/read
     // versions (1 = rollback journal, 2 = WAL). In WAL mode committed
     // transactions live in the `-wal` sidecar until a checkpoint, so the
-    // main file alone may be STALE — reading it silently would return an
-    // old snapshot. A WAL db whose sidecar is absent/empty is fully
-    // checkpointed and safe; otherwise fail with an actionable message
-    // rather than serve stale rows (frame replay is out of scope while
-    // every known .db producer is a hand-curated dimension).
+    // main file alone may be STALE. Round 12 REPLAYS the sidecar (the
+    // same recovery read `sqlite3` itself performs — walformat.html):
+    // salt- and checksum-verified frames up to the last commit overlay
+    // their pages on the main image, so the reader serves the committed
+    // snapshot a live SQLite would. An absent/empty sidecar means fully
+    // checkpointed — the main file is current as-is.
     val walMode = u8(bytes, 18) == 2 || u8(bytes, 19) == 2
-    if (walMode) {
-      val wal = java.nio.file.Paths.get(path + "-wal")
-      val pending = java.nio.file.Files.exists(wal) &&
-        java.nio.file.Files.size(wal) > 0
-      require(!pending,
-        s"$path is in WAL mode with a non-empty ${path}-wal sidecar: the " +
-          "main file may be stale. Checkpoint it first " +
-          "(`PRAGMA wal_checkpoint(TRUNCATE)` or close all writers) and retry.")
-    } else {
+    val effective =
+      if (walMode) overlayWal(path, bytes, ps)
+      else {
       // Rollback-journal twin of the WAL gate: a HOT `-journal` sidecar
       // (left by a crash mid-transaction) means the main file may contain
       // uncommitted/torn pages that a recovering SQLite would roll back.
@@ -105,8 +104,89 @@ object Sqlite {
             "file may contain uncommitted pages from an interrupted " +
             "transaction. Open it once with SQLite to recover, then retry.")
       }
+      bytes
     }
-    Db(bytes, ps, ps - reserved)
+    Db(effective, ps, ps - reserved)
+  }
+
+  /** WAL frame checksum (walformat.html §checksum): two u32 accumulators
+    * folded over u32 word PAIRS — s1 += x[2i] + s2; s2 += x[2i+1] + s1 —
+    * with word byte order given by the magic's low bit (0x…82 = little-
+    * endian words, 0x…83 = big-endian). `len` is a multiple of 8. */
+  private def walCksum(b: Array[Byte], off: Int, len: Int,
+                       s1in: Long, s2in: Long, be: Boolean): (Long, Long) = {
+    var s1 = s1in; var s2 = s2in
+    var i = off
+    val end = off + len
+    def word(o: Int): Long =
+      if (be) u32(b, o)
+      else (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    while (i < end) {
+      s1 = (s1 + word(i) + s2) & 0xffffffffL
+      s2 = (s2 + word(i + 4) + s1) & 0xffffffffL
+      i += 8
+    }
+    (s1, s2)
+  }
+
+  /** Replay a `-wal` sidecar onto the main-file image: frames are accepted
+    * while their salts match the header and the cumulative checksum chain
+    * verifies (exactly SQLite's own recovery rule, so a torn tail after a
+    * crash is ignored, not served); pages land at the LAST commit frame —
+    * uncommitted trailing frames never apply. The final database size in
+    * pages comes from the last commit record (a WAL can both GROW the db
+    * past the main file's EOF and shrink it after vacuum). */
+  private def overlayWal(path: String, main: Array[Byte], ps: Int): Array[Byte] = {
+    val wp = java.nio.file.Paths.get(path + "-wal")
+    if (!java.nio.file.Files.exists(wp)) return main
+    val w = java.nio.file.Files.readAllBytes(wp)
+    if (w.length < 32) return main
+    val magic = u32(w, 0)
+    require(magic == 0x377f0682L || magic == 0x377f0683L,
+      s"$path-wal: bad WAL magic 0x${magic.toHexString}")
+    val be = (magic & 1L) == 1L
+    require(u32(w, 8).toInt == ps,
+      s"$path-wal: page size ${u32(w, 8)} != main file's $ps")
+    val salt1 = u32(w, 16)
+    val salt2 = u32(w, 20)
+    // header checksum covers its first 24 bytes from zero seeds; an
+    // unreadable header means no valid frames exist (SQLite starts fresh)
+    var (s1, s2) = walCksum(w, 0, 24, 0L, 0L, be)
+    if (s1 != u32(w, 24) || s2 != u32(w, 28)) return main
+    val frame = 24 + ps
+    val pending = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    val committed = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    var dbPages = 0L
+    var off = 32
+    var done = false
+    while (!done && off + frame <= w.length) {
+      val pgno = u32(w, off).toInt
+      val commit = u32(w, off + 4)
+      if (u32(w, off + 8) != salt1 || u32(w, off + 12) != salt2) done = true
+      else {
+        val a = walCksum(w, off, 8, s1, s2, be)
+        val (t1, t2) = walCksum(w, off + 24, ps, a._1, a._2, be)
+        if (t1 != u32(w, off + 16) || t2 != u32(w, off + 20)) done = true
+        else {
+          s1 = t1; s2 = t2
+          pending(pgno) = off + 24 // later frame for the same page wins
+          if (commit != 0) {
+            committed ++= pending; pending.clear(); dbPages = commit
+          }
+          off += frame
+        }
+      }
+    }
+    if (committed.isEmpty) return main
+    val len = (dbPages * ps).toInt
+    val out = new Array[Byte](len)
+    System.arraycopy(main, 0, out, 0, math.min(main.length, len))
+    committed.foreach { case (pg, o) =>
+      if (pg >= 1 && pg.toLong * ps <= len)
+        System.arraycopy(w, o, out, (pg - 1) * ps, ps)
+    }
+    out
   }
 
   /** Full payload of a leaf-table cell, following the overflow chain when

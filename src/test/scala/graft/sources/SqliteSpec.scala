@@ -111,19 +111,50 @@ class SqliteSpec extends SparkSpec {
     assert(cold.select("v").as[String].collect().toSeq === Seq("committed"))
   }
 
-  test("WAL mode: non-empty -wal sidecar is refused, checkpointed WAL db reads fine") {
+  test("WAL mode: pending sidecar frames replay (round 12), checkpointed db reads fine") {
     // wal_pending.db's committed rows (even the CREATE TABLE) live only in
-    // the sidecar — reading the main file alone would serve a stale
-    // snapshot, so the reader must fail with an actionable message
-    val pendingErr = intercept[IllegalArgumentException] {
-      Sqlite.tables("src/test/resources/fixtures/wal_pending.db")
-    }
-    assert(pendingErr.getMessage.contains("WAL"))
-    assert(pendingErr.getMessage.contains("checkpoint"))
+    // the sidecar — round 12 replays the frames instead of refusing, so
+    // the read serves exactly what a live sqlite3 connection would see
+    val replayed = Sqlite.readTable(spark,
+      "src/test/resources/fixtures/wal_pending.db", "pending")
+    assert(replayed.select("v").as[String].collect().toSeq === Seq("only-in-wal"))
     // a WAL-mode db with no pending sidecar is fully checkpointed: safe
     val clean = Sqlite.readTable(spark,
       "src/test/resources/fixtures/wal_clean.db", "pending")
     assert(clean.select("v").as[String].collect().toSeq === Seq("only-in-wal"))
+  }
+
+  test("WAL replay: multi-commit overlay (insert + update + delete beat the stale main)") {
+    // main file holds generation-1 only (checkpointed before three later
+    // WAL commits); the replayed view must show the insert, the UPDATE of
+    // a checkpointed row (later-frame-wins on an existing page), and the
+    // DELETE — the expected rows were captured from the LIVE connection
+    // at fixture-build time (tools/make_sqlite_fixture4.py)
+    import scala.jdk.CollectionConverters._
+    val expected = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("src/test/resources/fixtures/wal_expected.json")), "UTF-8")
+      // minimal JSON parse: rows are [id, "v"] pairs under "wal_multi"
+      val body = txt.split("\"wal_multi\":")(1).split("]\\s*,\\s*\"wal_growth\"")(0)
+      "\\[\\s*(\\d+)\\s*,\\s*\"([^\"]+)\"\\s*\\]".r.findAllMatchIn(body)
+        .map(m => (m.group(1).toLong, m.group(2))).toSeq
+    }
+    assert(expected.nonEmpty && expected.exists(_._2 == "gen3-updated"))
+    val got = Sqlite.readTable(spark,
+      "src/test/resources/fixtures/wal_multi.db", "t")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got === expected)
+    // and the view is NOT the stale main: updated row present, deleted gone
+    assert(got.exists(_ == (5L, "gen3-updated")))
+    assert(!got.exists(_._1 == 6L))
+    assert(got.exists(_._1 == 100L))
+  }
+
+  test("WAL replay: frames can grow the database past the main file's EOF") {
+    val g = Sqlite.readTable(spark,
+      "src/test/resources/fixtures/wal_growth.db", "g")
+    assert(g.count() === 200L)
+    assert(g.agg(sum($"id")).head.getLong(0) === (1L to 200L).sum)
   }
 
   test("S4/S5 end-to-end: sqlite dim drives the exact->fuzzy vendor enrichment") {
