@@ -191,6 +191,9 @@ object Dedup {
   private[graft] def ngramJaccardChoose(docs: DataFrame, threshold: Double,
                                         sampleCap: Long = dispatchSampleDocs)
       : (String, DataFrame) = {
+    // one count job sizes the sample fraction — cheap for table-backed
+    // frames (the driver contract); a caller with an expensive docs
+    // derivation should cache it, since the chosen variant re-reads it
     val n = docs.count()
     val f = if (n <= sampleCap) 1.0 else sampleCap.toDouble / n
     val statDocs =

@@ -179,6 +179,13 @@ object Sqlite {
       }
     }
     if (committed.isEmpty) return main
+    // this source materializes the whole image driver-side (the declared
+    // dim-side contract above) — a WAL'd db past 2 GB is out of that
+    // contract, so fail actionably instead of overflowing the Int index
+    require(dbPages * ps <= Int.MaxValue.toLong,
+      s"$path: WAL-replayed image would be ${dbPages * ps} bytes — beyond " +
+        "the driver-side dim contract; checkpoint the database and use a " +
+        "fact-scale ingestion path")
     val len = (dbPages * ps).toInt
     val out = new Array[Byte](len)
     System.arraycopy(main, 0, out, 0, math.min(main.length, len))

@@ -453,6 +453,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q7 nation prefilters broadcast; lineitem-orders is the only fact shuffle") {
+    val p = planNoAutoBroadcast("q7_volume_shipping")
+    // the two-nation disjunction is factored into supplier/customer
+    // broadcast prefilters (each with its own broadcast nation join) —
+    // the OR never reaches the fact join as a residual cartesian
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("SortMergeJoin [l_orderkey"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t20 canonicalization is map-side; the election is its only shuffle") {
+    val p = planNoAutoBroadcast("t20_url_canonical")
+    // regexp/split/sort_array all ride the scan projection — exactly one
+    // exchange (the canonical-key groupBy), no join, no window
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"t20: one canonical-key exchange only:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
   test("q8 dim chain broadcasts and prunes the fact before its only shuffle") {
     val p = planNoAutoBroadcast("q8_market_share")
     // part filter, supplier→nation, customer→nation→region all ride
