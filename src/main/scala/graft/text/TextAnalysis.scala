@@ -210,6 +210,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** T22: CCNet-style quality buckets (Wenzek et al. 2020 §4.3: score every
+    * document against a corpus LM, split the corpus into head/middle/tail
+    * thirds, train on the head). The score is [[lmScore]]'s pooled
+    * conditional probability (higher = more fluent — ordered DESC where
+    * CCNet's perplexity orders ASC, the same ranking); the tertile split is
+    * an EXACT integer rank rule (rk ≤ ⌈n/3⌉ → head, ≤ ⌈2n/3⌉ → middle)
+    * over [[graft.operators.SetOpsWindows.withGlobalRank]]'s range-
+    * partitioned rank — never a one-task global window (the a25/o5
+    * discipline). Docs with no scoreable bigram land in an explicit
+    * `unscored` bucket rather than vanishing. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.util.Caches.scoped(
+      lmScore(spark, dir).select("doc_id", "pooled_cond_p"))
+    val (ranked, n) = graft.operators.SetOpsWindows.withGlobalRank(spark,
+      scored.filter(col("pooled_cond_p").isNotNull), "rk",
+      Seq(col("pooled_cond_p").desc, col("doc_id").asc))
+    val b1 = (n + 2) / 3
+    val b2 = (2 * n + 2) / 3
+    val assigned = ranked.select(col("doc_id"),
+      when(col("rk") <= b1, "head")
+        .when(col("rk") <= b2, "middle")
+        .otherwise("tail").as("bucket"),
+      col("rk"))
+    scored.select("doc_id")
+      .join(assigned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bucket"), lit("unscored")).as("bucket"),
+        col("rk").as("quality_rank"))
+      .orderBy("doc_id")
+  }
+
   /** T17: Count-Min heavy hitters — build the fixed-state sketch with the
     * [[graft.functions.CmsSketch]] TypedImperativeAggregate (one map-side
     * pass, depth·width longs per partial), then probe it for every word
@@ -246,6 +277,7 @@ object TextAnalysis {
     "t1_token_stats" -> (tokenStats _),
     "t13_bigram_lm" -> (bigramLm _),
     "t14_lm_score" -> (lmScore _),
+    "t22_ccnet_buckets" -> (ccnetBuckets _),
     "t17_cms_heavyhitters" -> (cmsHeavyHitters _),
     "t2_quality_score" -> (qualityScore _),
     "t3_langid" -> (langId _),
@@ -288,6 +320,40 @@ object TextAnalysis {
         |  FROM counts)
         |SELECT w1, w2, n, c1, CAST(n AS DOUBLE) / CAST(c1 AS DOUBLE) AS cond_p
         |FROM withc ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
+    // t22 reuses t14's scoring CTEs verbatim, then ranks the scoreable
+    // docs (pooled DESC, doc_id tie-break — identical IEEE divisions on
+    // both engines, so the order is engine-exact) into integer tertiles
+    "t22_ccnet_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+        |pos AS (
+        |  SELECT doc_id, l, unnest(range(1, len(l))) AS p FROM t),
+        |db AS (
+        |  SELECT doc_id, l[p] AS w1, l[p + 1] AS w2 FROM pos),
+        |counts AS (
+        |  SELECT w1, w2, COUNT(*) AS n FROM db GROUP BY w1, w2),
+        |model AS (
+        |  SELECT w1, w2, n, CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS c1
+        |  FROM counts),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CAST(SUM(m.n) AS DOUBLE) / CAST(SUM(m.c1) AS DOUBLE) AS pooled
+        |  FROM db d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
+        |  GROUP BY d.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, pooled,
+        |    row_number() OVER (ORDER BY pooled DESC, doc_id) AS rk
+        |  FROM sc),
+        |tot AS (SELECT COUNT(*) AS n FROM ranked)
+        |SELECT d.doc_id,
+        |  CASE WHEN r.rk IS NULL THEN 'unscored'
+        |       WHEN r.rk <= (tot.n + 2) // 3 THEN 'head'
+        |       WHEN r.rk <= (2 * tot.n + 2) // 3 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  r.rk AS quality_rank
+        |FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+        |CROSS JOIN tot
+        |ORDER BY d.doc_id""".stripMargin,
     "t14_lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),

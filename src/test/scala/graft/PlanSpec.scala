@@ -246,6 +246,17 @@ class PlanSpec extends SparkSpec {
       s"global rank must come from the offset join, not a window:\n$p")
   }
 
+  test("t22 quality rank rides range partitioning; the only window is the w1-keyed model") {
+    val p = planNoAutoBroadcast("t22_ccnet_buckets")
+    assert(p.contains("rangepartitioning"),
+      s"t22's tertile rank must come from withGlobalRank:\n$p")
+    // the LM model's c1 window is keyed by w1 (vocabulary-partitioned);
+    // no partition-less window may exist anywhere in the plan
+    assert("windowspecdefinition\\(w1".r.findFirstIn(p).isDefined, p)
+    assert(!"windowspecdefinition\\(aggregate".r.findFirstIn(p).isDefined &&
+      !p.contains("windowspecdefinition()"), p)
+  }
+
   test("prefix sum and equi-depth rank via range partitioning, never one task") {
     // a25's only window is keyed by the range id (__pid) — balanced by
     // construction; a partition-less window would serialize the table
