@@ -123,11 +123,10 @@ object Dedup {
     * misses when |B| ≫ |A| (j = |A∩B|/|A∪B| → 0 while c → 1). Directional:
     * each unordered overlap pair yields both orientations, filtered on
     * the contained side's ratio. Same inverted-join overlap count as d2
-    * (one shuffle on the shingle key, one on the pair); at corpus scale
-    * the candidate stage routes through the same band index as d10 —
-    * containment ≥ τ implies the pair shares a band with probability the
-    * LSH curve gives, so the exact join here is the small-corpus oracle
-    * form, like naive d2. */
+    * (one shuffle on the shingle key, one on the pair) — the small-corpus
+    * ORACLE form, like naive d2; [[containmentPairsPrefix]] is the scale
+    * path (MinHash bands would be the WRONG one: bands sample the union,
+    * so high-containment/low-resemblance pairs rarely collide). */
   def containmentPairs(docs: DataFrame, tau: Double): DataFrame = {
     val sh = graft.util.Caches.scoped(shingleRows(docs))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -144,6 +143,43 @@ object Dedup {
           (col("common").cast("double") / col("nb")).as("containment")))).as("p"))
       .select(col("p.contained_id"), col("p.container_id"), col("p.containment"))
       .filter(col("containment") >= tau)
+  }
+
+  /** D11 scale path: ONE-SIDED prefix filtering. The Bayardo prefix rule
+    * adapts to containment on the CONTAINED side only: c(A,B) ≥ τ forces a
+    * shared shingle inside A's first |A| − ⌈τ·|A|⌉ + 1 rarest shingles
+    * (all shared shingles outside that prefix would cap overlap at
+    * ⌈τ|A|⌉ − 1 < τ|A|), but B admits NO pruning — a tiny quote must find
+    * an arbitrarily large container, which is also why MinHash bands are
+    * the WRONG scale path here (bands sample the union, and high-
+    * containment/low-resemblance pairs are exactly the ones that never
+    * collide). Candidates = A-prefix ⋈ full index, rarest-first keeping
+    * the df factor small; verify is the d2b array-intersect form. Zero
+    * false negatives by construction — the oracle is d11's naive SQL, so
+    * a hash match proves it (the d2b pattern). */
+  def containmentPairsPrefix(docs: DataFrame, tau: Double): DataFrame = {
+    val sh = graft.util.Caches.scoped(shingleRows(docs))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val rarityOrder = Window.partitionBy("doc_id").orderBy("df", "s")
+    val prefixes = sh.join(freq, "s")
+      .withColumn("rank", row_number().over(rarityOrder))
+      .join(sizes, "doc_id")
+      .filter(col("rank") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .select(col("doc_id").as("a_id"), col("s"), col("n").as("na"))
+    val cand = prefixes
+      .join(sh.toDF("b_id", "s2"), col("s") === col("s2"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id", "na").distinct()
+    val arrs = sh.groupBy("doc_id").agg(collect_list(col("s")).as("arr"))
+    cand
+      .join(arrs.toDF("a_id", "arr_a").hint("shuffle_hash"), "a_id")
+      .join(arrs.toDF("b_id", "arr_b").hint("shuffle_hash"), "b_id")
+      .withColumn("containment",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("double") / col("na"))
+      .filter(col("containment") >= tau)
+      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+        col("containment"))
   }
 
   /** Measured-stats dispatch threshold for [[ngramJaccardPairsAuto]]: route
@@ -527,6 +563,12 @@ object Dedup {
     containmentPairs(Tables.documents(spark, dir), 0.6)
       .orderBy("contained_id", "container_id")
 
+  /** d11b: the prefix-filtered scale path; its oracle is d11's NAIVE SQL —
+    * a hash match is the zero-false-negative proof (the d2b pattern). */
+  def d11bContainmentPrefix(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsPrefix(Tables.documents(spark, dir), 0.6)
+      .orderBy("contained_id", "container_id")
+
   /** d2b: the prefix-filtered SCALE path as its own driver query. Its
     * oracle is the NAIVE all-shingle SQL — a hash match is an independent
     * proof of the Bayardo prefix theorem's zero-false-negative claim on
@@ -617,7 +659,8 @@ object Dedup {
     "d4b_simhash_tight" -> (d4bSimhashTight _),
     "d8_dup_ngram_coverage" -> (d8DupNgramCoverage _),
     "d10_incremental_neardup" -> (d10IncrementalNearDup _),
-    "d11_containment" -> (d11Containment _)
+    "d11_containment" -> (d11Containment _),
+    "d11b_containment_prefix" -> (d11bContainmentPrefix _)
   )
 
   private[graft] val shingleSqlCtes =
@@ -644,6 +687,23 @@ object Dedup {
       |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  private lazy val d11NaiveSql: String =
+    s"""WITH $shingleSqlCtes,
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |dirs AS (
+      |  SELECT p.a_id AS contained_id, p.b_id AS container_id,
+      |    CAST(common AS DOUBLE) / sa.n AS containment
+      |  FROM pairs p JOIN sizes sa ON p.a_id = sa.doc_id
+      |  UNION ALL
+      |  SELECT p.b_id, p.a_id, CAST(common AS DOUBLE) / sb.n
+      |  FROM pairs p JOIN sizes sb ON p.b_id = sb.doc_id)
+      |SELECT contained_id, container_id, containment FROM dirs
+      |WHERE containment >= 0.6
+      |ORDER BY contained_id, container_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "d8_dup_ngram_coverage" ->
       s"""WITH $shingleSqlCtes,
@@ -665,22 +725,10 @@ object Dedup {
     // directional Broder containment: both orientations of each overlap
     // pair, filtered on the CONTAINED side's ratio ("dirs" — `both` is a
     // DuckDB reserved word)
-    "d11_containment" ->
-      s"""WITH $shingleSqlCtes,
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |dirs AS (
-        |  SELECT p.a_id AS contained_id, p.b_id AS container_id,
-        |    CAST(common AS DOUBLE) / sa.n AS containment
-        |  FROM pairs p JOIN sizes sa ON p.a_id = sa.doc_id
-        |  UNION ALL
-        |  SELECT p.b_id, p.a_id, CAST(common AS DOUBLE) / sb.n
-        |  FROM pairs p JOIN sizes sb ON p.b_id = sb.doc_id)
-        |SELECT contained_id, container_id, containment FROM dirs
-        |WHERE containment >= 0.6
-        |ORDER BY contained_id, container_id""".stripMargin,
+    "d11_containment" -> d11NaiveSql,
+    // the prefix-filtered path must produce the IDENTICAL directional
+    // pair set — its oracle IS the naive form (zero-false-negative proof)
+    "d11b_containment_prefix" -> d11NaiveSql,
     // the prefix-filtered path must produce the IDENTICAL pair set — its
     // oracle IS the naive form, so a hash match proves zero false negatives
     "d2b_jaccard_prefix" -> d2NaiveSql,

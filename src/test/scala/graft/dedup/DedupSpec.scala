@@ -114,6 +114,25 @@ class DedupSpec extends SparkSpec {
     assert(!j.contains((1L, 2L)), "resemblance must miss the subset pair")
   }
 
+  test("d11b prefix-filtered containment ≡ naive, including the tiny-in-huge case") {
+    // the one-sided prefix rule's hard case: a 10-token doc contained in a
+    // 60-token wrapper — B-side pruning would lose it; A-side prefix must
+    // keep a shared rare shingle
+    val aText = (1 to 10).map(i => s"core$i").mkString(" ")
+    val bText = (1 to 60).map(i => s"wrap$i").mkString(" ") + " " + aText
+    val wrap = Seq((1L, aText), (2L, bText), (3L, "unrelated words entirely here"))
+      .toDF("doc_id", "text")
+    for (corpus <- Seq(wrap, docs)) {
+      val naive = Dedup.containmentPairs(corpus, 0.6)
+        .select("contained_id", "container_id", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.containmentPairsPrefix(corpus, 0.6)
+        .select("contained_id", "container_id", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref === naive)
+    }
+  }
+
   test("SimHash puts near-dup pairs at small Hamming distance") {
     val nearDups = Dedup.ngramJaccardPairs(docs, 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
