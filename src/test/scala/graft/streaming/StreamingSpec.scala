@@ -33,6 +33,37 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("RocksDB state store backend: the production state provider runs the stateful ops") {
+    // local[32] tests default to the in-memory HDFSBackedStateStore; a
+    // 1000-executor deployment runs RocksDB (bounded heap, spillable
+    // state). The tumbling-agg + dedup chain and the session windows must
+    // produce IDENTICAL results under the production provider — pinning
+    // that no operator here depends on in-memory-provider semantics.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = batch1 ++ mkEvents((9, "2024-01-01 10:40:00", 2, "click", 5.0))
+      val flush = mkEvents((99, "2024-01-01 13:00:00", 9, "view", 0.0))
+      def run(name: String, mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Set[String] = {
+        val stream = MemoryStream[StreamOps.UserEvent]
+        runBatches(stream, mk(stream.toDF()), "append", name,
+          Seq(evs ++ evs, flush)) // duplicated feed exercises dedup state
+          .collect().map(_.mkString("|")).toSet
+      }
+      val rocksAgg = run("rocks_agg", StreamOps.dedupedTumblingCounts(_))
+      val rocksSes = run("rocks_ses", StreamOps.dedupedSessionCounts(_))
+      spark.conf.unset(key) // back to the default provider
+      val memAgg = run("mem_agg", StreamOps.dedupedTumblingCounts(_))
+      val memSes = run("mem_ses", StreamOps.dedupedSessionCounts(_))
+      assert(rocksAgg === memAgg && rocksAgg.nonEmpty)
+      assert(rocksSes === memSes && rocksSes.nonEmpty)
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("session_window agrees with the batch gap-clustering semantics") {
     val stream = MemoryStream[StreamOps.UserEvent]
     val out = runBatches(stream,
