@@ -224,12 +224,14 @@ object Dedup {
   def ngramJaccardPairsAuto(docs: DataFrame, threshold: Double): DataFrame =
     ngramJaccardChoose(docs, threshold)._2
 
-  private[graft] def ngramJaccardChoose(docs: DataFrame, threshold: Double,
-                                        sampleCap: Long = dispatchSampleDocs)
-      : (String, DataFrame) = {
-    // one count job sizes the sample fraction — cheap for table-backed
-    // frames (the driver contract); a caller with an expensive docs
-    // derivation should cache it, since the chosen variant re-reads it
+  /** The sampled deciding statistic shared by the d2c and d11c routers:
+    * r = Σdf²/Σdf over a ≤`sampleCap`-doc md5 sample with the binomial-
+    * thinning correction (exact at f = 1). Both families shuffle the SAME
+    * Σdf² candidate stream on their naive path, so one statistic governs
+    * both. One count job sizes the fraction — cheap for table-backed
+    * frames (the driver contract); a caller with an expensive docs
+    * derivation should cache it, since the chosen variant re-reads it. */
+  private def dispatchRatio(docs: DataFrame, sampleCap: Long): Double = {
     val n = docs.count()
     val f = if (n <= sampleCap) 1.0 else sampleCap.toDouble / n
     val statDocs =
@@ -245,10 +247,32 @@ object Dedup {
     // naive path, which returns the same empty pair frame the explicit
     // variants do, instead of NPEing on getDouble
     val rHat = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-    val r = if (f >= 1.0) rHat else math.max(0.0, (rHat - (1.0 - f)) / f)
+    if (f >= 1.0) rHat else math.max(0.0, (rHat - (1.0 - f)) / f)
+  }
+
+  private[graft] def ngramJaccardChoose(docs: DataFrame, threshold: Double,
+                                        sampleCap: Long = dispatchSampleDocs)
+      : (String, DataFrame) = {
+    val r = dispatchRatio(docs, sampleCap)
     if (r <= ngramNaiveMaxRatio) ("naive", ngramJaccardPairs(docs, threshold))
     else ("prefix", ngramJaccardPairsPrefix(docs, threshold))
   }
+
+  /** d11c: the containment family's measured-stats router — same statistic
+    * and threshold as d2c (the naive containment join shuffles the
+    * identical Σdf² candidate stream; measured sf10 decorrelated corpus:
+    * naive 27.5 s vs prefix 377.9 s — a 13.7× wrong-side cost, WORSE than
+    * d2's because the container side cannot length-filter). */
+  private[graft] def containmentChoose(docs: DataFrame, tau: Double,
+                                       sampleCap: Long = dispatchSampleDocs)
+      : (String, DataFrame) = {
+    val r = dispatchRatio(docs, sampleCap)
+    if (r <= ngramNaiveMaxRatio) ("naive", containmentPairs(docs, tau))
+    else ("prefix", containmentPairsPrefix(docs, tau))
+  }
+
+  def containmentPairsAuto(docs: DataFrame, tau: Double): DataFrame =
+    containmentChoose(docs, tau)._2
 
   val numHashes = 16
   val bandSize = 4
@@ -569,6 +593,10 @@ object Dedup {
     containmentPairsPrefix(Tables.documents(spark, dir), 0.6)
       .orderBy("contained_id", "container_id")
 
+  def d11cContainmentAuto(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsAuto(Tables.documents(spark, dir), 0.6)
+      .orderBy("contained_id", "container_id")
+
   /** d2b: the prefix-filtered SCALE path as its own driver query. Its
     * oracle is the NAIVE all-shingle SQL — a hash match is an independent
     * proof of the Bayardo prefix theorem's zero-false-negative claim on
@@ -660,7 +688,8 @@ object Dedup {
     "d8_dup_ngram_coverage" -> (d8DupNgramCoverage _),
     "d10_incremental_neardup" -> (d10IncrementalNearDup _),
     "d11_containment" -> (d11Containment _),
-    "d11b_containment_prefix" -> (d11bContainmentPrefix _)
+    "d11b_containment_prefix" -> (d11bContainmentPrefix _),
+    "d11c_containment_auto" -> (d11cContainmentAuto _)
   )
 
   private[graft] val shingleSqlCtes =
@@ -729,6 +758,8 @@ object Dedup {
     // the prefix-filtered path must produce the IDENTICAL directional
     // pair set — its oracle IS the naive form (zero-false-negative proof)
     "d11b_containment_prefix" -> d11NaiveSql,
+    // the router picks a variant; both produce the naive result set
+    "d11c_containment_auto" -> d11NaiveSql,
     // the prefix-filtered path must produce the IDENTICAL pair set — its
     // oracle IS the naive form, so a hash match proves zero false negatives
     "d2b_jaccard_prefix" -> d2NaiveSql,

@@ -133,6 +133,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d11 dispatch routes both regimes and returns the naive result set") {
+    // same statistic and threshold as d2c (the naive containment join
+    // shuffles the identical Σdf² stream); decorrelated → naive, the
+    // boilerplate corpus → prefix, identical directional pairs either way
+    val (choice, out) = Dedup.containmentChoose(docs, 0.6)
+    assert(choice === "naive")
+    val boiler = (0 until 10).map(i => (0 until 8).map(j => s"b${i}_$j").mkString(" "))
+    val bdocs = (0L until 200L).map { d =>
+      val shared = boiler.zipWithIndex.collect { case (s, i) if (d + i) % 2 == 0 => s }
+      val uniq = (0 until 12).map(k => s"u${d}_$k").mkString(" ")
+      (d, (shared :+ uniq).mkString(" "))
+    }.toDF("doc_id", "text")
+    val (bChoice, bOut) = Dedup.containmentChoose(bdocs, 0.6)
+    assert(bChoice === "prefix")
+    assert(bOut.select("contained_id", "container_id").as[(Long, Long)].collect().toSet ===
+      Dedup.containmentPairs(bdocs, 0.6)
+        .select("contained_id", "container_id").as[(Long, Long)].collect().toSet)
+    assert(out.select("contained_id", "container_id").as[(Long, Long)].collect().toSet ===
+      Dedup.containmentPairs(docs, 0.6)
+        .select("contained_id", "container_id").as[(Long, Long)].collect().toSet)
+  }
+
   test("SimHash puts near-dup pairs at small Hamming distance") {
     val nearDups = Dedup.ngramJaccardPairs(docs, 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
