@@ -28,11 +28,15 @@ package graft.sources
 object Imap {
 
   /** Connect a client. `ssl = true` wraps the JDK's default SSLSocketFactory
-    * (the real-server path); tests use a plain loopback socket. */
-  def connect(host: String, port: Int, ssl: Boolean): Client = {
+    * (the real-server path — credentials MUST NOT cross a plaintext socket
+    * outside loopback tests); a read timeout bounds every protocol wait so
+    * a hung server fails the fetch instead of wedging the pipeline. */
+  def connect(host: String, port: Int, ssl: Boolean,
+              readTimeoutMs: Int = 120000): Client = {
     val socket =
       if (ssl) javax.net.ssl.SSLSocketFactory.getDefault.createSocket(host, port)
       else new java.net.Socket(host, port)
+    socket.setSoTimeout(readTimeoutMs)
     new Client(socket)
   }
 

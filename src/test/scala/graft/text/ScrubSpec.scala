@@ -73,6 +73,12 @@ class ScrubSpec extends SparkSpec {
     // root path is kept as "/" (never stripped to empty)
     assert(canon("http://h.example.com/") === "http://h.example.com/")
     assert(canon("http://h.example.com") === "http://h.example.com/")
+    // IDEMPOTENCE: canonical output is a fixed point of the function —
+    // required for the dedup key to be stable under re-processing
+    for (u <- Seq("https://Host.Example.com:443/p/?z=1&a=2#f",
+      "https://host.example.com:8443/p", "http://h.example.com",
+      "HTTP://A.B.C:80/x/y/?q=2&p=1#frag"))
+      assert(canon(canon(u)) === canon(u), u)
   }
 
   test("split assignment is total, deterministic, and train-dominant") {
