@@ -16,6 +16,45 @@ class IngestSpec extends SparkSpec {
     dir
   }
 
+  test("FULL reference pipeline: IMAP fetch -> landing -> binaryFile scan -> transactions") {
+    // the round-12 closing loop: an email with an AES-256-ENCRYPTED
+    // statement PDF rides the RFC 3501 client into the month-partitioned
+    // landing dir, the standard binaryFile scan picks it up, the real
+    // extractor decrypts+parses it, and Statement.parse produces the
+    // transactions — main.py + email_fetcher.py end-to-end in one test
+    def at(x: Int, y: Int, t: String) = s"BT /F1 10 Tf $x $y Td ($t) Tj ET"
+    val cs = Seq(
+      at(50, 600, "Transaction"), at(122, 600, "Details"),
+      at(465, 570, "Credits"), at(540, 570, "Charges"),
+      at(40, 555, "Trans"), at(80, 555, "Post"), at(115, 555, "Reference"),
+      at(40, 540, "01/03"), at(80, 540, "01/03"), at(120, 540, "2466XY"),
+      at(170, 540, "AMAZON"), at(230, 540, "MKTPL"), at(545, 540, "39.12")
+    ).mkString("\n")
+    val pdf = TestPdfCrypt.encryptPdfV5(TestPdf.mkPdf(Seq(cs), compress = true), r = 6)
+    val spec = new ImapSpec
+    val server = new spec.TestServer(Map(
+      1L -> spec.mimeMessage("Your credit card statement", Seq(("enc_stmt.pdf", pdf)))))
+    val landing = Files.createTempDirectory("imap_e2e").toFile
+    try {
+      val client = Imap.connect("127.0.0.1", server.port, ssl = false)
+      client.login("u", "p"); client.select("INBOX")
+      val landed = Imap.fetchStatements(client, landing,
+        java.time.LocalDate.of(2024, 1, 20))
+      client.logout(); client.close()
+      assert(landed.map(_.getName) === Seq("enc_stmt.pdf"))
+      val words = Ingest.extractWords(Ingest.binaryScan(spark, landing.getAbsolutePath))
+      val txns = graft.pipeline.Statement.parse(words).collect()
+        .map(r => (r.getAs[String]("date"), r.getAs[String]("vendor"),
+          r.getAs[java.math.BigDecimal]("amount").doubleValue())).toSet
+      assert(txns === Set(("01/03", "AMAZON MKTPL", 39.12)))
+    } finally {
+      landing.listFiles().foreach { d =>
+        if (d.isDirectory) d.listFiles().foreach(_.delete()); d.delete()
+      }
+      landing.delete()
+    }
+  }
+
   test("binary glob scan is recursive and respects the glob filter") {
     val dir = mkDropDir()
     val files = Ingest.binaryScan(spark, dir)
