@@ -27,6 +27,19 @@ package graft.sources
   * reference. */
 object Imap {
 
+  /** RFC 3501 §4.3/§9 quoted-string for a command argument: backslash and
+    * double-quote are escaped (the reference's `imaplib._quote` rule —
+    * imaplib.py `_quote`), and CR/LF are rejected outright because a bare
+    * newline inside any argument would terminate the command line and
+    * inject a second protocol command regardless of quoting. Used for
+    * LOGIN credentials and SEARCH string criteria so passwords/filters
+    * containing `"` or `\` work as they do in the reference. */
+  def quoteArg(s: String): String = {
+    require(!s.exists(c => c == '\r' || c == '\n'),
+      "IMAP command arguments must not contain CR/LF")
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  }
+
   /** Connect a client. `ssl = true` wraps the JDK's default SSLSocketFactory
     * (the real-server path — credentials MUST NOT cross a plaintext socket
     * outside loopback tests); a read timeout bounds every protocol wait so
@@ -100,10 +113,10 @@ object Imap {
     }
 
     def login(user: String, password: String): Unit = {
-      command(s"""LOGIN "$user" "$password""""); ()
+      command(s"LOGIN ${quoteArg(user)} ${quoteArg(password)}"); ()
     }
 
-    def select(mailbox: String): Unit = { command(s"SELECT $mailbox"); () }
+    def select(mailbox: String): Unit = { command(s"SELECT ${quoteArg(mailbox)}"); () }
 
     /** Raw criteria SEARCH; returns the matched message sequence numbers. */
     def search(criteria: String): Seq[Long] =
@@ -246,7 +259,7 @@ object Imap {
                       subjectKeywords: Seq[String] =
                         Seq("statement", "credit card", "mastercard")): Seq[java.io.File] = {
     val since = today.minusDays(30).format(imapDate)
-    val ids = client.search(s"""(SINCE "$since" FROM "$senderFilter")""")
+    val ids = client.search(s"""(SINCE "$since" FROM ${quoteArg(senderFilter)})""")
     val monthDir = new java.io.File(baseDir, today.format(monthFmt))
     monthDir.mkdirs()
     val landed = Seq.newBuilder[java.io.File]

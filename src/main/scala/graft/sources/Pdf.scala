@@ -436,11 +436,12 @@ object Pdf {
     /** Standard-security-handler state (None = unencrypted): built from the
       * classic map before ObjStm unpacking, since packed streams are
       * themselves encrypted. Supported: empty user password, RC4 40–128 bit
-      * (V1/V2 R2/R3) and AES-128-CBC (V4/R4 /CFM /AESV2) — the
-      * configurations real bank statements ship with. Everything else
-      * (V5/AES-256, custom handlers, non-empty user password) is REFUSED
-      * per-file with an actionable message — extraction would otherwise
-      * emit deterministic garbage. */
+      * (V1/V2 R2/R3), AES-128-CBC (V4/R4 /CFM /AESV2), and AES-256
+      * (V5/R5/R6 /CFM /AESV3, Algorithm 2.B key stretching + /UE file-key
+      * unwrap) — every configuration real bank statements ship with.
+      * Only non-empty user passwords and custom (non-Standard) handlers
+      * are REFUSED per-file with an actionable message — extraction would
+      * otherwise emit deterministic garbage. */
     val crypt: Option[Crypt] = {
       def refuse(why: String): Nothing = throw new IllegalArgumentException(
         s"encrypted PDF (/Encrypt): $why — decrypt the file first " +
@@ -463,19 +464,20 @@ object Pdf {
         val r = numOf(dictGetIn(classicObjs, ed, "R"), 2).toInt
         // the V4/V5 named-crypt-filter resolution is shared: /StmF names a
         // /CF entry whose /CFM picks the stream cipher
+        def cfDict: V = dictGetIn(classicObjs, ed, "StmF") match {
+          case Name(stmF) if stmF != "Identity" =>
+            dictGetIn(classicObjs, dictGetIn(classicObjs, ed, "CF"), stmF)
+          case _ => Null
+        }
         def cfCipher(aesName: String, aesCipher: String): String =
           dictGetIn(classicObjs, ed, "StmF") match {
             case Name("Identity") | Null => "identity"
-            case Name(stmF) =>
-              dictGetIn(classicObjs,
-                dictGetIn(classicObjs, ed, "CF"), stmF) match {
-                case cf =>
-                  dictGetIn(classicObjs, cf, "CFM") match {
-                    case Name("V2") => "rc4"
-                    case Name(`aesName`) => aesCipher
-                    case Name("None") | Null => "identity"
-                    case other => refuse(s"crypt filter method $other is not supported")
-                  }
+            case Name(_) =>
+              dictGetIn(classicObjs, cfDict, "CFM") match {
+                case Name("V2") => "rc4"
+                case Name(`aesName`) => aesCipher
+                case Name("None") | Null => "identity"
+                case other => refuse(s"crypt filter method $other is not supported")
               }
             case _ => "identity"
           }
@@ -520,7 +522,20 @@ object Pdf {
           val stmCipher: String =
             if (v <= 2) "rc4" else cfCipher("AESV2", "aes")
           val lengthBits = numOf(dictGetIn(classicObjs, ed, "Length"), 40).toInt
-          val keyBytes = if (v == 1) 5 else math.max(5, math.min(16, lengthBits / 8))
+          val keyBytes =
+            if (v == 1) 5
+            else if (stmCipher == "aes") {
+              // AESV2 keys are always 128-bit (ISO 32000-1 Table 25); the
+              // authoritative /Length lives in the crypt-filter dict (in
+              // BYTES per spec, though some writers emit bits) and the
+              // top-level /Length is optional — defaulting to the dict's
+              // 40-bit default would derive a 5-byte key and die in
+              // javax.crypto instead of the actionable refuse() below.
+              val cfLen = numOf(dictGetIn(classicObjs, cfDict, "Length"), 16).toInt
+              val b = if (cfLen >= 40) cfLen / 8 else cfLen
+              if (b != 16) refuse(s"AESV2 with a $b-byte key is not supported")
+              16
+            } else math.max(5, math.min(16, lengthBits / 8))
           val key = PdfCrypt.fileKey(o, p, id0, r, keyBytes, encryptMetadata)
           // verify the EMPTY user password against /U (Algorithm 4/5);
           // a mismatch means the file needs a real password — refuse, the

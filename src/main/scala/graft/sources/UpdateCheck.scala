@@ -17,8 +17,33 @@ package graft.sources
   * Mirrors the §2.8 `version_compare` driver query's SQL rule exactly. */
 object UpdateCheck {
 
+  /** RFC 7230 §4.1 chunked decoding: each chunk is `size-hex[;ext]CRLF
+    * data CRLF`, terminated by a zero-size chunk (trailers ignored). A
+    * malformed framing returns None — the silent-fail contract. */
+  private[sources] def dechunk(body: String): Option[String] = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var done = false
+    while (!done) {
+      val nl = body.indexOf("\r\n", i)
+      if (nl < 0) return None
+      val sizeHex = body.substring(i, nl).split(";")(0).trim
+      val size = try Integer.parseInt(sizeHex, 16)
+                 catch { case _: NumberFormatException => return None }
+      if (size == 0) done = true
+      else {
+        val start = nl + 2
+        if (start + size > body.length) return None
+        sb.append(body, start, start + size)
+        i = start + size + 2 // skip the chunk-data CRLF
+      }
+    }
+    Some(sb.toString)
+  }
+
   /** Minimal HTTP/1.1 GET: returns the response body when the status is
-    * 200, None otherwise. Handles Content-Length bodies and
+    * 200, None otherwise. Handles Content-Length bodies,
+    * Transfer-Encoding: chunked (the api.github.com default), and
     * connection-close streaming; follows no redirects (the GitHub API
     * answers directly). */
   def httpGet(host: String, port: Int, path: String, ssl: Boolean,
@@ -50,9 +75,12 @@ object UpdateCheck {
           else {
             val head = s.substring(0, headerEnd).toLowerCase
             val body0 = s.substring(headerEnd + 4)
-            val body = "content-length:\\s*(\\d+)".r.findFirstMatchIn(head)
-              .map(m => body0.take(m.group(1).toInt)).getOrElse(body0)
-            Some(body)
+            if (head.contains("transfer-encoding:") &&
+                "transfer-encoding:\\s*chunked".r.findFirstIn(head).isDefined)
+              dechunk(body0)
+            else
+              Some("content-length:\\s*(\\d+)".r.findFirstMatchIn(head)
+                .map(m => body0.take(m.group(1).toInt)).getOrElse(body0))
           }
         }
       } finally socket.close()

@@ -122,8 +122,11 @@ object Scrub {
   def canonicalizeUrl(u: Column): Column = {
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    val host = regexp_replace(hostPort,
-      ":80$|:443$", "") // default ports only; other ports survive
+    // strip a port only when it is the DEFAULT for the scheme — http://h:443
+    // and https://h:80 are non-default and must survive canonicalization
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
     val path0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     val path = when(path0 === "" || path0 === "/", lit("/"))
       .otherwise(regexp_replace(path0, "/+$", ""))
@@ -189,13 +192,16 @@ object Scrub {
         |parts AS (
         |  SELECT doc_id,
         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':80$|:443$', '') AS host,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
         |    regexp_extract(url, '\?([^#]*)', 1) AS query
         |  FROM aug),
         |canon AS (
         |  SELECT doc_id,
-        |    scheme || '://' || host ||
+        |    scheme || '://' ||
+        |    (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |          WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |          ELSE hostport END) ||
         |    (CASE WHEN path0 = '' OR path0 = '/' THEN '/'
         |          ELSE regexp_replace(path0, '/+$', '') END) ||
         |    (CASE WHEN query = '' THEN ''

@@ -129,6 +129,19 @@ class ImapSpec extends AnyFunSuite {
     }
   }
 
+  test("quoteArg escapes per RFC 3501 and rejects CRLF injection") {
+    // plain strings round-trip as simple quoted strings
+    assert(Imap.quoteArg("wellsfargo.com") === "\"wellsfargo.com\"")
+    // backslash and double-quote escape (imaplib._quote's rule) — a
+    // password like p"w\d must reach the server intact, not split the
+    // quoted string
+    assert(Imap.quoteArg("""p"w\d""") === "\"p\\\"w\\\\d\"")
+    // CR/LF anywhere would terminate the command line and inject a
+    // second protocol command regardless of quoting — rejected outright
+    intercept[IllegalArgumentException](Imap.quoteArg("a\r\nb LOGOUT"))
+    intercept[IllegalArgumentException](Imap.quoteArg("a\nb"))
+  }
+
   test("skip-if-exists dedup: a second fetch lands nothing new") {
     val messages = Map(1L -> mimeMessage("statement", Seq(("s.pdf", statementPdf))))
     val dir = java.nio.file.Files.createTempDirectory("imapspec2").toFile

@@ -440,6 +440,18 @@ class PdfSpec extends SparkSpec {
       assert(!new String(enc, "ISO-8859-1").contains("COFFEE"), mode)
       assert(Pdf.extractWords(enc) === want, mode)
     }
+    // AESV2 key length comes from the CRYPT FILTER dict, not the optional
+    // top-level /Length: a dict that omits the top-level entry (whose
+    // absence defaults to 40 bits) must still derive the 16-byte AES key
+    val aes = new String(TestPdfCrypt.encryptPdf(plain, "aes-128"), "ISO-8859-1")
+    val noTop = aes.replace("/R 4 /Length 128 ", "/R 4 ")
+    assert(noTop != aes, "fixture rewrite must hit the top-level /Length")
+    assert(Pdf.extractWords(noTop.getBytes("ISO-8859-1")) === want)
+    // and a writer that put BITS in the CF /Length (both conventions exist
+    // in the wild) resolves to the same 16-byte key
+    val cfBits = noTop.replace("/CFM /AESV2 /Length 16", "/CFM /AESV2 /Length 128")
+    assert(cfBits != noTop)
+    assert(Pdf.extractWords(cfBits.getBytes("ISO-8859-1")) === want)
   }
 
   test("password-protected files are refused (legacy AND V5), not garbled") {

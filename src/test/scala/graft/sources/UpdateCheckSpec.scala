@@ -76,6 +76,44 @@ class UpdateCheckSpec extends AnyFunSuite {
     assert(UpdateCheck.parseRelease("""{"no_tag": true}""") === None)
   }
 
+  test("Transfer-Encoding: chunked responses are de-chunked (the api.github.com default)") {
+    // a canned server that chunks the release JSON into uneven pieces
+    val ss = new java.net.ServerSocket(0, 2,
+      java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      try {
+        val sock = ss.accept()
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, "ISO-8859-1"))
+        var line = in.readLine()
+        while (line != null && line.nonEmpty) line = in.readLine()
+        val out = sock.getOutputStream
+        out.write(("HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n" +
+          "Transfer-Encoding: chunked\r\nConnection: close\r\n\r\n")
+          .getBytes("ISO-8859-1"))
+        val bytes = releaseJson.getBytes("UTF-8")
+        // three uneven chunks with a chunk extension on the second, then
+        // the zero terminator — the full RFC 7230 §4.1 framing grammar
+        val cuts = Seq((0, 7), (7, 40), (40, bytes.length))
+        cuts.zipWithIndex.foreach { case ((a, b), i) =>
+          val ext = if (i == 1) ";x=y" else ""
+          out.write(((b - a).toHexString + ext + "\r\n").getBytes("ISO-8859-1"))
+          out.write(bytes, a, b - a)
+          out.write("\r\n".getBytes("ISO-8859-1"))
+        }
+        out.write("0\r\n\r\n".getBytes("ISO-8859-1"))
+        out.flush(); sock.close()
+      } catch { case _: Exception => () } finally ss.close()
+    })
+    t.setDaemon(true); t.start()
+    val body = UpdateCheck.httpGet("127.0.0.1", ss.getLocalPort, "/x", ssl = false)
+    assert(body === Some(releaseJson))
+    assert(UpdateCheck.parseRelease(body.get).map(_._1) === Some("2.1.0"))
+    // malformed framing falls back to None (silent-fail contract)
+    assert(UpdateCheck.dechunk("zz\r\nbody") === None)
+    assert(UpdateCheck.dechunk("ff\r\nshort") === None)
+  }
+
   test("version comparison matches the reference rule (and the version_compare query)") {
     assert(UpdateCheck.versionIsNewer("2.0.0", "1.9.9"))
     assert(UpdateCheck.versionIsNewer("1.10.0", "1.9.0")) // numeric, not lexical

@@ -70,6 +70,13 @@ class ScrubSpec extends SparkSpec {
       "https://host.example.com/p?a=2&z=1")
     assert(canon("https://host.example.com:8443/p") ===
       "https://host.example.com:8443/p")
+    // CROSS-scheme defaults are NOT default for that scheme and must
+    // survive: https://h:80 ≠ https://h, http://h:443 ≠ http://h
+    assert(canon("https://h.example.com:80/p") ===
+      "https://h.example.com:80/p")
+    assert(canon("http://h.example.com:443/p") ===
+      "http://h.example.com:443/p")
+    assert(canon("http://h.example.com:80/p") === "http://h.example.com/p")
     // root path is kept as "/" (never stripped to empty)
     assert(canon("http://h.example.com/") === "http://h.example.com/")
     assert(canon("http://h.example.com") === "http://h.example.com/")
