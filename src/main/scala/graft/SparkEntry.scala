@@ -18,6 +18,7 @@ object SparkEntry {
       graft.dedup.Clusters.queries ++ graft.dedup.SemDedup.queries ++
       graft.dedup.EntityResolution.queries ++
       graft.similarity.Knn.queries ++ graft.similarity.Ivf.queries ++
+      graft.similarity.Pq.queries ++
       graft.multimodal.MultimodalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.dedup.Clusters.oracle ++ graft.dedup.SemDedup.oracle ++
       graft.dedup.EntityResolution.oracle ++
       graft.similarity.Knn.oracle ++ graft.similarity.Ivf.oracle ++
+      graft.similarity.Pq.oracle ++
       graft.multimodal.MultimodalQueries.oracle
 }
