@@ -178,6 +178,176 @@ object Multimodal {
     } else None
   }
 
+  // ---- real PNG pixel decode (mm5) ---------------------------------------
+
+  /** A fully decoded 8-bit PNG: `pixels` is the unfiltered image plane,
+    * `width · height · channels` bytes in scanline order. */
+  case class PngImage(width: Int, height: Int, colorType: Int,
+                      channels: Int, pixels: Array[Byte])
+
+  /** Samples per pixel for the non-palette 8-bit color types (PNG spec
+    * §11.2.2): gray, RGB, gray+alpha, RGBA. */
+  def pngChannels(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+    case other => throw new IllegalArgumentException(s"color type $other")
+  }
+
+  /** Hard cap on decoded plane size — a hostile IHDR must not allocate. */
+  private val maxPlaneBytes = 1 << 26
+
+  /** REAL PNG pixel decode — not a stub: chunk walk with CRC verification,
+    * IHDR parse, multi-IDAT zlib inflate (JDK Inflater — the same
+    * primitive the PDF /FlateDecode path uses), and the full PNG filter
+    * family inversion (Sub/Up/Average/Paeth — REUSED from the
+    * /DecodeParms predictor work, [[graft.sources.Pdf.pngUnfilter]]).
+    *
+    * Supported: 8-bit depth, color types 0/2/4/6, interlace 0. Everything
+    * else — Adam7 interlace, palette, 1/2/4/16-bit depths — and every
+    * malformation (bad CRC, truncated IDAT, wrong inflated length,
+    * missing IEND) returns None: contained per file, the PDF-reader
+    * discipline. */
+  def decodePng(content: Array[Byte]): Option[PngImage] = try {
+    def u4(i: Int): Long =
+      ((content(i) & 0xffL) << 24) | ((content(i + 1) & 0xffL) << 16) |
+        ((content(i + 2) & 0xffL) << 8) | (content(i + 3) & 0xffL)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (content.length < 8 || !(0 until 8).forall(i => (content(i) & 0xff) == sig(i)))
+      return None
+    var i = 8
+    var dims: Option[(Int, Int, Int, Int, Int)] = None
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawIend = false
+    var sawIdat = false
+    while (!sawIend) {
+      if (i + 8 > content.length) return None
+      val len = u4(i)
+      if (len < 0 || len > Int.MaxValue - 12 || i + 12 + len > content.length)
+        return None // truncated chunk
+      val typ = new String(content, i + 4, 4, "ISO-8859-1")
+      val crc = new java.util.zip.CRC32()
+      crc.update(content, i + 4, 4 + len.toInt)
+      if (crc.getValue != u4(i + 8 + len.toInt)) return None // corrupt chunk
+      typ match {
+        case "IHDR" =>
+          if (len != 13 || dims.isDefined) return None
+          dims = Some((u4(i + 8).toInt, u4(i + 12).toInt,
+            content(i + 16) & 0xff, content(i + 17) & 0xff,
+            content(i + 20) & 0xff))
+          // compression and filter methods must be 0 (the only defined ones)
+          if ((content(i + 18) & 0xff) != 0 || (content(i + 19) & 0xff) != 0)
+            return None
+        case "IDAT" => sawIdat = true; idat.write(content, i + 8, len.toInt)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunks skipped by their declared length
+      }
+      i += 12 + len.toInt
+    }
+    val (w, h, depth, ct, interlace) = dims.getOrElse(return None)
+    if (depth != 8) return None // 1/2/4/16-bit depths: refused, not garbled
+    if (ct != 0 && ct != 2 && ct != 4 && ct != 6) return None // palette etc.
+    if (interlace != 0) return None // Adam7: refused (different row layout)
+    if (w <= 0 || h <= 0 || !sawIdat) return None
+    val ch = pngChannels(ct)
+    val rowBytes = w.toLong * ch
+    val expected = h.toLong * (1L + rowBytes)
+    if (expected > maxPlaneBytes) return None
+    // inflate the concatenated IDAT stream to EXACTLY the expected length
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val raw = new Array[Byte](expected.toInt)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val k = inf.inflate(raw, got, raw.length - got)
+      if (k == 0 && inf.needsInput()) { inf.end(); return None } // truncated
+      got += k
+    }
+    val over = inf.inflate(new Array[Byte](1)) // any surplus byte = wrong length
+    inf.end()
+    if (got != raw.length || over != 0) return None
+    val pixels = graft.sources.Pdf.pngUnfilter(raw, bpp = ch, rowBytes = rowBytes.toInt)
+    if (pixels.length != w.toLong * h * ch) return None
+    Some(PngImage(w, h, ct, ch, pixels))
+  } catch { case _: Exception => None }
+
+  /** Pixel statistics over a decoded plane: (n_pixels, integer luma sum,
+    * channel min, channel max). Luma uses the ITU-R BT.709 coefficients as
+    * EXACT integer arithmetic — (2126·R + 7152·G + 722·B) div 10000 — so
+    * the aggregate is order-independent and the DuckDB twin replays it
+    * bit-for-bit (for gray, the identity sums to 10000·v div 10000 = v).
+    * Alpha channels are excluded from min/max and luma. */
+  def pngStats(img: PngImage): (Long, Long, Int, Int) = {
+    val ch = img.channels
+    val n = img.width * img.height
+    var lumSum = 0L
+    var mn = 255
+    var mx = 0
+    var p = 0
+    while (p < n) {
+      val base = p * ch
+      val c0 = img.pixels(base) & 0xff
+      val (r, g, b) =
+        if (ch >= 3) (c0, img.pixels(base + 1) & 0xff, img.pixels(base + 2) & 0xff)
+        else (c0, c0, c0)
+      lumSum += (2126L * r + 7152L * g + 722L * b) / 10000L
+      mn = math.min(mn, math.min(r, math.min(g, b)))
+      mx = math.max(mx, math.max(r, math.max(g, b)))
+      p += 1
+    }
+    (n.toLong, lumSum, mn, mx)
+  }
+
+  /** A real PNG WRITER for the synthetic image table and the specs —
+    * forward-filters each row with tag = row % 5 (so a decode genuinely
+    * exercises Sub/Up/Average/Paeth inversion, not just None), deflates,
+    * and splits the stream across TWO IDAT chunks (multi-IDAT concat is
+    * part of the format). */
+  def encodePng(w: Int, h: Int, colorType: Int, pixels: Array[Byte]): Array[Byte] = {
+    val ch = pngChannels(colorType)
+    require(pixels.length == w * h * ch, s"plane must be ${w * h * ch} bytes")
+    val rowBytes = w * ch
+    val raw = new Array[Byte](h * (1 + rowBytes))
+    var r = 0
+    while (r < h) {
+      val tag = r % 5
+      raw(r * (1 + rowBytes)) = tag.toByte
+      var i = 0
+      while (i < rowBytes) {
+        val x = pixels(r * rowBytes + i) & 0xff
+        val a = if (i >= ch) pixels(r * rowBytes + i - ch) & 0xff else 0
+        val b = if (r > 0) pixels((r - 1) * rowBytes + i) & 0xff else 0
+        val c = if (r > 0 && i >= ch) pixels((r - 1) * rowBytes + i - ch) & 0xff else 0
+        val enc = tag match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case _ => x - graft.sources.Pdf.paeth(a, b, c)
+        }
+        raw(r * (1 + rowBytes) + 1 + i) = enc.toByte
+        i += 1
+      }
+      r += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val z = zbuf.toByteArray
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val td = typ.getBytes("ISO-8859-1") ++ data
+      val crc = new java.util.zip.CRC32()
+      crc.update(td)
+      be4(data.length) ++ td ++ be4(crc.getValue.toInt)
+    }
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = be4(w) ++ be4(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val (z1, z2) = z.splitAt(math.max(1, z.length / 2))
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z1) ++ chunk("IDAT", z2) ++
+      chunk("IEND", Array.empty)
+  }
+
   /** Resize stub: recompute metadata only; a real impl rewrites `content`. */
   def resizeStub(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._

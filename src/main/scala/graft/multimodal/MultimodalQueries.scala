@@ -81,12 +81,64 @@ object MultimodalQueries {
       .toDF().select("doc_id", "media_type", "width", "height")
       .orderBy("doc_id")
 
+  /** mm5's synthetic table: COMPLETE real PNGs (CRC-valid chunks,
+    * per-row-varying filters, two IDAT chunks) whose pixel plane is the
+    * deterministic byte formula `((doc_id·31 + idx)·37) mod 256` — so the
+    * oracle can reconstruct the EXPECTED pixels arithmetically while the
+    * engine must earn them through a genuine inflate + unfilter. Color
+    * type cycles gray/RGB/RGBA by doc_id. */
+  def syntheticPngs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 6 + 2).toInt
+        val h = (id % 4 + 2).toInt
+        val ct = (id % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+        val ch = Multimodal.pngChannels(ct)
+        val px = new Array[Byte](w * h * ch)
+        var i = 0
+        while (i < px.length) { px(i) = (((id * 31 + i) * 37) % 256).toByte; i += 1 }
+        (id, Multimodal.encodePng(w, h, ct, px))
+      }
+  }
+
+  /** mm5: REAL pixel statistics (round-12 ask — "mm3 parses headers, mm1
+    * still hashes compressed bytes"): each row's PNG is fully decoded
+    * (CRC-checked chunk walk → Inflater → Sub/Up/Average/Paeth
+    * unfiltering, reusing the PDF /DecodeParms filter family) and the
+    * stats — integer luma sum (ITU-R BT.709 coefficients as exact
+    * integer arithmetic), channel min/max, pixel count, mean luma — are
+    * computed from the DECODED plane through the same batched
+    * mapPartitions seam as mm1/mm3. A hash match against the oracle's
+    * formula-reconstructed pixels proves the encode→decode round trip is
+    * lossless end-to-end. */
+  def mm5PixelStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticPngs(spark, dir)
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.batchSize).flatMap { batch =>
+          // per-batch decoder init would go here (mm1 contract)
+          batch.iterator.flatMap { case (id, bytes) =>
+            Multimodal.decodePng(bytes).map { img =>
+              val (n, lum, mn, mx) = Multimodal.pngStats(img)
+              (id, img.width, img.height, img.channels, n, lum, mn, mx,
+                lum.toDouble / n.toDouble)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "channels", "n_pixels", "lum_sum",
+        "px_min", "px_max", "mean_luma")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm1b_media_meta" -> (mm1bMediaMeta _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_image_meta" -> (mm3ImageMeta _),
-    "mm4_resize_meta" -> (mm4ResizeMeta _)
+    "mm4_resize_meta" -> (mm4ResizeMeta _),
+    "mm5_pixel_stats" -> (mm5PixelStats _)
   )
 
   /** mm1b's SQL twin reconstructs the synthetic-media metadata from
@@ -162,6 +214,41 @@ object MultimodalQueries {
         |  CASE WHEN GREATEST(w, h) <= 100 OR GREATEST(w, h) = 0 THEN h
         |       ELSE CAST(trunc(h * (100.0 / GREATEST(w, h))) AS INT) END AS height
         |FROM m ORDER BY doc_id""".stripMargin,
+    // mm5: the oracle reconstructs the pixel plane from the generator
+    // formula ((doc_id·31 + idx)·37) % 256 and aggregates the same integer
+    // luma/min/max — a hash match means the engine's inflate + unfilter
+    // recovered every pixel byte exactly.
+    "mm5_pixel_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 6 + 2 AS INT) AS w,
+        |    CAST(doc_id % 4 + 2 AS INT) AS h,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, ch,
+        |    unnest(range(0, CAST(w AS BIGINT) * h)) AS i
+        |  FROM p),
+        |rgb AS (
+        |  SELECT doc_id, w, h, ch,
+        |    ((doc_id*31 + i*ch + 0) * 37) % 256 AS c0,
+        |    CASE WHEN ch >= 3 THEN ((doc_id*31 + i*ch + 1) * 37) % 256
+        |         ELSE ((doc_id*31 + i*ch) * 37) % 256 END AS c1,
+        |    CASE WHEN ch >= 3 THEN ((doc_id*31 + i*ch + 2) * 37) % 256
+        |         ELSE ((doc_id*31 + i*ch) * 37) % 256 END AS c2
+        |  FROM px),
+        |lum AS (
+        |  SELECT doc_id, w, h, ch,
+        |    (2126*c0 + 7152*c1 + 722*c2) // 10000 AS luma,
+        |    LEAST(c0, c1, c2) AS mn, GREATEST(c0, c1, c2) AS mx
+        |  FROM rgb)
+        |SELECT doc_id, w AS width, h AS height, CAST(ch AS INT) AS channels,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |  CAST(SUM(luma) AS BIGINT) AS lum_sum,
+        |  CAST(MIN(mn) AS INT) AS px_min, CAST(MAX(mx) AS INT) AS px_max,
+        |  CAST(CAST(SUM(luma) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_luma
+        |FROM lum GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
     "mm2_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id, unnest(range(0, (n_chars * 40 - 1) // 5000 + 1)) AS k

@@ -682,45 +682,58 @@ object Pdf {
         r += 1
       }
       out
-    } else {
-      // PNG: rows of (tag ‖ rowBytes), each unfiltered against the prior
-      // decoded row (zeros above the first row)
-      val stride = rowBytes + 1
-      val nRows = (data.length + stride - 1) / stride
-      val out = new java.io.ByteArrayOutputStream(nRows * rowBytes)
-      val prev = new Array[Byte](rowBytes)
-      var r = 0
-      while (r < nRows) {
-        val start = r * stride
-        val tag = data(start) & 0xff
-        val len = math.min(rowBytes, data.length - start - 1)
-        val cur = new Array[Byte](len)
-        System.arraycopy(data, start + 1, cur, 0, len)
-        var i = 0
-        while (i < len) {
-          val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
-          val b = prev(i) & 0xff
-          val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
-          val x = cur(i) & 0xff
-          cur(i) = (tag match {
-            case 0 => x
-            case 1 => x + a
-            case 2 => x + b
-            case 3 => x + (a + b) / 2
-            case 4 =>
-              val p = a + b - c
-              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
-            case t => throw new UnsupportedOperationException(s"PNG filter tag $t")
-          }).toByte
-          i += 1
-        }
-        out.write(cur, 0, len)
-        System.arraycopy(cur, 0, prev, 0, len)
-        r += 1
+    } else pngUnfilter(data, bpp, rowBytes)
+  }
+
+  /** The Paeth predictor (PNG spec §9, RFC 2083): nearest of a/b/c to
+    * a + b − c, ties broken a, then b. Shared by the /DecodeParms
+    * inversion here and the real image decode in
+    * [[graft.multimodal.Multimodal]]. */
+  private[graft] def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** PNG filter-family inversion: rows of (tag ‖ rowBytes), each unfiltered
+    * against the prior decoded row (zeros above the first row) —
+    * None/Sub/Up/Average/Paeth per the public PNG spec. A short final row
+    * is processed to the bytes available — callers wanting strict framing
+    * (the image decoder) length-check before calling. */
+  private[graft] def pngUnfilter(data: Array[Byte], bpp: Int,
+                                 rowBytes: Int): Array[Byte] = {
+    val stride = rowBytes + 1
+    val nRows = (data.length + stride - 1) / stride
+    val out = new java.io.ByteArrayOutputStream(nRows * rowBytes)
+    val prev = new Array[Byte](rowBytes)
+    var r = 0
+    while (r < nRows) {
+      val start = r * stride
+      val tag = data(start) & 0xff
+      val len = math.min(rowBytes, data.length - start - 1)
+      val cur = new Array[Byte](len)
+      System.arraycopy(data, start + 1, cur, 0, len)
+      var i = 0
+      while (i < len) {
+        val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val b = prev(i) & 0xff
+        val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+        val x = cur(i) & 0xff
+        cur(i) = (tag match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => x + paeth(a, b, c)
+          case t => throw new UnsupportedOperationException(s"PNG filter tag $t")
+        }).toByte
+        i += 1
       }
-      out.toByteArray
+      out.write(cur, 0, len)
+      System.arraycopy(cur, 0, prev, 0, len)
+      r += 1
     }
+    out.toByteArray
   }
 
   /** /ASCIIHexDecode: hex pairs, whitespace ignored, `>` EOD, odd final
