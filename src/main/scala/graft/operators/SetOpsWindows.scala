@@ -461,7 +461,41 @@ object SetOpsWindows {
       .orderBy("window_start", "event_type")
   }
 
+  /** §2.9 count-capped sessions, batch twin of
+    * `graft.streaming.StreamOps.cappedSessions`: sessions close on the A1
+    * 10-minute gap OR at `cappedCap` events, whichever first. The cap rule
+    * is sequential per key, but within a GAP-session it reduces to a pure
+    * index split (the gap decisions compare consecutive events only, so
+    * they are independent of where caps fall): sub-session =
+    * row-index div cap. That equivalence is what makes the custom-state
+    * streaming operator oracle-checkable; StreamingSpec pins stream ≡ this
+    * batch form under shuffled + duplicated replay. */
+  def streamCappedSessions(spark: SparkSession, dir: String): DataFrame = {
+    val cap = graft.streaming.StreamOps.cappedCap
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser))
+    Tables.events(spark, dir)
+      .withColumn("new_gap",
+        when(gapUs.isNull || gapUs >= graft.streaming.StreamOps.cappedGapUs, 1)
+          .otherwise(0))
+      .withColumn("gsid",
+        sum("new_gap").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy("user_id", "gsid").orderBy("ts", "event_id")) - 1)
+      .withColumn("ssid", expr(s"idx div $cap"))
+      .groupBy("user_id", "gsid", "ssid")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .withColumn("close_reason",
+        when(col("n_events") === cap, lit("cap")).otherwise(lit("gap")))
+      .select("user_id", "session_start", "session_end", "n_events",
+        "sum_value", "close_reason")
+      .orderBy("user_id", "session_start")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_capped_sessions" -> (streamCappedSessions _),
     "win_range_1h" -> (winRange1h _),
     "win_ranking" -> (winRanking _),
     "stream_sliding" -> (slidingWindow _),
@@ -691,6 +725,34 @@ object SetOpsWindows {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // gap-island assignment, then the cap as an index split within each
+    // gap-session (the equivalence documented at streamCappedSessions)
+    "stream_capped_sessions" ->
+      s"""WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= ${graft.streaming.StreamOps.cappedGapUs}
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS gsid
+        |  FROM g),
+        |c AS (
+        |  SELECT user_id, ts, value, gsid,
+        |    (row_number() OVER (PARTITION BY user_id, gsid
+        |                        ORDER BY ts, event_id) - 1)
+        |      // ${graft.streaming.StreamOps.cappedCap} AS ssid
+        |  FROM s)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  CASE WHEN COUNT(*) = ${graft.streaming.StreamOps.cappedCap}
+        |       THEN 'cap' ELSE 'gap' END AS close_reason
+        |FROM c GROUP BY user_id, gsid, ssid
+        |ORDER BY user_id, session_start""".stripMargin,
     "stream_session" ->
       """WITH g AS (
         |  SELECT user_id, ts, value,

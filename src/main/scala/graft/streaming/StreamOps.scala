@@ -236,6 +236,113 @@ object StreamOps {
                        event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
+  // ---- count-capped sessions with TTL (arbitrary custom state) -----------
+
+  val cappedGapUs = 600000000L // the house 10-minute session gap (A1 rule)
+  val cappedCap = 2 // driver-query cap; production caps are larger
+
+  case class CappedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long,
+                           sum_value: Double, close_reason: String)
+
+  /** Per-key state: `frontier_us` = the event time through which this key's
+    * history is already folded (the watermark at last processing — anything
+    * at or before it is late or a duplicate of a processed event);
+    * `pending` = buffered events not yet provably complete (ts beyond the
+    * watermark); `open_*` = the in-progress session (n = 0 ⇔ none). All
+    * three are BOUNDED by the watermark horizon: pending holds at most the
+    * delay window's events, the session is one row, and the state itself
+    * expires via the event-time timeout. */
+  case class CappedState(frontier_us: Long, pending: List[(Long, Long, Long)],
+                         open_start: Long, open_last: Long, open_n: Long,
+                         open_sum_q: Long)
+
+  /** DECIMAL(18,4) quantization of a value — the `dec()` money convention
+    * as a long carrier, so the fold's sum is order-independent and equals
+    * the batch twin's decimal aggregate exactly. */
+  private def quant4(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+
+  private def tsOf(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Count-capped sessions with TTL — the arbitrary-state operator no
+    * built-in expresses: sessions close on the 10-minute gap (A1's rule)
+    * OR when they reach `cap` events, whichever first. `session_window`
+    * cannot cap (window merge is count-blind), and the cap rule is
+    * sequential per key — real custom state.
+    *
+    * Event-time-correct under ANY at-least-once feed: arriving events are
+    * BUFFERED in state and folded only once the watermark proves no
+    * earlier event can arrive — so arrival order, micro-batch splits, and
+    * redelivery (dropped against the frontier / the pending buffer) all
+    * yield the identical sink (StreamingSpec replay proof). The TTL is the
+    * event-time timeout armed at the earliest actionable instant
+    * (min(next pending event, open-session gap expiry)); when the
+    * watermark passes it with no new data, the open session flushes and
+    * the key's state is REMOVED — state lives exactly as long as the
+    * watermark horizon requires, the property that lets per-key state run
+    * forever at 100 TB/day. */
+  def cappedSessions(events: Dataset[UserEvent], gapUs: Long = cappedGapUs,
+                     cap: Int = cappedCap,
+                     watermark: String = "30 minutes"): Dataset[CappedSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CappedState, CappedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[CappedState]) =>
+          val st = state.getOption.getOrElse(
+            CappedState(Long.MinValue, Nil, 0L, 0L, 0L, 0L))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // ingest: drop late rows and duplicates (frontier / in-flight ids)
+          var pending = st.pending
+          if (!state.hasTimedOut) {
+            val ids = scala.collection.mutable.Set(pending.map(_._2): _*)
+            batch.foreach { e =>
+              val t = micros(e.ts)
+              if (t > st.frontier_us && ids.add(e.event_id))
+                pending = (t, e.event_id, quant4(e.value)) :: pending
+            }
+          }
+          // fold every event the watermark has made final, in event order
+          val (ready, rest) = pending.partition(_._1 <= wmUs)
+          val out = Seq.newBuilder[CappedSession]
+          var (oStart, oLast, oN, oSum) =
+            (st.open_start, st.open_last, st.open_n, st.open_sum_q)
+          def close(reason: String): Unit = {
+            out += CappedSession(uid, tsOf(oStart), tsOf(oLast), oN,
+              new java.math.BigDecimal(java.math.BigInteger.valueOf(oSum), 4)
+                .doubleValue(), reason)
+            oN = 0
+          }
+          ready.sortBy(p => (p._1, p._2)).foreach { case (t, _, q) =>
+            if (oN > 0 && t - oLast < gapUs) { oLast = t; oN += 1; oSum += q }
+            else {
+              if (oN > 0) close("gap")
+              oStart = t; oLast = t; oN = 1; oSum = q
+            }
+            if (oN >= cap) close("cap")
+          }
+          // the gap may have elapsed in EVENT time already — flush eagerly
+          // so every armed timeout target stays strictly beyond the watermark
+          if (oN > 0 && wmUs >= oLast + gapUs) close("gap")
+          if (rest.isEmpty && oN == 0) state.remove()
+          else {
+            state.update(CappedState(math.max(st.frontier_us, wmUs), rest,
+              oStart, oLast, oN, oSum))
+            val targets = rest.map(_._1) ++
+              (if (oN > 0) Seq(oLast + gapUs) else Nil)
+            state.setTimeoutTimestamp(targets.min / 1000L + 1)
+          }
+          out.result().iterator
+      }
+  }
+
   /** Custom state: running per-user totals via flatMapGroupsWithState —
     * emits an updated `UserRunning` row per input batch per user. */
   def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {

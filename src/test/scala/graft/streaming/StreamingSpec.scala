@@ -355,6 +355,103 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").as[Long].collect().toSet === Set(1L, 5L, 6L, 8L))
   }
 
+  test("capped sessions: gap OR cap closes, hand-checked") {
+    // user 1: five events 1 min apart (one gap-session) with cap 2 →
+    // sessions of 2/2/1, reasons cap/cap/gap; user 2: two events split by
+    // an 11-min gap → two 1-event gap sessions
+    val evs = mkEvents(
+      (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      (2, "2024-01-01 10:01:00", 1, "click", 2.0),
+      (3, "2024-01-01 10:02:00", 1, "click", 4.0),
+      (4, "2024-01-01 10:03:00", 1, "click", 8.0),
+      (5, "2024-01-01 10:04:00", 1, "click", 16.0),
+      (6, "2024-01-01 10:00:00", 2, "view", 1.5),
+      (7, "2024-01-01 10:11:00", 2, "view", 2.5))
+    val flush = mkEvents((99, "2024-01-01 13:00:00", 9, "view", 0.0))
+    val stream = MemoryStream[StreamOps.UserEvent]
+    val out = runBatches(stream,
+      StreamOps.cappedSessions(stream.toDS()).toDF(), "append", "capped",
+      Seq(evs, flush))
+    val got = out.filter($"user_id" <= 2)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "n_events", "sum_value", "close_reason")
+      .as[(Long, Long, Double, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 3.0, "cap"), (1L, 2L, 12.0, "cap"), (1L, 1L, 16.0, "gap"),
+      (2L, 1L, 1.5, "gap"), (2L, 1L, 2.5, "gap")))
+  }
+
+  test("capped sessions TTL: the open session emits only after the watermark passes its gap expiry") {
+    val stream = MemoryStream[StreamOps.UserEvent]
+    val q = StreamOps.cappedSessions(stream.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("capped_ttl").start()
+    stream.addData(mkEvents((1, "2024-01-01 10:00:00", 1, "click", 1.0)))
+    q.processAllAvailable()
+    // advance the watermark to 10:05 (< 10:00 + 10 min): session still open
+    stream.addData(mkEvents((2, "2024-01-01 10:35:00", 9, "view", 0.0)))
+    q.processAllAvailable()
+    assert(spark.table("capped_ttl").filter($"user_id" === 1).count() === 0,
+      "session must NOT emit before its event-time TTL")
+    // advance past 10:10: the timeout fires, the session flushes, state dies
+    stream.addData(mkEvents((3, "2024-01-01 11:00:00", 9, "view", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("capped_ttl").filter($"user_id" === 1)
+      .select("n_events", "close_reason").as[(Long, String)].collect().toSeq
+    assert(rows === Seq((1L, "gap")))
+  }
+
+  test("capped sessions replayed shuffled + duplicated over real data matches the batch twin") {
+    // the full replay bar: EVERY event duplicated, the whole feed shuffled
+    // with a fixed seed, arbitrary micro-batch splits — the event-time
+    // buffering (fold only up to the watermark) must still reproduce the
+    // batch twin exactly, including the decimal-carrier sums. The shuffle
+    // disorders a MONTH of event time, so the watermark delay (= the
+    // feed's disorder bound) is widened to cover it: the contract proved
+    // is "any at-least-once feed within the watermark delay".
+    val evs = graft.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamOps.UserEvent].collect().toSeq
+    val flush = mkEvents((999999, "2030-01-01 00:00:00", 999, "view", 0.0))
+    val shuffled = new scala.util.Random(13).shuffle(evs ++ evs)
+    val stream = MemoryStream[StreamOps.UserEvent]
+    val out = runBatches(stream,
+      StreamOps.cappedSessions(stream.toDS(), watermark = "60 days").toDF(),
+      "append", "capped_replay",
+      shuffled.grouped(700).toSeq :+ flush)
+    val got = out.filter($"user_id" =!= 999)
+      .select("user_id", "session_start", "session_end", "n_events",
+        "sum_value", "close_reason")
+      .collect().map(_.mkString("|")).toSet
+    val want = graft.operators.SetOpsWindows.streamCappedSessions(spark, sf0001)
+      .collect().map(_.mkString("|")).toSet
+    assert(want.nonEmpty && got === want)
+  }
+
+  test("capped sessions run identically under the RocksDB state provider") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val evs = batch1 ++ mkEvents((9, "2024-01-01 10:04:30", 1, "click", 7.0))
+    val flush = mkEvents((99, "2024-01-01 13:00:00", 9, "view", 0.0))
+    def run(name: String): Set[String] = {
+      val stream = MemoryStream[StreamOps.UserEvent]
+      runBatches(stream, StreamOps.cappedSessions(stream.toDS()).toDF(),
+        "append", name, Seq(evs ++ evs, flush))
+        .collect().map(_.mkString("|")).toSet
+    }
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rocks = run("capped_rocks")
+      spark.conf.unset(key)
+      val mem = run("capped_mem")
+      assert(rocks === mem && rocks.nonEmpty)
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("foreachBatch upsert sink: last-wins merge, replay-convergent") {
     val target = java.nio.file.Files.createTempDirectory("upsink").toString + "/t"
     val stream = MemoryStream[StreamOps.UserEvent]
