@@ -162,14 +162,34 @@ object Dedup {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val rarityOrder = Window.partitionBy("doc_id").orderBy("df", "s")
-    val prefixes = sh.join(freq, "s")
+    // every shingle's 1-based rank in ITS doc under the GLOBAL rarity
+    // order — built once, cached: the prefix side filters it, the index
+    // side reads it whole, and the shared order is what makes the PPJoin
+    // positional bound below valid
+    val ranked = graft.util.Caches.scoped(sh.join(freq, "s")
       .withColumn("rank", row_number().over(rarityOrder))
-      .join(sizes, "doc_id")
+      .join(sizes, "doc_id"))
+    val prefixes = ranked
       .filter(col("rank") <= col("n") - ceil(lit(tau) * col("n")) + 1)
-      .select(col("doc_id").as("a_id"), col("s"), col("n").as("na"))
+      .select(col("doc_id").as("a_id"), col("s"), col("n").as("na"),
+        col("rank").as("pa"))
+    val index = ranked.select(col("doc_id").as("b_id"), col("s").as("s2"),
+      col("n").as("nb"), col("rank").as("pb"))
+    // PPJoin positional filter (Xiao, Wang, Lin & Yu, WWW'08 §3.2): all
+    // common shingles of a qualifying pair sit at ranks ≥ (pa, pb) of its
+    // FIRST common shingle, so overlap ≤ 1 + min(na − pa, nb − pb) there;
+    // pruning each match on its own bound keeps the first-match row of
+    // every true pair (the bound is valid at the first common shingle),
+    // and candidates are a distinct over matches — zero false negatives,
+    // proven by the unchanged naive-SQL oracle hash. The keep condition
+    // mirrors the verify's own `overlap/na ≥ τ` double compare (division
+    // by a positive na is monotone), dodging any ceil(τ·na) rounding
+    // corner.
     val cand = prefixes
-      .join(sh.toDF("b_id", "s2"), col("s") === col("s2"))
+      .join(index, col("s") === col("s2"))
       .filter(col("a_id") =!= col("b_id"))
+      .filter((lit(1L) + least(col("na") - col("pa"), col("nb") - col("pb")))
+        .cast("double") / col("na") >= lit(tau))
       .select("a_id", "b_id", "na").distinct()
     val arrs = sh.groupBy("doc_id").agg(collect_list(col("s")).as("arr"))
     cand
