@@ -52,6 +52,22 @@ object QGramIndex {
   */
 object Enrichment {
 
+  /** Vendor-string normalization for dirty-data matching (the j02b phase):
+    * real card-processor strings ("AMZN Mktp US*1X2Y3", "SQ *COFFEE  BAR")
+    * defeat plain `contains` with case noise, transaction codes, and
+    * punctuation. The fold, applied to BOTH sides before the exact and
+    * fuzzy phases (the t20 canonicalization discipline for vendor keys):
+    *   1. lowercase;
+    *   2. cut at the first `*` — the card-network convention separating
+    *      the merchant descriptor from the store/transaction code;
+    *   3. every non-alphanumeric run → one space (folds `#`, `-`, `.`,
+    *      doubled spaces alike);
+    *   4. trim.
+    * Pure codegen projections, mirrored verbatim in the DuckDB oracle. */
+  def normalizeVendor(s: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(s), "\\*.*$", ""),
+      "[^a-z0-9]+", " "))
+
   /** @param facts     fact table; must contain `factId` and `factKey`
     * @param dim       broadcast-size dimension
     * @param factId    unique row id of `facts` (tie-break partition key)

@@ -47,6 +47,39 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
+  /** J2b: the two-phase enrichment at DIRTY-DATA fidelity — messy vendor
+    * strings (case mangling, `*`-suffixed transaction codes, punctuation,
+    * stray whitespace: the "AMZN Mktp US*1X2Y3" reality) normalized on
+    * BOTH sides by [[Enrichment.normalizeVendor]] before the same
+    * exact→fuzzy machinery. j02's plain `contains` finds none of these;
+    * after the fold, the exact third hits equality and the fuzzy third
+    * hits substring containment, with the identical lowest-dimId
+    * tie-break. */
+  def j02bNormalizedEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val messy =
+      when(col("o_orderkey") % 3 === 0,
+        concat(lit("  "), upper(concat(lit("Customer#"),
+          lpad(col("o_custkey").cast("string"), 9, "0"))),
+          lit("*TXN"), col("o_orderkey").cast("string")))
+      .when(col("o_orderkey") % 3 === 1,
+        concat(lpad(col("o_custkey").cast("string"), 7, "0"),
+          lit("*POS-"), (col("o_orderkey") % 97).cast("string")))
+      .otherwise(concat(lit("UNKNOWN-"), col("o_orderkey").cast("string"), lit("*X")))
+    val facts = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), messy.as("vendor"))
+      .withColumn("vendor_norm", Enrichment.normalizeVendor(col("vendor")))
+    val dim = Tables.customer(spark, dir)
+      .withColumn("c_name_norm", Enrichment.normalizeVendor(col("c_name")))
+    Enrichment.twoPhase(facts, dim,
+        factId = "o_orderkey", factKey = "vendor_norm",
+        dimId = "c_custkey", dimKey = "c_name_norm",
+        payload = Seq("c_custkey", "c_mktsegment"))
+      .select(col("o_orderkey"), col("vendor"), col("vendor_norm"),
+        col("c_custkey").as("matched_custkey"),
+        col("c_mktsegment").as("matched_segment"), col("match_type"))
+      .orderBy("o_orderkey")
+  }
+
   /** J3/A3 group-scalar attach: compute a per-group scalar and classify each
     * row against it — as a window over the group partition (one shuffle, no
     * join back), the plan SURVEY.md §2.3 J3 recommends. Division-free
@@ -966,6 +999,7 @@ object Joins {
     "j10_scd2_lookup" -> (j10Scd2Lookup _),
     "j01_exact_enrich" -> (j01ExactEnrich _),
     "j02_twophase_enrich" -> (j02TwoPhaseEnrich _),
+    "j02b_normalized_enrich" -> (j02bNormalizedEnrich _),
     "j03_group_scalar_attach" -> (j03GroupScalarAttach _),
     "j04_band_join" -> (j04BandJoin _),
     "j05_exists_probe" -> (j05ExistsProbe _),
@@ -1400,6 +1434,44 @@ object Joins {
         |SELECT * FROM hits
         |UNION ALL
         |SELECT o_orderkey, vendor, c_custkey AS matched_custkey,
+        |       c_mktsegment AS matched_segment,
+        |       CASE WHEN c_custkey IS NOT NULL THEN 'fuzzy' ELSE 'none' END AS match_type
+        |FROM fz WHERE rn = 1
+        |ORDER BY o_orderkey""".stripMargin,
+    // the normalization fold inlined as the same regex chain on both sides
+    "j02b_normalized_enrich" ->
+      """WITH facts AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN '  ' || upper('Customer#' || lpad(CAST(o_custkey AS VARCHAR), 9, '0')) || '*TXN' || CAST(o_orderkey AS VARCHAR)
+        |         WHEN o_orderkey % 3 = 1 THEN lpad(CAST(o_custkey AS VARCHAR), 7, '0') || '*POS-' || CAST(o_orderkey % 97 AS VARCHAR)
+        |         ELSE 'UNKNOWN-' || CAST(o_orderkey AS VARCHAR) || '*X' END AS vendor
+        |  FROM orders),
+        |nf AS (
+        |  SELECT o_orderkey, vendor,
+        |    trim(regexp_replace(regexp_replace(lower(vendor), '\*.*$', ''),
+        |      '[^a-z0-9]+', ' ', 'g')) AS vendor_norm
+        |  FROM facts),
+        |nd AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    trim(regexp_replace(regexp_replace(lower(c_name), '\*.*$', ''),
+        |      '[^a-z0-9]+', ' ', 'g')) AS c_name_norm
+        |  FROM customer),
+        |exact AS (
+        |  SELECT f.o_orderkey, f.vendor, f.vendor_norm, c.c_custkey, c.c_mktsegment
+        |  FROM nf f LEFT JOIN nd c ON f.vendor_norm = c.c_name_norm),
+        |hits AS (
+        |  SELECT o_orderkey, vendor, vendor_norm, c_custkey AS matched_custkey,
+        |         c_mktsegment AS matched_segment, 'exact' AS match_type
+        |  FROM exact WHERE c_custkey IS NOT NULL),
+        |misses AS (SELECT o_orderkey, vendor, vendor_norm FROM exact WHERE c_custkey IS NULL),
+        |fz AS (
+        |  SELECT m.o_orderkey, m.vendor, m.vendor_norm, c.c_custkey, c.c_mktsegment,
+        |         row_number() OVER (PARTITION BY m.o_orderkey ORDER BY c.c_custkey) AS rn
+        |  FROM misses m LEFT JOIN nd c
+        |    ON contains(c.c_name_norm, m.vendor_norm))
+        |SELECT * FROM hits
+        |UNION ALL
+        |SELECT o_orderkey, vendor, vendor_norm, c_custkey AS matched_custkey,
         |       c_mktsegment AS matched_segment,
         |       CASE WHEN c_custkey IS NOT NULL THEN 'fuzzy' ELSE 'none' END AS match_type
         |FROM fz WHERE rn = 1

@@ -63,6 +63,54 @@ class EnrichmentSpec extends SparkSpec {
     assert(row.getAs[String]("match_type") === "fuzzy")
   }
 
+  test("normalizeVendor folds real card-processor noise (goldens)") {
+    def norm(s: String): String =
+      Seq(s).toDF("v").select(Enrichment.normalizeVendor(col("v")))
+        .head.getString(0)
+    // the canonical dirty strings: star-suffixed transaction codes, case
+    // noise, punctuation, doubled/stray whitespace — hand-computed goldens
+    assert(norm("AMZN Mktp US*1X2Y3") === "amzn mktp us")
+    assert(norm("SQ *COFFEE  BAR") === "sq")
+    assert(norm("STARBUCKS COFFEE #1234") === "starbucks coffee 1234")
+    assert(norm("  The-Home.Depot  STORE ") === "the home depot store")
+    assert(norm("PAYPAL *GRUBHUB FOOD") === "paypal")
+    assert(norm("Customer#000000042") === "customer 000000042")
+    // idempotent: the fold is a fixed point of itself
+    for (s <- Seq("AMZN Mktp US*1X2Y3", "STARBUCKS COFFEE #1234",
+      "  The-Home.Depot  STORE "))
+      assert(norm(norm(s)) === norm(s), s)
+  }
+
+  test("normalized two-phase enrichment matches messy vendors plain contains cannot") {
+    // messy facts: every one defeats raw equality AND raw lower-contains,
+    // but lands after normalization on both sides
+    val messyTxns = Seq(
+      (20L, "AMAZON  MKTPL*US1Z"),       // exact after fold (star code cut)
+      (21L, "starbucks-coffee #1234*9Q"),// exact after fold (case+punct)
+      (22L, "HOME.DEPOT*POS7"),          // fuzzy after fold: ids 3 AND 4 → 3
+      (23L, "TOTALLY UNKNOWN*X"),        // none
+      (24L, "MIXED  upper*TXN")          // fuzzy after fold → id 5
+    ).toDF("txn_id", "vendor")
+      .withColumn("vendor_norm", Enrichment.normalizeVendor(col("vendor")))
+    val dim = mappings
+      .withColumn("vendor_norm", Enrichment.normalizeVendor(col("vendor")))
+    // sanity: the RAW two-phase finds none of the matchable ones
+    val raw = Enrichment.twoPhase(messyTxns.drop("vendor_norm"), mappings,
+        "txn_id", "vendor", "id", "vendor", Seq("gl_account"))
+      .filter($"match_type" =!= "none").count()
+    assert(raw === 0L, "messy fixtures must defeat the un-normalized join")
+    val got = Enrichment.twoPhase(messyTxns, dim, "txn_id", "vendor_norm",
+        "id", "vendor_norm", Seq("gl_account"))
+      .select("txn_id", "gl_account", "match_type")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+    assert(got === Set(
+      (20L, Some("51000"), "exact"),
+      (21L, Some("52000"), "exact"),
+      (22L, Some("53000"), "fuzzy"), // lowest-id tie-break preserved
+      (23L, None, "none"),
+      (24L, Some("55000"), "fuzzy")))
+  }
+
   test("every fact appears exactly once in the output") {
     val out = Enrichment.twoPhase(txns, mappings, "txn_id", "vendor", "id", "vendor", Seq("gl_account"))
     assert(out.count() === txns.count())
