@@ -81,6 +81,43 @@ private[graft] object PqOps {
     new GenericArrayData(out)
   }
 
+  /** [[encode]] of the residual vec − anchor: x = (double)vec[i] −
+    * (double)anchor[i] inline, same fold/tie contract. The oracle's twin is
+    * `list_transform(range, i -> CAST(e[i] AS DOUBLE) − CAST(a[i] AS
+    * DOUBLE))` fed through the s8 enc CTE — per-element double
+    * subtraction then the identical ascending sub-dot fold. */
+  def encodeRes(e: ArrayData, eFloat: Boolean, a: ArrayData, aFloat: Boolean,
+                cbFlat: Array[Double], hcc: Array[Double], m: Int,
+                dsub: Int): ArrayData = {
+    val d = m * dsub
+    val ksub = cbFlat.length / d
+    if (e.numElements() < d || a.numElements() < d) return null
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = Double.NegativeInfinity
+      var bestC = 1
+      var c = 0
+      while (c < ksub) {
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val idx = j * dsub + i
+          val xv = if (eFloat) e.getFloat(idx).toDouble else e.getDouble(idx)
+          val av = if (aFloat) a.getFloat(idx).toDouble else a.getDouble(idx)
+          acc += (xv - av) * cbFlat(c * d + idx)
+          i += 1
+        }
+        val s = acc - hcc(j * ksub + c)
+        if (s > best) { best = s; bestC = c + 1 } // strict > keeps the lower row on ties
+        c += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** lut[j·ksub + (c−1)] = sub-dot(q, j, c) — the per-query ADC lookup
     * table, m·ksub doubles (16 KB at m=8, ksub=256), j-major so the scan
     * indexes it as j·ksub + code−1. */
@@ -172,6 +209,63 @@ case class PqEncode(child: Expression, cbFlat: Array[Double], m: Int, dsub: Int)
     copy(child = newChild)
 }
 
+/** `pq_encode_res(embedding, anchor)` → array<int>: [[PqEncode]] of the
+  * RESIDUAL embedding − anchor (per-element double subtraction) — the
+  * IVFADC corpus pass (Jégou et al. 2011 §III; FAISS IVFPQ). Fusing the
+  * subtraction into the encode keeps the corpus-sized pass one native
+  * codegen expression: a `zip_with` residual would drop the whole stage to
+  * CodegenFallback and allocate an intermediate array per row. */
+case class PqEncodeRes(left: Expression, right: Expression,
+                       cbFlat: Array[Double], m: Int, dsub: Int)
+    extends BinaryExpression {
+
+  private def vecIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def anchorIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _) | ArrayType(DoubleType, _),
+          ArrayType(FloatType, _) | ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode_res expects two array<float|double>, got ${l.sql} and ${r.sql}")
+  }
+
+  @transient private lazy val hcc = PqOps.halfNorms(cbFlat, m, dsub)
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode_res"
+
+  override def nullSafeEval(vec: Any, anchor: Any): Any =
+    PqOps.encodeRes(vec.asInstanceOf[ArrayData], vecIsFloat,
+      anchor.asInstanceOf[ArrayData], anchorIsFloat, cbFlat, hcc, m, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = PqOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val cbRef = ctx.addReferenceObj("pqCb", cbFlat, "double[]")
+    val hccRef = ctx.addReferenceObj("pqHcc", hcc, "double[]")
+    val res = ctx.freshName("pqEncodeResRes")
+    nullSafeCodeGen(ctx, ev, (v, a) => {
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  $cls.encodeRes($v, $vecIsFloat, $a, $anchorIsFloat, $cbRef, $hccRef, $m, $dsub);
+         |${ev.isNull} = $res == null;
+         |if (!${ev.isNull}) ${ev.value} = $res;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncodeRes =
+    copy(left = l, right = r)
+}
+
 /** `pq_lut(embedding)` → array<double>: all m·ksub sub-dots of a QUERY
   * vector against the codebook — computed once per query, then every
   * corpus code resolves its approximate dot by m array lookups. */
@@ -254,6 +348,10 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
 object PqFunctions {
   def pq_encode(e: Column, cbFlat: Array[Double], m: Int, dsub: Int): Column =
     Bridge.column(PqEncode(Bridge.expression(e), cbFlat, m, dsub))
+  def pq_encode_res(e: Column, anchor: Column, cbFlat: Array[Double],
+                    m: Int, dsub: Int): Column =
+    Bridge.column(PqEncodeRes(Bridge.expression(e), Bridge.expression(anchor),
+      cbFlat, m, dsub))
   def pq_lut(e: Column, cbFlat: Array[Double], m: Int, dsub: Int): Column =
     Bridge.column(PqLut(Bridge.expression(e), cbFlat, m, dsub))
   def pq_adc(lut: Column, codes: Column, ksub: Int): Column =

@@ -1,0 +1,195 @@
+package graft.similarity
+
+import graft.{SparkSpec, Tables}
+import graft.functions.PqFunctions._
+import org.apache.spark.sql.functions._
+
+/** s9 IVFADC tier (coarse anchors + PQ on residuals): residual-encode
+  * identity, the cell-offset ADC identity, exhaustive-probe equivalence to
+  * brute force, recall floor, determinism, and the codes-only-shuffle pin. */
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf0001)
+  lazy val n = emb.count()
+  lazy val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+  lazy val nprobe = math.max(2, nlist / 4)
+  lazy val ksub = Pq.ksubFor(n)
+
+  private def anchorFrame = {
+    val ak = graft.dedup.Dedup.md5Hash60(
+      concat(lit("ivfanchor|"), col("vec_id").cast("string")))
+    emb.select(col("vec_id").as("cell"), col("embedding").as("ce"), ak.as("ak"))
+      .orderBy(col("ak"), col("cell")).limit(nlist)
+      .select("cell", "ce")
+  }
+
+  lazy val cb = Pq.fitResidualCodebook(emb, anchorFrame, ksub)
+
+  test("residual codebook fit is deterministic and bounded") {
+    assert(cb.length === ksub * Knn.maxDims)
+    val again = Pq.fitResidualCodebook(emb, anchorFrame, ksub)
+    assert(cb.toSeq === again.toSeq)
+  }
+
+  test("pq_encode_res(x, a) equals pq_encode of the materialized residual") {
+    // the fused expression must be arithmetically invisible: same codes as
+    // subtracting first (zip_with double residual) and encoding that
+    val anchors = anchorFrame
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(anchors))
+      .select(col("vec_id"), col("embedding"), col("cell"), col("ce"),
+        Knn.dotFold(col("embedding"), col("ce")).as("adot"))
+      .withColumn("ark", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("adot").desc, col("cell").asc)))
+      .filter(col("ark") === 1)
+    val residual = zip_with(col("embedding"), col("ce"),
+      (x, y) => x.cast("double") - y.cast("double"))
+    val rows = assigned.select(
+        pq_encode_res(col("embedding"), col("ce"), cb, Pq.m, Pq.dsub).as("fused"),
+        pq_encode(residual, cb, Pq.m, Pq.dsub).as("two_step"))
+      .as[(Array[Int], Array[Int])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (f, t) => assert(f.toSeq === t.toSeq) }
+  }
+
+  test("ADC score equals q·anchor + q·(decoded residual)") {
+    // the IVFADC identity: the reported approximate dot must be the dot of
+    // the query against the reconstructed vector ce + decode(codes)
+    val d = Pq.m * Pq.dsub
+    val out = Pq.ivfPqTopK(emb, nlist, nprobe, ksub, k = 3, rerank = 4)
+      .select("a_id", "b_id", "adot").as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val anchors = anchorFrame.as[(Long, Array[Float])].collect()
+    def assignOf(e: Array[Float]): (Long, Array[Float]) =
+      anchors.map { case (c, ce) =>
+        var acc = 0.0
+        for (i <- e.indices) acc += e(i).toDouble * ce(i).toDouble
+        (c, ce, acc)
+      }.maxBy { case (c, _, dot) => (dot, -c) } match {
+        case (c, ce, _) => (c, ce)
+      }
+    out.take(50).foreach { case (a, b, adot) =>
+      val (qe, be) = (vecs(a), vecs(b))
+      val (_, bce) = assignOf(be)
+      val rv = be.indices.map(i => be(i).toDouble - bce(i).toDouble).toArray
+      // re-encode the residual independently
+      val codes = (0 until Pq.m).map { j =>
+        (1 to ksub).maxBy { c =>
+          var acc = 0.0
+          var h = 0.0
+          for (i <- 0 until Pq.dsub) {
+            acc += rv(j * Pq.dsub + i) * cb((c - 1) * d + j * Pq.dsub + i)
+            val v = cb((c - 1) * d + j * Pq.dsub + i); h += v * v
+          }
+          (acc - 0.5 * h, -c)
+        }
+      }
+      var expected = 0.0
+      for (i <- qe.indices) expected += qe(i).toDouble * bce(i).toDouble
+      for (j <- 0 until Pq.m; i <- 0 until Pq.dsub)
+        expected += qe(j * Pq.dsub + i).toDouble *
+          cb((codes(j) - 1) * d + j * Pq.dsub + i)
+      assert(math.abs(adot - expected) < 1e-9, s"($a,$b): $adot vs $expected")
+    }
+  }
+
+  test("exhaustive probes + exhaustive rerank reproduce exact brute-force top-k") {
+    // probing ALL cells makes every b a candidate; an exhaustive rerank
+    // then restores the exact ranking — IVFADC may only prune, not corrupt
+    val full = Pq.ivfPqTopK(emb, nlist, nprobe = nlist, ksub, k = 5,
+        rerank = n.toInt)
+      .select("a_id", "rk", "b_id").as[(Long, Int, Long)].collect().toSet
+    val exact = Knn.bruteForceTopK(emb, 5)
+      .select("a_id", "rk", "b_id").as[(Long, Int, Long)].collect().toSet
+    assert(full === exact)
+  }
+
+  test("pruned IVFADC keeps a recall floor and exact reranked dots") {
+    val exact = Knn.bruteForceTopK(emb, 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val approx = Pq.ivfPqTopK(emb, nlist, nprobe, ksub, Pq.s9K, Pq.s9Rerank)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // cell pruning stacks on PQ quantization: the floor sits below s8's
+    // (the standard IVF recall trade the s3 family documents)
+    assert(approx.nonEmpty && recall >= 0.4, s"recall=$recall")
+    val truth = Knn.bruteForceTopK(emb, n.toInt).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("dot")).toMap
+    Pq.ivfPqTopK(emb, nlist, nprobe, ksub, Pq.s9K, Pq.s9Rerank).collect().foreach { r =>
+      val key = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      truth.get(key).foreach(d => assert(math.abs(d - r.getAs[Double]("dot")) < 1e-12))
+    }
+  }
+
+  test("stage-1 scan shuffles carry only ids/cells/codes/scores — never vectors or LUTs") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the candidate stage only — the exact-rerank tail legitimately moves
+    // k·rerank·queryN embedding rows
+    val anchors = anchorFrame
+    val assign = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(anchors))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        Knn.dotFold(col("embedding"), col("ce")).as("adot"))
+      .groupBy(col("vec_id").as("b_id"))
+      .agg(max_by(col("cell"), struct(col("adot"), (-col("cell")).as("nc"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+    val codes = assign.join(broadcast(anchors), "cell")
+      .select(col("b_id"), col("cell"),
+        pq_encode_res(col("embedding"), col("ce"), cb, Pq.m, Pq.dsub).as("codes"))
+    val stratum = emb.join(broadcast(Knn.queryIds(emb)), "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    val probes = stratum.crossJoin(broadcast(anchors))
+      .select(col("vec_id"), col("cell"),
+        Knn.dotFold(col("embedding"), col("ce")).as("adot"))
+      .withColumn("ark", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("adot").desc, col("cell").asc)))
+      .filter(col("ark") <= nprobe)
+      .select(col("vec_id").as("a_id"), col("cell"), col("adot").as("qcdot"))
+    val qlut = stratum.select(col("vec_id").as("a_id"),
+      pq_lut(col("embedding"), cb, Pq.m, Pq.dsub).as("lut"))
+    val approx = codes.join(broadcast(probes), "cell")
+      .filter(col("a_id") =!= col("b_id"))
+      .join(broadcast(qlut), "a_id")
+      .select(col("a_id"), col("b_id"),
+        (col("qcdot") + pq_adc(col("lut"), col("codes"), ksub)).as("adot"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(col("adot").desc, col("b_id").asc)
+    val cand = approx.withColumn("qrk", row_number().over(w1))
+      .filter(col("qrk") <= 40).select("a_id", "b_id", "adot")
+    cand.collect()
+    def allShuffles(p: SparkPlan): Seq[Seq[String]] = {
+      val self = p match {
+        case s: ShuffleExchangeExec => Seq(s.output.map(_.name))
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(allShuffles)
+    }
+    val shuffles = allShuffles(cand.queryExecution.executedPlan)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { cols =>
+      assert(!cols.exists(c => c.contains("embedding") || c.contains("lut") ||
+          c == "ce"),
+        s"stage-1 shuffle carries wide columns: $cols")
+    }
+  }
+
+  test("s9 driver query is deterministic across invocations") {
+    val a = Pq.s9KnnIvfPq(spark, sf0001)
+      .as[(Long, Int, Long, Double, Double)].collect().toSeq
+    val b = Pq.s9KnnIvfPq(spark, sf0001)
+      .as[(Long, Int, Long, Double, Double)].collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+}
