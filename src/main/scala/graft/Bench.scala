@@ -70,13 +70,25 @@ object Bench {
     ordered.foreach { case (name, fn) =>
       val (t, ok) = once(name, fn); best(name) = (t, t, 1, ok)
     }
+    // Retry ceiling: the deferred re-time exists to dodge the box's
+    // episodic stalls, whose signature is a SHORT query reading 10-60x its
+    // quiet time — always landing in the tens-to-hundreds of seconds. A
+    // best time already past this cap is a genuinely long-running query
+    // (an sf100 scale-tier measurement), where a blanket 3x re-run costs
+    // hours and the stall's relative inflation is small anyway; those get
+    // their min across the campaign's SPACED PASSES instead (the same
+    // min-over-2 the scale curve always used). Failed queries re-try
+    // regardless — a transient environmental failure must not cost the
+    // pass its data point.
+    val retryCap = sys.env.get("SPARK_GRAFT_BENCH_RETRY_CAP")
+      .map(_.toDouble).getOrElse(300.0)
     for (_ <- 1 to 2) {
       // deferred re-times: slow-but-ok queries (stall defense) AND failed
       // ones — a transient environmental failure (disk-full from a
       // neighboring query's leftovers, a stall-timeout) must not cost the
       // pass its data point when a later attempt succeeds
       val slow = ordered.filter { case (name, _) =>
-        val (_, t, _, ok) = best(name); !ok || t > 5.0
+        val (_, t, _, ok) = best(name); !ok || (t > 5.0 && t <= retryCap)
       }
       slow.foreach { case (name, fn) =>
         val (first, b, n, okPrev) = best(name)

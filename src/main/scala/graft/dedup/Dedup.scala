@@ -163,10 +163,14 @@ object Dedup {
     val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val rarityOrder = Window.partitionBy("doc_id").orderBy("df", "s")
     // every shingle's 1-based rank in ITS doc under the GLOBAL rarity
-    // order — built once, cached: the prefix side filters it, the index
-    // side reads it whole, and the shared order is what makes the PPJoin
-    // positional bound below valid
-    val ranked = graft.util.Caches.scoped(sh.join(freq, "s")
+    // order — built once, MATERIALIZED (parquet spill, not block-manager
+    // persist): the frame is corpus-scaled (all shingle rows + rank), and
+    // a block-manager cache of it squats the storage region 32 shuffle
+    // sorters need — the measured sf10 failure (UNABLE_TO_ACQUIRE_MEMORY
+    // on the first r13 campaign attempt, rescued only by the retry). The
+    // prefix side filters it, the index side reads it whole, and the
+    // shared order is what makes the PPJoin positional bound below valid.
+    val ranked = graft.util.Caches.material(sh.join(freq, "s")
       .withColumn("rank", row_number().over(rarityOrder))
       .join(sizes, "doc_id"))
     val prefixes = ranked

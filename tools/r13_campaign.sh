@@ -16,6 +16,7 @@ cd /root/repo
 mkdir -p target/m
 NEWQ="s8_knn_pq,s9_knn_ivfpq,mm5_pixel_stats,j02b_normalized_enrich,stream_capped_sessions,d11b_containment_prefix,d11c_containment_auto,t20_url_canonical"
 D11="d11_containment,d11b_containment_prefix,d11c_containment_auto"
+S9="s8_knn_pq,s9_knn_ivfpq"
 SF100_EMB="d9b_semdedup_2level"
 SF100_DOC="d11_containment,d11c_containment_auto"
 SF100_LI="g2_triangles"
@@ -30,11 +31,13 @@ python3 tools/bench_min.py --anchor target/m/r13_anchor_pre.json
 echo "== anchors pre done ($(date -u +%H:%M:%S))"
 run /root/testdata/sf0.1 target/m/r13_new_sf01_a.json target/m/r13_new_sf01_a.log "$NEWQ"
 run target/scale/sf10 target/m/r13_d11_sf10_a.json target/m/r13_d11_sf10_a.log "$D11"
+run target/scale/sf10 target/m/r13_s9_sf10_a.json target/m/r13_s9_sf10_a.log "$S9"
 run target/scale/sf100 target/m/r13_emb_sf100_a.json target/m/r13_emb_sf100_a.log "$SF100_EMB"
 run target/scale/sf100 target/m/r13_doc_sf100_a.json target/m/r13_doc_sf100_a.log "$SF100_DOC"
 run target/scale/sf100 target/m/r13_li_sf100_a.json target/m/r13_li_sf100_a.log "$SF100_LI"
 run /root/testdata/sf0.1 target/m/r13_new_sf01_b.json target/m/r13_new_sf01_b.log "$NEWQ"
 run target/scale/sf10 target/m/r13_d11_sf10_b.json target/m/r13_d11_sf10_b.log "$D11"
+run target/scale/sf10 target/m/r13_s9_sf10_b.json target/m/r13_s9_sf10_b.log "$S9"
 run target/scale/sf100 target/m/r13_emb_sf100_b.json target/m/r13_emb_sf100_b.log "$SF100_EMB"
 run target/scale/sf100 target/m/r13_doc_sf100_b.json target/m/r13_doc_sf100_b.log "$SF100_DOC"
 run target/scale/sf100 target/m/r13_li_sf100_b.json target/m/r13_li_sf100_b.log "$SF100_LI"
