@@ -25,6 +25,7 @@ object Profile {
     if (args.headOption.contains("d4r")) { profileD4R(dir); return }
     if (args.headOption.contains("d4ab")) { profileD4AB(dir); return }
     if (args.headOption.contains("d4part")) { profileD4Part(dir); return }
+    if (args.headOption.contains("ppjoin")) { profilePpjoin(dir); return }
     val spark = GraftSession(s"local[8]", "8")
     import graft.text.TextAnalysis.{shingles, tokens}
 
@@ -190,6 +191,44 @@ object Profile {
   /** Stage-by-stage timing of g2_triangles at bench parallelism. */
   /** d10 stage decomposition: shingles/bands build vs candidate join vs
     * the pairsCommon verify — which term owns the 27 s at sf10? */
+  /** Candidate-volume effect of the d11b PPJoin positional filter: the
+    * distinct (a, b) candidate count the verify stage receives, with and
+    * without the WWW'08 positional bound, plus the raw prefix-index match
+    * rows the filter prunes before the distinct. Replicates
+    * containmentPairsPrefix's candidate build verbatim at τ = 0.6. */
+  def profilePpjoin(dir: String): Unit = {
+    val spark = GraftSession()
+    val tau = 0.6
+    val docs = Tables.documents(spark, dir)
+    docs.count() // warm
+    val sh = graft.util.Caches.scoped(
+      graft.text.TextAnalysis.shingleRows(docs))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val rarityOrder = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "s")
+    val ranked = graft.util.Caches.material(sh.join(freq, "s")
+      .withColumn("rank", row_number().over(rarityOrder))
+      .join(sizes, "doc_id"))
+    val prefixes = ranked
+      .filter(col("rank") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .select(col("doc_id").as("a_id"), col("s"), col("n").as("na"),
+        col("rank").as("pa"))
+    val index = ranked.select(col("doc_id").as("b_id"), col("s").as("s2"),
+      col("n").as("nb"), col("rank").as("pb"))
+    val matches = prefixes.join(index, col("s") === col("s2"))
+      .filter(col("a_id") =!= col("b_id"))
+    t("prefix-index match rows (pre-filter)")(matches)
+    t("distinct candidates WITHOUT positional filter")(
+      matches.select("a_id", "b_id").distinct())
+    val kept = matches.filter(
+      (lit(1L) + least(col("na") - col("pa"), col("nb") - col("pb")))
+        .cast("double") / col("na") >= lit(tau))
+    t("match rows kept by positional filter")(kept)
+    t("distinct candidates WITH positional filter")(
+      kept.select("a_id", "b_id").distinct())
+  }
+
   def profileD10(dir: String): Unit = {
     val spark = GraftSession()
     import graft.dedup.Dedup
