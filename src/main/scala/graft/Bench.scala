@@ -77,18 +77,27 @@ object Bench {
     // (an sf100 scale-tier measurement), where a blanket 3x re-run costs
     // hours and the stall's relative inflation is small anyway; those get
     // their min across the campaign's SPACED PASSES instead (the same
-    // min-over-2 the scale curve always used). Failed queries re-try
-    // regardless — a transient environmental failure must not cost the
-    // pass its data point.
-    val retryCap = sys.env.get("SPARK_GRAFT_BENCH_RETRY_CAP")
-      .map(_.toDouble).getOrElse(300.0)
+    // min-over-2 the scale curve always used). Two carve-outs: failed
+    // queries re-try regardless (a transient environmental failure must
+    // not cost the pass its data point), and an above-cap time seen only
+    // ONCE gets exactly one re-time — a ~10-30 s query stalled to 10-60x
+    // lands ABOVE the cap, so a single-pass bench would otherwise record
+    // the stall permanently with nothing to contradict it. One retry
+    // bounds the extra cost for genuinely long queries at 2 executions
+    // while making every reported minimum the min of >= 2 observations.
+    val retryCap = sys.env.get("SPARK_GRAFT_BENCH_RETRY_CAP").map { s =>
+      scala.util.Try(s.trim.toDouble).getOrElse(sys.error(
+        s"SPARK_GRAFT_BENCH_RETRY_CAP must be a number of seconds, got '$s'"))
+    }.getOrElse(300.0)
     for (_ <- 1 to 2) {
-      // deferred re-times: slow-but-ok queries (stall defense) AND failed
+      // deferred re-times: slow-but-ok queries (stall defense), failed
       // ones — a transient environmental failure (disk-full from a
       // neighboring query's leftovers, a stall-timeout) must not cost the
-      // pass its data point when a later attempt succeeds
+      // pass its data point when a later attempt succeeds — and
+      // single-observation above-cap times (one confirmation run)
       val slow = ordered.filter { case (name, _) =>
-        val (_, t, _, ok) = best(name); !ok || (t > 5.0 && t <= retryCap)
+        val (_, t, n, ok) = best(name)
+        !ok || (t > 5.0 && t <= retryCap) || (t > retryCap && n == 1)
       }
       slow.foreach { case (name, fn) =>
         val (first, b, n, okPrev) = best(name)
@@ -109,8 +118,19 @@ object Bench {
     val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, _, v, _, true) => v }.sum
+    // Self-documenting harness provenance (round-13 advice): tier-sized
+    // runs (SPARK_GRAFT_SHUFFLE_PARTITIONS=256, SPARK_DRIVER_MEM=32g for
+    // sf100 documents/lineitem) produce numbers that are NOT comparable to
+    // default-harness rows of the same query — record the effective values
+    // in the JSON so the distinction is machine-readable, not a README
+    // footnote. max_heap_mb is the JVM's real -Xmx-derived ceiling (the
+    // truthful form of SPARK_DRIVER_MEM, which may be unset).
+    val harness =
+      s""""harness":{"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
+      s""""max_heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},""" +
+      s""""cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}","retry_cap":$retryCap}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"attempts":$attempts,"sf":"$sfDir","failed":$failed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"attempts":$attempts,"sf":"$sfDir","failed":$failed,$harness}"""
     println(json)
     // stdout capture of a long sbt run can truncate (BENCH_r03 lost its
     // head); the file copy is the durable record

@@ -22,7 +22,13 @@ object GraftSession {
       // of partitions). AQE coalesces excess partitions at runtime, so
       // oversizing is cheap; undersizing is not recoverable.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+        sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map { s =>
+          // fail fast with the variable NAMED — a malformed value passed
+          // raw would surface as an opaque Spark config error mid-job
+          require(scala.util.Try(s.trim.toInt).toOption.exists(_ > 0),
+            s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive integer, got '$s'")
+          s.trim
+        }.getOrElse(cpus))
       .config("spark.sql.adaptive.enabled", "true")
       // Let AQE convert shuffle joins to broadcast from RUNTIME-MEASURED
       // sizes up to 64 MB (default 10 MB). This is the scale-safe way to

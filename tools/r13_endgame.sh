@@ -4,6 +4,7 @@
 # DuckDB replica gate, and the RATIOS regeneration from BENCH_r13_full.
 set -u
 cd /root/repo
+mkdir -p target/m
 SPARK_GRAFT_SF_DIR=target/scale/sf10 sbt -batch "runMain graft.Profile ppjoin" \
   > target/m/r13_ppjoin_sf10.log 2>&1
 echo "== ppjoin done ($(date -u +%H:%M:%S))"
