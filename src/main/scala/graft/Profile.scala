@@ -26,6 +26,7 @@ object Profile {
     if (args.headOption.contains("d4ab")) { profileD4AB(dir); return }
     if (args.headOption.contains("d4part")) { profileD4Part(dir); return }
     if (args.headOption.contains("ppjoin")) { profilePpjoin(dir); return }
+    if (args.headOption.contains("pqrecall")) { profilePqRecall(dir); return }
     val spark = GraftSession(s"local[8]", "8")
     import graft.text.TextAnalysis.{shingles, tokens}
 
@@ -196,6 +197,38 @@ object Profile {
     * without the WWW'08 positional bound, plus the raw prefix-index match
     * rows the filter prunes before the distinct. Replicates
     * containmentPairsPrefix's candidate build verbatim at τ = 0.6. */
+  /** Recall of the PQ/IVFADC tiers vs exact brute force at a given Lloyd
+    * iteration count — iters=0 IS the round-13 sampled-init codebook (same
+    * md5 anchor set as the old fit), so the iters=0 vs iters=2 delta is
+    * the measured quality gain behind the PqSpec/IvfPqSpec floor raise. */
+  def profilePqRecall(dir: String): Unit = {
+    val spark = GraftSession()
+    import graft.similarity.{Knn, Pq}
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val exact = Knn.bruteForceTopK(emb, 5).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nprobe = math.max(2, nlist / 4)
+    val ksub = Pq.ksubFor(n)
+    def recall(df: DataFrame): Double = {
+      val got = df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    println(s"n=$n nlist=$nlist nprobe=$nprobe ksub=$ksub queries=${exact.size / 5}")
+    for (iters <- Seq(0, 1, 2, 4)) {
+      val cb = Pq.fitCodebook(emb, ksub, iters)
+      println(f"s8  iters=$iters recall=${recall(Pq.pqTopK(emb, cb, 5, 8))}%.4f")
+      println(f"s9  iters=$iters recall=${
+        recall(Pq.ivfPqTopK(emb, nlist, nprobe, ksub, 5, 8, iters = iters))}%.4f")
+      println(f"s9b iters=$iters recall=${
+        recall(Pq.twoLevelIvfPqTopK(emb, nlist, nprobe, ksub, 5, 8, iters = iters))}%.4f")
+      graft.util.Caches.releaseAll()
+    }
+    spark.stop()
+  }
+
   def profilePpjoin(dir: String): Unit = {
     val spark = GraftSession()
     val tau = 0.6

@@ -12,19 +12,26 @@ import graft.functions.PqFunctions._
   * corpus-scale candidate index live in executor memory (Jégou, Douze &
   * Schmid, TPAMI 2011; the FAISS `IVF,PQ8` default).
   *
-  * Deterministic sampled codebooks, the s3b anchor discipline: subspace
-  * codebooks are the sub-vectors of the [[ksubFor]] corpus vectors with the
-  * smallest md5 key ("pqanchor|" family) — a pure function of the data, so
-  * the DuckDB oracle recomputes the ENTIRE pipeline (anchor choice, per-
-  * subspace encode argmax, LUT, ADC fold, rerank) and the driver gate is
-  * rows+schema+hash like every other s-tier. Sampled codebooks trade some
-  * quantization quality vs k-means-fitted ones (the classic random-sample
-  * init); the exact rerank restores ranking quality on the survivors, and
-  * PqSpec pins the recall floor vs `s1_knn_exact`.
+  * Codebooks (round 14): deterministic Lloyd-refined k-means per subspace —
+  * the md5-smallest [[lloydSampleN]] corpus vectors ("pqanchor|" family)
+  * are the TRAINING SAMPLE, the first ksub of them the init, and
+  * [[lloydIters]] fixed Lloyd iterations (assign by the same
+  * `dot − ½‖c‖²` argmax the encoder uses, ties to the lower row; centroid
+  * = component mean accumulated in sample rank order) refine them. The fit
+  * is a pure, JVM-deterministic function of the data; the resulting
+  * centroids are exported to BOTH engines as `%.17e` round-tripping
+  * literals — the s3 fitted-centroid discipline — so the DuckDB oracle
+  * replays the ENTIRE pipeline downstream of the fit (encode argmax, LUT,
+  * ADC fold, rerank) and the driver gate stays rows+schema+hash. Versus
+  * the round-13 sampled-init codebooks this is the classic quality step:
+  * Lloyd monotonically lowers sample quantization MSE, which tightens the
+  * ADC dot approximation at the same 8 B/vector cost (measured recall
+  * deltas recorded in PqSpec/IvfPqSpec floors).
   *
   * Scale shape at 100 TB:
-  *  - codebook fit is a corpus TakeOrdered of ksub ≤ 256 rows — bounded
-  *    driver state (≤ 128 KB of doubles), the s3 fitted-centroid shape;
+  *  - codebook fit is a corpus TakeOrdered of ≤ [[lloydSampleN]] ≤ 2048
+  *    rows + a driver-side Lloyd over ≤ 1 MB of doubles — bounded driver
+  *    state, same budget class as s3's fitted centroids;
   *  - encode is ONE corpus map pass (ksub·d multiplies/row, fixed — O(n)
   *    total, unlike IVF-flat's O(n·√n) assignment), emitting the 8-byte
   *    code array: the only corpus-sized frame the scan ever touches;
@@ -47,19 +54,101 @@ object Pq {
     * the real regime; tiny spec corpora cap lower). */
   def ksubFor(n: Long): Int = math.min(256L, n).toInt
 
+  /** Lloyd training-sample size: 8 points per codeword (capped by the
+    * corpus). Large enough that centroids move off their init toward real
+    * cluster means, small enough that the fit stays a bounded driver-side
+    * step (≤ 2048 × 64 doubles = 1 MB collected). */
+  def lloydSampleN(ksub: Int, n: Long): Int = math.min(8L * ksub, n).toInt
+
+  /** Fixed Lloyd iteration count — determinism demands a constant, and on
+    * a coarse product codebook the first two sweeps capture nearly all of
+    * the MSE drop (the classic k-means convergence profile). */
+  val lloydIters = 2
+
   private[similarity] val s8K = 5
   private[similarity] val s8Rerank = 8
 
-  /** The flattened codebook: the ksub md5-smallest corpus vectors in rank
-    * order, widened to double (exact). Bounded collect — ≤ 256 × 64
-    * doubles, the same driver-state budget as s3's fitted centroids. */
-  def fitCodebook(emb: DataFrame, ksub: Int): Array[Double] = {
+  /** Deterministic per-subspace Lloyd over a collected sample. Input rows
+    * are full d-dim double vectors in md5-rank order; init codewords are
+    * the first ksub rows. Each sweep assigns every sample point to its
+    * best codeword under the ENCODER's own metric (`dot − ½‖c‖²`, strict >
+    * keeps the lower row — [[graft.functions.PqOps.encode]]'s exact tie
+    * rule) and replaces each non-empty codeword with the component mean of
+    * its points, accumulated in sample order. Every operation is IEEE
+    * double in a fixed order, so the fit is bit-reproducible across JVMs —
+    * which is all the oracle needs, since the result ships to DuckDB as
+    * literals rather than being re-derived in SQL. */
+  private[graft] def lloydRefine(sample: Array[Array[Double]],
+                                 ksub: Int, iters: Int): Array[Double] = {
+    val d = m * dsub
+    require(sample.length >= ksub, s"sample ${sample.length} < ksub $ksub")
+    val cb = Array.tabulate(ksub, d)((c, i) => sample(c)(i))
+    var it = 0
+    while (it < iters) {
+      var j = 0
+      while (j < m) {
+        // ½‖c_j‖² once per codeword per sweep, the encoder's fold order
+        val hcc = new Array[Double](ksub)
+        var c = 0
+        while (c < ksub) {
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) { val v = cb(c)(j * dsub + i); acc += v * v; i += 1 }
+          hcc(c) = 0.5 * acc
+          c += 1
+        }
+        val sums = Array.ofDim[Double](ksub, dsub)
+        val counts = new Array[Long](ksub)
+        var p = 0
+        while (p < sample.length) {
+          val x = sample(p)
+          var best = Double.NegativeInfinity
+          var bestC = 0
+          c = 0
+          while (c < ksub) {
+            var acc = 0.0
+            var i = 0
+            while (i < dsub) { acc += x(j * dsub + i) * cb(c)(j * dsub + i); i += 1 }
+            val s = acc - hcc(c)
+            if (s > best) { best = s; bestC = c } // strict >: lower row wins ties
+            c += 1
+          }
+          counts(bestC) += 1
+          var i = 0
+          while (i < dsub) { sums(bestC)(i) += x(j * dsub + i); i += 1 }
+          p += 1
+        }
+        c = 0
+        while (c < ksub) {
+          if (counts(c) > 0) {
+            var i = 0
+            while (i < dsub) {
+              cb(c)(j * dsub + i) = sums(c)(i) / counts(c)
+              i += 1
+            }
+          } // empty cell: keep the previous codeword (standard Lloyd rule)
+          c += 1
+        }
+        j += 1
+      }
+      it += 1
+    }
+    cb.flatten
+  }
+
+  /** The flattened s8 codebook: Lloyd-refined over the md5-smallest
+    * [[lloydSampleN]] corpus vectors widened to double (exact), init =
+    * first ksub sample rows. Bounded collect, bounded driver compute. */
+  def fitCodebook(emb: DataFrame, ksub: Int,
+                  iters: Int = lloydIters): Array[Double] = {
+    val n = lloydSampleN(ksub, Long.MaxValue) // cap applied by limit below
     val ak = graft.dedup.Dedup.md5Hash60(
       concat(lit("pqanchor|"), col("vec_id").cast("string")))
-    emb.select(col("embedding"), ak.as("ak"), col("vec_id"))
-      .orderBy(col("ak"), col("vec_id")).limit(ksub)
+    val sample = emb.select(col("embedding"), ak.as("ak"), col("vec_id"))
+      .orderBy(col("ak"), col("vec_id")).limit(n)
       .select("embedding").collect()
-      .flatMap(_.getSeq[Float](0).map(_.toDouble))
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    lloydRefine(sample, ksub, iters)
   }
 
   /** PQ top-k: encode → ADC scan over the broadcast query LUTs → exact
@@ -98,7 +187,9 @@ object Pq {
   def s8KnnPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = graft.Tables.embeddings(spark, dir)
     val n = graft.Tables.cachedCount(spark, dir, "embeddings")
-    val cb = fitCodebook(emb, ksubFor(n))
+    val ksub = ksubFor(n)
+    val cb = fitCodebook(emb, ksub)
+    register("s8_knn_pq", s8OracleSql(cb, ksub))
     pqTopK(emb, cb, s8K, s8Rerank).orderBy("a_id", "rk")
   }
 
@@ -116,16 +207,17 @@ object Pq {
   // One SHARED residual codebook across cells (the FAISS default): the
   // query LUT then depends only on q — m·ksub sub-dots once per query, NOT
   // once per (query, cell) — and the per-cell term is the scalar q·ce the
-  // probe ranking already computed. Everything stays a pure function of
-  // the data (md5 anchors for both the coarse quantizer and the residual
-  // codebook sample), so the DuckDB oracle replays the entire pipeline and
-  // the gate is rows+schema+hash like s3b/s8.
+  // probe ranking already computed. The coarse quantizer stays a pure
+  // function of the data (md5 anchors) and the residual codebook ships as
+  // fitted literals, so the DuckDB oracle replays the entire pipeline
+  // downstream of the fit and the gate is rows+schema+hash like s3b/s8.
   //
   // Scale shape at 100 TB:
   //  - coarse anchors: nlist ≈ √n md5-smallest vectors (s3b) — broadcast;
-  //  - assignment: the s3b one-pass max_by (n·nlist dots, O(n^1.5) flat —
-  //    above the s3d cutover a production build would swap the s3c
-  //    two-level assign in; the search side below is unchanged);
+  //  - assignment: s9 keeps the s3b one-pass max_by (n·nlist dots,
+  //    O(n^1.5) flat); [[s9bKnnIvfPq2Level]] swaps in the s3c two-level
+  //    assign (O(n^1.25)) with the search side UNCHANGED, and
+  //    [[s9cKnnAuto]] routes between them on the s3d cutover;
   //  - codes: the ONE corpus-sized frame — (b_id, cell, 8 B codes);
   //  - search: probes (queryN·nprobe rows, 3 scalar cols) and query LUTs
   //    (queryN × 16 KB) broadcast; the codes⋈probes hash join prunes
@@ -136,20 +228,20 @@ object Pq {
   private[similarity] val s9K = 5
   private[similarity] val s9Rerank = 8
 
-  /** The residual codebook: residuals (embedding − assigned anchor) of the
-    * ksub corpus vectors with the smallest "pqresanchor|" md5 key, in rank
-    * order, computed in double (exact: float→double widening, one IEEE
-    * subtraction per element — the oracle's CAST(..) − CAST(..)). Bounded
-    * collect: ≤ 256 × 64 doubles. The assignment argmax for the sample
-    * replays the corpus rule exactly (highest dot, ties to the lower
-    * cell), so sampled residuals ARE the corpus residuals of those ids. */
-  def fitResidualCodebook(emb: DataFrame, anchors: DataFrame,
-                          ksub: Int): Array[Double] = {
+  /** The s9 residual training sample: residuals (embedding − assigned
+    * anchor) of the [[lloydSampleN]] corpus vectors with the smallest
+    * "pqresanchor|" md5 key, in rank order, computed in double (exact:
+    * float→double widening, one IEEE subtraction per element). The
+    * assignment argmax for the sample replays the corpus rule exactly
+    * (highest dot, ties to the lower cell), so sampled residuals ARE the
+    * corpus residuals of those ids. Lloyd-refined like [[fitCodebook]]. */
+  def fitResidualCodebook(emb: DataFrame, anchors: DataFrame, ksub: Int,
+                          iters: Int = lloydIters): Array[Double] = {
     val ck = graft.dedup.Dedup.md5Hash60(
       concat(lit("pqresanchor|"), col("vec_id").cast("string")))
     val chosen = emb.select(col("vec_id"), col("embedding"), ck.as("ck"))
-      .orderBy(col("ck"), col("vec_id")).limit(ksub)
-    chosen.crossJoin(broadcast(anchors))
+      .orderBy(col("ck"), col("vec_id")).limit(lloydSampleN(ksub, Long.MaxValue))
+    val sample = chosen.crossJoin(broadcast(anchors))
       .select(col("vec_id"), col("ck"), col("embedding"), col("cell"),
         col("ce"), Knn.dotFold(col("embedding"), col("ce")).as("adot"))
       .withColumn("ark", row_number().over(
@@ -157,16 +249,18 @@ object Pq {
       .filter(col("ark") === 1)
       .orderBy(col("ck"), col("vec_id"))
       .select("embedding", "ce").collect()
-      .flatMap { r =>
+      .map { r =>
         val x = r.getSeq[Float](0); val a = r.getSeq[Float](1)
-        x.indices.map(i => x(i).toDouble - a(i).toDouble)
+        x.indices.map(i => x(i).toDouble - a(i).toDouble).toArray
       }
+    lloydRefine(sample, ksub, iters)
   }
 
   /** IVFADC top-k: coarse-assign → residual-encode → probe nprobe cells →
     * ADC over probed codes (+ the q·ce cell offset) → exact rerank. */
   def ivfPqTopK(emb: DataFrame, nlist: Int, nprobe: Int, ksub: Int, k: Int,
-                rerank: Int): DataFrame = {
+                rerank: Int, fitted: Array[Double] => Unit = _ => (),
+                iters: Int = lloydIters): DataFrame = {
     val ak = graft.dedup.Dedup.md5Hash60(
       concat(lit("ivfanchor|"), col("vec_id").cast("string")))
     // nlist ≈ √n rows, read by the fit, the assign, the code build and the
@@ -175,7 +269,8 @@ object Pq {
       .select(col("vec_id").as("cell"), col("embedding").as("ce"), ak.as("ak"))
       .orderBy(col("ak"), col("cell")).limit(nlist)
       .select("cell", "ce"))
-    val cb = fitResidualCodebook(emb, anchors, ksub)
+    val cb = fitResidualCodebook(emb, anchors, ksub, iters)
+    fitted(cb)
     // s3b's one-pass assignment argmax; the embedding rides the aggregate
     // (first() — constant per vec_id) so the encode needs no second corpus
     // join against the raw table
@@ -200,6 +295,16 @@ object Pq {
         Window.partitionBy("vec_id").orderBy(col("adot").desc, col("cell").asc)))
       .filter(col("ark") <= nprobe)
       .select(col("vec_id").as("a_id"), col("cell"), col("adot").as("qcdot"))
+    searchCells(emb, codes, probes, stratum, cb, ksub, k, rerank)
+  }
+
+  /** The shared IVFADC SEARCH side (identical for flat and two-level
+    * coarse assignment — the swap touches only how `codes` was built):
+    * per-query LUT → cell-pruned ADC scan with the q·ce offset → exact
+    * rerank. */
+  private def searchCells(emb: DataFrame, codes: DataFrame, probes: DataFrame,
+                          stratum: DataFrame, cb: Array[Double], ksub: Int,
+                          k: Int, rerank: Int): DataFrame = {
     // one 16 KB LUT per query — cell-independent because the codebook is
     // shared, broadcast SEPARATELY from probes (a LUT per probe row would
     // multiply the broadcast by nprobe)
@@ -232,174 +337,439 @@ object Pq {
     val n = graft.Tables.cachedCount(spark, dir, "embeddings")
     val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
     val nprobe = math.max(2, nlist / 4)
-    ivfPqTopK(emb, nlist, nprobe, ksubFor(n), s9K, s9Rerank)
+    val ksub = ksubFor(n)
+    ivfPqTopK(emb, nlist, nprobe, ksub, s9K, s9Rerank,
+        cb => register("s9_knn_ivfpq", s9OracleSql(cb, ksub)))
       .orderBy("a_id", "rk")
+  }
+
+  // --------------------------------------------------------------- s9b —
+  // IVFADC with the TWO-LEVEL coarse assignment (round-13 VERDICT #1): s9's
+  // remaining scale cost is its flat O(n·nlist) = O(n^1.5) assignment — the
+  // exact term the s3 family already solved (s3c's IMI-style two-level
+  // assign, `Ivf.twoLevelAnchorTopK`, O(n·2√nlist) = O(n^1.25), measured
+  // 7.4× cheaper than flat at sf10's 500k vectors). s9b composes that
+  // assignment with the UNCHANGED residual-PQ search side ([[searchCells]]):
+  // pick the nearest of ncoarse ≈ √nlist coarse anchors, then the nearest
+  // fine anchor within that coarse group only; residual-encode against the
+  // chosen fine anchor exactly as s9 does. The price is s3c's documented
+  // hierarchical-recall trade (a vector whose best fine anchor lives in a
+  // different coarse group lands in a near-optimal cell); the ADC identity,
+  // the probe side (queries rank ALL nlist fine anchors — queryN·nlist,
+  // noise), and the codes-only-shuffle property are untouched.
+
+  /** Two-level IVFADC top-k. The anchor list, the group split, and both
+    * argmax passes mirror `Ivf.twoLevelAnchorTopK` verbatim (same md5
+    * family, same tie rules) with one difference: the fine pass carries
+    * the embedding through (`first()` — constant per vec_id) because the
+    * residual encode needs it, where s3c only needed the cell id. */
+  def twoLevelIvfPqTopK(emb: DataFrame, nlist: Int, nprobe: Int, ksub: Int,
+                        k: Int, rerank: Int,
+                        fitted: Array[Double] => Unit = _ => (),
+                        iters: Int = lloydIters): DataFrame = {
+    val ncoarse = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val ak = graft.dedup.Dedup.md5Hash60(
+      concat(lit("ivfanchor|"), col("vec_id").cast("string")))
+    // nlist rows; persisted — read by the group split, the codebook fit,
+    // the code build and the probe scorer. The single-partition window is
+    // over nlist (≈ √n) rows, bounded at any corpus size.
+    val ranked = graft.util.Caches.scoped(emb
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"), ak.as("ak"))
+      .orderBy(col("ak"), col("cell")).limit(nlist)
+      .withColumn("r", row_number().over(Window.orderBy(col("ak"), col("cell"))))
+      .select("cell", "ce", "r"))
+    val coarse = ranked.filter(col("r") <= ncoarse)
+      .select(col("cell").as("g"), col("ce").as("cg"))
+    // fine anchor -> coarse group: argmax dot, ties to the lower group id
+    val fineGroups = ranked.select(col("cell"), col("ce"))
+      .crossJoin(broadcast(coarse))
+      .select(col("cell"), col("ce"), col("g"),
+        Knn.dotFold(col("ce"), col("cg")).as("gd"))
+      .groupBy("cell")
+      .agg(max_by(col("g"), struct(col("gd"), (-col("g")).as("ng"))).as("g"),
+        first(col("ce")).as("ce"))
+    val cb = fitResidualCodebook2Level(emb, coarse, fineGroups, ksub, iters)
+    fitted(cb)
+    // corpus pass 1: nearest coarse group (n·ncoarse dots)
+    val coarseAssign = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("embedding"), col("g"),
+        Knn.dotFold(col("embedding"), col("cg")).as("cd"))
+      .groupBy("vec_id")
+      .agg(max_by(col("g"), struct(col("cd"), (-col("g")).as("ng"))).as("g"),
+        first(col("embedding")).as("embedding"))
+    // corpus pass 2: nearest fine anchor WITHIN the assigned group
+    // (n·(nlist/ncoarse) dots on average); the fine anchor's vector rides
+    // along so the residual encode needs no join back to `ranked`
+    val fineAssign = coarseAssign
+      .join(broadcast(fineGroups.select(col("g"), col("cell"), col("ce"))), "g")
+      .select(col("vec_id"), col("embedding"), col("cell"), col("ce"),
+        Knn.dotFold(col("embedding"), col("ce")).as("fd"))
+      .groupBy(col("vec_id").as("b_id"))
+      .agg(max_by(struct(col("cell"), col("ce")),
+          struct(col("fd"), (-col("cell")).as("nc"))).as("w"),
+        first(col("embedding")).as("embedding"))
+      .select(col("b_id"), col("w.cell").as("cell"), col("w.ce").as("ce"),
+        col("embedding"))
+    val codes = fineAssign.select(col("b_id"), col("cell"),
+      pq_encode_res(col("embedding"), col("ce"), cb, m, dsub).as("codes"))
+    val stratum = emb.join(broadcast(Knn.queryIds(emb)), "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    // probe side: verbatim s9 — rank ALL fine anchors per query vector,
+    // keep the anchor dot (it IS the ADC cell offset q·ce)
+    val probes = stratum.crossJoin(broadcast(ranked.select(col("cell"), col("ce"))))
+      .select(col("vec_id"), col("cell"),
+        Knn.dotFold(col("embedding"), col("ce")).as("adot"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("adot").desc, col("cell").asc)))
+      .filter(col("ark") <= nprobe)
+      .select(col("vec_id").as("a_id"), col("cell"), col("adot").as("qcdot"))
+    searchCells(emb, codes, probes, stratum, cb, ksub, k, rerank)
+  }
+
+  /** The s9b residual training sample: like [[fitResidualCodebook]] but
+    * the per-sample assignment replays the TWO-LEVEL rule (coarse argmax,
+    * then fine argmax within the group — window formulations of the corpus
+    * passes' max_by aggregates, same dot folds, same ties-to-lower), so
+    * sampled residuals are the corpus residuals of those ids under s9b's
+    * own quantizer. */
+  def fitResidualCodebook2Level(emb: DataFrame, coarse: DataFrame,
+                                fineGroups: DataFrame, ksub: Int,
+                                iters: Int = lloydIters): Array[Double] = {
+    val ck = graft.dedup.Dedup.md5Hash60(
+      concat(lit("pqresanchor|"), col("vec_id").cast("string")))
+    val chosen = emb.select(col("vec_id"), col("embedding"), ck.as("ck"))
+      .orderBy(col("ck"), col("vec_id")).limit(lloydSampleN(ksub, Long.MaxValue))
+    val cass = chosen.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("ck"), col("embedding"), col("g"),
+        Knn.dotFold(col("embedding"), col("cg")).as("cd"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cd").desc, col("g").asc)))
+      .filter(col("crk") === 1)
+      .select("vec_id", "ck", "embedding", "g")
+    val sample = cass
+      .join(broadcast(fineGroups.select(col("g"), col("cell"), col("ce"))), "g")
+      .select(col("vec_id"), col("ck"), col("embedding"), col("cell"), col("ce"),
+        Knn.dotFold(col("embedding"), col("ce")).as("fd"))
+      .withColumn("frk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("fd").desc, col("cell").asc)))
+      .filter(col("frk") === 1)
+      .orderBy(col("ck"), col("vec_id"))
+      .select("embedding", "ce").collect()
+      .map { r =>
+        val x = r.getSeq[Float](0); val a = r.getSeq[Float](1)
+        x.indices.map(i => x(i).toDouble - a(i).toDouble).toArray
+      }
+    lloydRefine(sample, ksub, iters)
+  }
+
+  /** Driver query: two-level IVFADC, same nlist/nprobe/ksub curve as s9. */
+  def s9bKnnIvfPq2Level(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val n = graft.Tables.cachedCount(spark, dir, "embeddings")
+    val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nprobe = math.max(2, nlist / 4)
+    val ksub = ksubFor(n)
+    twoLevelIvfPqTopK(emb, nlist, nprobe, ksub, s9K, s9Rerank,
+        cb => register("s9b_knn_ivfpq_2level", s9bOracleSql(cb, ksub)))
+      .orderBy("a_id", "rk")
+  }
+
+  /** IVFADC measured-stats dispatch: the assignment term is structurally
+    * identical to the s3 anchor family's (flat n·nlist dots vs two-level
+    * n·2√nlist), so the routing reuses [[Ivf.flatQuantizerMaxN]] — the
+    * cutover calibrated on the measured s3b/s3c bracket. At the sf0.01
+    * gate (n = 500) this deterministically routes flat, and the registered
+    * oracle is the routed variant's fitted SQL. */
+  def s9cKnnAuto(spark: SparkSession, dir: String): DataFrame = {
+    val n = graft.Tables.cachedCount(spark, dir, "embeddings")
+    val (df, src) =
+      if (Ivf.chooseAnchorIvf(n) == "flat") (s9KnnIvfPq(spark, dir), "s9_knn_ivfpq")
+      else (s9bKnnIvfPq2Level(spark, dir), "s9b_knn_ivfpq_2level")
+    fittedOracles.get(src).foreach(register("s9c_knn_ivfpq_auto", _))
+    df
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("s8_knn_pq" -> (s8KnnPq _),
-        "s9_knn_ivfpq" -> (s9KnnIvfPq _))
+        "s9_knn_ivfpq" -> (s9KnnIvfPq _),
+        "s9b_knn_ivfpq_2level" -> (s9bKnnIvfPq2Level _),
+        "s9c_knn_ivfpq_auto" -> (s9cKnnAuto _))
 
-  /** The DuckDB twin recomputes the whole pipeline from the parquet —
-    * anchor ranking, per-subspace slices, encode argmax (dot − ½‖c‖², ties
-    * to the lower row), ascending-j ADC fold, exact rerank — with every
-    * fold in the engine's evaluation order (ascending index, zero/first-
-    * element init: 0.0 + x ≡ x bit-exactly). */
-  def oracle: Map[String, String] = Map(
-    "s8_knn_pq" ->
-      s"""WITH params AS (SELECT LEAST(256, COUNT(*)) AS ksub FROM embeddings),
-        |anchors AS (
-        |  SELECT ce, cbid FROM (
-        |    SELECT embedding AS ce,
-        |      row_number() OVER (ORDER BY
-        |        CAST('0x' || substr(md5('pqanchor|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-        |        vec_id) AS cbid
-        |    FROM embeddings) t CROSS JOIN params
-        |  WHERE cbid <= params.ksub),
-        |js AS (SELECT unnest(range(0, $m)) AS j),
-        |cb AS (
-        |  SELECT a.cbid, js.j,
-        |    list_transform(a.ce[js.j*$dsub+1 : js.j*$dsub+$dsub],
-        |      x -> CAST(x AS DOUBLE)) AS csub,
-        |    0.5 * list_reduce(list_transform(a.ce[js.j*$dsub+1 : js.j*$dsub+$dsub],
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-        |      (acc, x) -> acc + x) AS hcc
-        |  FROM anchors a CROSS JOIN js),
-        |enc AS (
-        |  SELECT vec_id AS b_id, j, cbid AS code FROM (
-        |    SELECT e.vec_id, c.j, c.cbid,
-        |      row_number() OVER (PARTITION BY e.vec_id, c.j ORDER BY
-        |        (list_reduce(list_transform(range(1, ${dsub + 1}),
-        |           i -> CAST(e.embedding[c.j*$dsub + i] AS DOUBLE) * c.csub[i]),
-        |           (acc, x) -> acc + x) - c.hcc) DESC, c.cbid) AS erk
-        |    FROM embeddings e CROSS JOIN cb c) t WHERE erk = 1),
-        |${Knn.queryIdsSql},
-        |lut AS (
-        |  SELECT e.vec_id AS a_id, c.j, c.cbid,
-        |    list_reduce(list_transform(range(1, ${dsub + 1}),
-        |      i -> CAST(e.embedding[c.j*$dsub + i] AS DOUBLE) * c.csub[i]),
-        |      (acc, x) -> acc + x) AS pdot
-        |  FROM embeddings e CROSS JOIN cb c
-        |  WHERE e.vec_id IN (SELECT vec_id FROM q_ids)),
-        |adc AS (
-        |  SELECT l.a_id, enc.b_id,
-        |    list_reduce(list(l.pdot ORDER BY l.j), (acc, x) -> acc + x) AS adot
-        |  FROM enc JOIN lut l ON l.j = enc.j AND l.cbid = enc.code
-        |  WHERE l.a_id <> enc.b_id
-        |  GROUP BY l.a_id, enc.b_id),
-        |cand AS (
-        |  SELECT a_id, b_id, adot,
-        |    row_number() OVER (PARTITION BY a_id ORDER BY adot DESC, b_id) AS qrk
-        |  FROM adc),
-        |dots AS (
-        |  SELECT cand.a_id, cand.b_id, cand.adot,
-        |    ${Knn.dotSql} AS dot
-        |  FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
-        |            JOIN embeddings b ON b.vec_id = cand.b_id
-        |  WHERE cand.qrk <= ${s8K * s8Rerank}),
-        |ranked AS (
-        |  SELECT a_id, b_id, adot, dot,
-        |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
-        |  FROM dots)
-        |SELECT a_id, rk, b_id, adot, dot FROM ranked WHERE rk <= $s8K
-        |ORDER BY a_id, rk""".stripMargin,
+  // ------------------------------------------------------------ oracles —
+  // Fitted at query time (the codebook literals depend on the data), the
+  // Ivf.s3FittedOracle mechanism: Verify runs every query BEFORE dumping
+  // oracle_sql.json, so within a driver round the registered SQL carries
+  // exactly the codebook that produced the dumped parquet. The twins
+  // recompute everything DOWNSTREAM of the fit from the parquet — anchor
+  // ranking, assignment argmax, residuals as per-element double
+  // subtraction, the per-subspace encode argmax (dot − ½‖c‖², ties to the
+  // lower row), ascending-j ADC folds, exact rerank — with every fold in
+  // the engine's evaluation order (ascending index, zero/first-element
+  // init: 0.0 + x ≡ x bit-exactly); the codebook itself arrives as
+  // round-tripping %.17e literals, the same discipline as s3's k-means
+  // centroids and d5's hyperplanes.
+  @volatile private var fittedOracles: Map[String, String] = Map.empty
+  private def register(name: String, sql: String): Unit =
+    synchronized { fittedOracles += name -> sql }
 
-    // s9: the full IVFADC replay — s3b's anchor/assignment CTEs, residuals
-    // as per-element double subtraction, the s8 codebook/encode/LUT CTEs on
-    // RESIDUALS, the probe's anchor dot re-used as the ADC cell offset,
-    // exact rerank. Every fold ascending-index with zero/first-element
-    // init, every argmax tie to the lower id — the engine's contract.
-    "s9_knn_ivfpq" ->
-      s"""WITH params AS (
-        |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist,
-        |         GREATEST(2, GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) // 4) AS nprobe,
-        |         LEAST(256, COUNT(*)) AS ksub
-        |  FROM embeddings),
-        |anchors AS (
-        |  SELECT cell, ce FROM (
-        |    SELECT vec_id AS cell, embedding AS ce,
-        |      row_number() OVER (ORDER BY
-        |        CAST('0x' || substr(md5('ivfanchor|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
-        |        vec_id) AS r
-        |    FROM embeddings) t CROSS JOIN params
-        |  WHERE r <= params.nlist),
-        |adots AS (
-        |  SELECT e.vec_id, a.cell,
-        |    list_reduce(list_transform(range(1, len(e.embedding) + 1),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.ce[i] AS DOUBLE)),
-        |      (acc, x) -> acc + x) AS adot
-        |  FROM embeddings e CROSS JOIN anchors a),
-        |arked AS (
-        |  SELECT vec_id, cell, adot,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY adot DESC, cell) AS ark
-        |  FROM adots),
-        |assign AS (SELECT vec_id AS b_id, cell FROM arked WHERE ark = 1),
-        |res AS (
-        |  SELECT s.b_id, s.cell,
-        |    list_transform(range(1, len(e.embedding) + 1),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) - CAST(a.ce[i] AS DOUBLE)) AS rv
-        |  FROM assign s JOIN embeddings e ON e.vec_id = s.b_id
-        |       JOIN anchors a USING (cell)),
-        |cbanchors AS (
-        |  SELECT cv, cbid FROM (
-        |    SELECT r.rv AS cv,
-        |      row_number() OVER (ORDER BY
-        |        CAST('0x' || substr(md5('pqresanchor|' || CAST(r.b_id AS VARCHAR)), 1, 15) AS BIGINT),
-        |        r.b_id) AS cbid
-        |    FROM res r) t CROSS JOIN params
-        |  WHERE cbid <= params.ksub),
-        |js AS (SELECT unnest(range(0, $m)) AS j),
-        |cb AS (
-        |  SELECT a.cbid, js.j,
-        |    a.cv[js.j*$dsub+1 : js.j*$dsub+$dsub] AS csub,
-        |    0.5 * list_reduce(list_transform(a.cv[js.j*$dsub+1 : js.j*$dsub+$dsub],
-        |      x -> x * x), (acc, x) -> acc + x) AS hcc
-        |  FROM cbanchors a CROSS JOIN js),
-        |enc AS (
-        |  SELECT b_id, j, cbid AS code FROM (
-        |    SELECT r.b_id, c.j, c.cbid,
-        |      row_number() OVER (PARTITION BY r.b_id, c.j ORDER BY
-        |        (list_reduce(list_transform(range(1, ${dsub + 1}),
-        |           i -> r.rv[c.j*$dsub + i] * c.csub[i]),
-        |           (acc, x) -> acc + x) - c.hcc) DESC, c.cbid) AS erk
-        |    FROM res r CROSS JOIN cb c) t WHERE erk = 1),
-        |${Knn.queryIdsSql},
-        |probes AS (
-        |  SELECT r.vec_id AS a_id, r.cell, r.adot AS qcdot
-        |  FROM arked r CROSS JOIN params
-        |  WHERE r.vec_id IN (SELECT vec_id FROM q_ids)
-        |    AND r.ark <= params.nprobe),
-        |lut AS (
-        |  SELECT e.vec_id AS a_id, c.j, c.cbid,
-        |    list_reduce(list_transform(range(1, ${dsub + 1}),
-        |      i -> CAST(e.embedding[c.j*$dsub + i] AS DOUBLE) * c.csub[i]),
-        |      (acc, x) -> acc + x) AS pdot
-        |  FROM embeddings e CROSS JOIN cb c
-        |  WHERE e.vec_id IN (SELECT vec_id FROM q_ids)),
-        |adc AS (
-        |  SELECT p.a_id, s.b_id,
-        |    p.qcdot + list_reduce(list(l.pdot ORDER BY l.j), (acc, x) -> acc + x) AS adot
-        |  FROM probes p
-        |  JOIN assign s USING (cell)
-        |  JOIN enc ON enc.b_id = s.b_id
-        |  JOIN lut l ON l.a_id = p.a_id AND l.j = enc.j AND l.cbid = enc.code
-        |  WHERE p.a_id <> s.b_id
-        |  GROUP BY p.a_id, s.b_id, p.qcdot),
-        |cand AS (
-        |  SELECT a_id, b_id, adot,
-        |    row_number() OVER (PARTITION BY a_id ORDER BY adot DESC, b_id) AS qrk
-        |  FROM adc),
-        |dots AS (
-        |  SELECT cand.a_id, cand.b_id, cand.adot,
-        |    ${Knn.dotSql} AS dot
-        |  FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
-        |            JOIN embeddings b ON b.vec_id = cand.b_id
-        |  WHERE cand.qrk <= ${s9K * s9Rerank}),
-        |ranked AS (
-        |  SELECT a_id, b_id, adot, dot,
-        |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
-        |  FROM dots)
-        |SELECT a_id, rk, b_id, adot, dot FROM ranked WHERE rk <= $s9K
-        |ORDER BY a_id, rk""".stripMargin
-  )
+  def oracle: Map[String, String] = fittedOracles
+
+  private def litD(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(d))
+
+  /** `cbanchors(cbid, cv)` VALUES rows: ksub 1-based codewords, each a
+    * full d-dim double literal list (the flattened codebook re-sliced per
+    * subspace by the shared `cb` CTE). */
+  private def cbValuesSql(cbFlat: Array[Double], ksub: Int): String = {
+    val d = m * dsub
+    (0 until ksub).map { c =>
+      s"(${c + 1}, [${(0 until d).map(i => litD(cbFlat(c * d + i))).mkString(", ")}])"
+    }.mkString(",\n    ")
+  }
+
+  /** The per-subspace codebook slices + ½‖c‖² constants, derived from the
+    * literal rows exactly as the engine's halfNorms derives them from
+    * cbFlat (ascending-index fold, ×0.5 at the end). */
+  private def cbCteSql(cbFlat: Array[Double], ksub: Int): String =
+    s"""cbanchors(cbid, cv) AS (VALUES
+       |    ${cbValuesSql(cbFlat, ksub)}),
+       |js AS (SELECT unnest(range(0, $m)) AS j),
+       |cb AS (
+       |  SELECT a.cbid, js.j,
+       |    a.cv[js.j*$dsub+1 : js.j*$dsub+$dsub] AS csub,
+       |    0.5 * list_reduce(list_transform(a.cv[js.j*$dsub+1 : js.j*$dsub+$dsub],
+       |      x -> x * x), (acc, x) -> acc + x) AS hcc
+       |  FROM cbanchors a CROSS JOIN js)""".stripMargin
+
+  private def s8OracleSql(cbFlat: Array[Double], ksub: Int): String =
+    s"""WITH ${cbCteSql(cbFlat, ksub)},
+      |enc AS (
+      |  SELECT vec_id AS b_id, j, cbid AS code FROM (
+      |    SELECT e.vec_id, c.j, c.cbid,
+      |      row_number() OVER (PARTITION BY e.vec_id, c.j ORDER BY
+      |        (list_reduce(list_transform(range(1, ${dsub + 1}),
+      |           i -> CAST(e.embedding[c.j*$dsub + i] AS DOUBLE) * c.csub[i]),
+      |           (acc, x) -> acc + x) - c.hcc) DESC, c.cbid) AS erk
+      |    FROM embeddings e CROSS JOIN cb c) t WHERE erk = 1),
+      |${Knn.queryIdsSql},
+      |lut AS (
+      |  SELECT e.vec_id AS a_id, c.j, c.cbid,
+      |    list_reduce(list_transform(range(1, ${dsub + 1}),
+      |      i -> CAST(e.embedding[c.j*$dsub + i] AS DOUBLE) * c.csub[i]),
+      |      (acc, x) -> acc + x) AS pdot
+      |  FROM embeddings e CROSS JOIN cb c
+      |  WHERE e.vec_id IN (SELECT vec_id FROM q_ids)),
+      |adc AS (
+      |  SELECT l.a_id, enc.b_id,
+      |    list_reduce(list(l.pdot ORDER BY l.j), (acc, x) -> acc + x) AS adot
+      |  FROM enc JOIN lut l ON l.j = enc.j AND l.cbid = enc.code
+      |  WHERE l.a_id <> enc.b_id
+      |  GROUP BY l.a_id, enc.b_id),
+      |cand AS (
+      |  SELECT a_id, b_id, adot,
+      |    row_number() OVER (PARTITION BY a_id ORDER BY adot DESC, b_id) AS qrk
+      |  FROM adc),
+      |dots AS (
+      |  SELECT cand.a_id, cand.b_id, cand.adot,
+      |    ${Knn.dotSql} AS dot
+      |  FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
+      |            JOIN embeddings b ON b.vec_id = cand.b_id
+      |  WHERE cand.qrk <= ${s8K * s8Rerank}),
+      |ranked AS (
+      |  SELECT a_id, b_id, adot, dot,
+      |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
+      |  FROM dots)
+      |SELECT a_id, rk, b_id, adot, dot FROM ranked WHERE rk <= $s8K
+      |ORDER BY a_id, rk""".stripMargin
+
+  // s9: the full IVFADC replay — s3b's anchor/assignment CTEs, residuals
+  // as per-element double subtraction, the LITERAL codebook, encode/LUT
+  // CTEs on RESIDUALS, the probe's anchor dot re-used as the ADC cell
+  // offset, exact rerank.
+  private def s9OracleSql(cbFlat: Array[Double], ksub: Int): String =
+    s"""WITH params AS (
+      |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist,
+      |         GREATEST(2, GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) // 4) AS nprobe
+      |  FROM embeddings),
+      |anchors AS (
+      |  SELECT cell, ce FROM (
+      |    SELECT vec_id AS cell, embedding AS ce,
+      |      row_number() OVER (ORDER BY
+      |        CAST('0x' || substr(md5('ivfanchor|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+      |        vec_id) AS r
+      |    FROM embeddings) t CROSS JOIN params
+      |  WHERE r <= params.nlist),
+      |adots AS (
+      |  SELECT e.vec_id, a.cell,
+      |    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.ce[i] AS DOUBLE)),
+      |      (acc, x) -> acc + x) AS adot
+      |  FROM embeddings e CROSS JOIN anchors a),
+      |arked AS (
+      |  SELECT vec_id, cell, adot,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY adot DESC, cell) AS ark
+      |  FROM adots),
+      |assign AS (SELECT vec_id AS b_id, cell FROM arked WHERE ark = 1),
+      |res AS (
+      |  SELECT s.b_id, s.cell,
+      |    list_transform(range(1, len(e.embedding) + 1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) - CAST(a.ce[i] AS DOUBLE)) AS rv
+      |  FROM assign s JOIN embeddings e ON e.vec_id = s.b_id
+      |       JOIN anchors a USING (cell)),
+      |${cbCteSql(cbFlat, ksub)},
+      |enc AS (
+      |  SELECT b_id, j, cbid AS code FROM (
+      |    SELECT r.b_id, c.j, c.cbid,
+      |      row_number() OVER (PARTITION BY r.b_id, c.j ORDER BY
+      |        (list_reduce(list_transform(range(1, ${dsub + 1}),
+      |           i -> r.rv[c.j*$dsub + i] * c.csub[i]),
+      |           (acc, x) -> acc + x) - c.hcc) DESC, c.cbid) AS erk
+      |    FROM res r CROSS JOIN cb c) t WHERE erk = 1),
+      |${Knn.queryIdsSql},
+      |probes AS (
+      |  SELECT r.vec_id AS a_id, r.cell, r.adot AS qcdot
+      |  FROM arked r CROSS JOIN params
+      |  WHERE r.vec_id IN (SELECT vec_id FROM q_ids)
+      |    AND r.ark <= params.nprobe),
+      |lut AS (
+      |  SELECT e.vec_id AS a_id, c.j, c.cbid,
+      |    list_reduce(list_transform(range(1, ${dsub + 1}),
+      |      i -> CAST(e.embedding[c.j*$dsub + i] AS DOUBLE) * c.csub[i]),
+      |      (acc, x) -> acc + x) AS pdot
+      |  FROM embeddings e CROSS JOIN cb c
+      |  WHERE e.vec_id IN (SELECT vec_id FROM q_ids)),
+      |adc AS (
+      |  SELECT p.a_id, s.b_id,
+      |    p.qcdot + list_reduce(list(l.pdot ORDER BY l.j), (acc, x) -> acc + x) AS adot
+      |  FROM probes p
+      |  JOIN assign s USING (cell)
+      |  JOIN enc ON enc.b_id = s.b_id
+      |  JOIN lut l ON l.a_id = p.a_id AND l.j = enc.j AND l.cbid = enc.code
+      |  WHERE p.a_id <> s.b_id
+      |  GROUP BY p.a_id, s.b_id, p.qcdot),
+      |cand AS (
+      |  SELECT a_id, b_id, adot,
+      |    row_number() OVER (PARTITION BY a_id ORDER BY adot DESC, b_id) AS qrk
+      |  FROM adc),
+      |dots AS (
+      |  SELECT cand.a_id, cand.b_id, cand.adot,
+      |    ${Knn.dotSql} AS dot
+      |  FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
+      |            JOIN embeddings b ON b.vec_id = cand.b_id
+      |  WHERE cand.qrk <= ${s9K * s9Rerank}),
+      |ranked AS (
+      |  SELECT a_id, b_id, adot, dot,
+      |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
+      |  FROM dots)
+      |SELECT a_id, rk, b_id, adot, dot FROM ranked WHERE rk <= $s9K
+      |ORDER BY a_id, rk""".stripMargin
+
+  // s9b: the s3c two-level assignment CTEs (coarse split of the SAME
+  // ranked anchor list, fine-anchor→group argmax, corpus coarse-then-fine
+  // argmax — each tie to the lower id) feeding the s9 residual/encode/
+  // probe/ADC/rerank chain unchanged.
+  private def s9bOracleSql(cbFlat: Array[Double], ksub: Int): String =
+    s"""WITH params AS (
+      |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist,
+      |         GREATEST(2, GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) // 4) AS nprobe,
+      |         GREATEST(2, CAST(ceil(sqrt(GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)))) AS BIGINT)) AS ncoarse
+      |  FROM embeddings),
+      |anchors AS (
+      |  SELECT cell, ce, r FROM (
+      |    SELECT vec_id AS cell, embedding AS ce,
+      |      row_number() OVER (ORDER BY
+      |        CAST('0x' || substr(md5('ivfanchor|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+      |        vec_id) AS r
+      |    FROM embeddings) t CROSS JOIN params
+      |  WHERE r <= params.nlist),
+      |coarse AS (
+      |  SELECT cell AS g, ce AS cg FROM anchors CROSS JOIN params
+      |  WHERE r <= params.ncoarse),
+      |finegrp AS (
+      |  SELECT cell, ce, g FROM (
+      |    SELECT f.cell, f.ce, c.g,
+      |      row_number() OVER (PARTITION BY f.cell ORDER BY
+      |        list_reduce(list_transform(range(1, len(f.ce) + 1),
+      |          i -> CAST(f.ce[i] AS DOUBLE) * CAST(c.cg[i] AS DOUBLE)),
+      |          (acc, x) -> acc + x) DESC, c.g) AS grk
+      |    FROM anchors f CROSS JOIN coarse c) t WHERE grk = 1),
+      |cassign AS (
+      |  SELECT vec_id, g FROM (
+      |    SELECT e.vec_id, c.g,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_reduce(list_transform(range(1, len(e.embedding) + 1),
+      |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cg[i] AS DOUBLE)),
+      |          (acc, x) -> acc + x) DESC, c.g) AS crk
+      |    FROM embeddings e CROSS JOIN coarse c) t WHERE crk = 1),
+      |fassign AS (
+      |  SELECT b_id, cell FROM (
+      |    SELECT e.vec_id AS b_id, f.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_reduce(list_transform(range(1, len(e.embedding) + 1),
+      |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(f.ce[i] AS DOUBLE)),
+      |          (acc, x) -> acc + x) DESC, f.cell) AS frk
+      |    FROM embeddings e JOIN cassign ca ON ca.vec_id = e.vec_id
+      |         JOIN finegrp f ON f.g = ca.g) t WHERE frk = 1),
+      |res AS (
+      |  SELECT s.b_id, s.cell,
+      |    list_transform(range(1, len(e.embedding) + 1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) - CAST(a.ce[i] AS DOUBLE)) AS rv
+      |  FROM fassign s JOIN embeddings e ON e.vec_id = s.b_id
+      |       JOIN anchors a ON a.cell = s.cell),
+      |${cbCteSql(cbFlat, ksub)},
+      |enc AS (
+      |  SELECT b_id, j, cbid AS code FROM (
+      |    SELECT r.b_id, c.j, c.cbid,
+      |      row_number() OVER (PARTITION BY r.b_id, c.j ORDER BY
+      |        (list_reduce(list_transform(range(1, ${dsub + 1}),
+      |           i -> r.rv[c.j*$dsub + i] * c.csub[i]),
+      |           (acc, x) -> acc + x) - c.hcc) DESC, c.cbid) AS erk
+      |    FROM res r CROSS JOIN cb c) t WHERE erk = 1),
+      |${Knn.queryIdsSql},
+      |qdots AS (
+      |  SELECT e.vec_id, a.cell,
+      |    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.ce[i] AS DOUBLE)),
+      |      (acc, x) -> acc + x) AS adot
+      |  FROM embeddings e CROSS JOIN anchors a
+      |  WHERE e.vec_id IN (SELECT vec_id FROM q_ids)),
+      |probes AS (
+      |  SELECT a_id, cell, qcdot FROM (
+      |    SELECT d.vec_id AS a_id, d.cell, d.adot AS qcdot,
+      |      row_number() OVER (PARTITION BY d.vec_id ORDER BY d.adot DESC, d.cell) AS ark
+      |    FROM qdots d) t CROSS JOIN params
+      |  WHERE ark <= params.nprobe),
+      |lut AS (
+      |  SELECT e.vec_id AS a_id, c.j, c.cbid,
+      |    list_reduce(list_transform(range(1, ${dsub + 1}),
+      |      i -> CAST(e.embedding[c.j*$dsub + i] AS DOUBLE) * c.csub[i]),
+      |      (acc, x) -> acc + x) AS pdot
+      |  FROM embeddings e CROSS JOIN cb c
+      |  WHERE e.vec_id IN (SELECT vec_id FROM q_ids)),
+      |adc AS (
+      |  SELECT p.a_id, s.b_id,
+      |    p.qcdot + list_reduce(list(l.pdot ORDER BY l.j), (acc, x) -> acc + x) AS adot
+      |  FROM probes p
+      |  JOIN fassign s USING (cell)
+      |  JOIN enc ON enc.b_id = s.b_id
+      |  JOIN lut l ON l.a_id = p.a_id AND l.j = enc.j AND l.cbid = enc.code
+      |  WHERE p.a_id <> s.b_id
+      |  GROUP BY p.a_id, s.b_id, p.qcdot),
+      |cand AS (
+      |  SELECT a_id, b_id, adot,
+      |    row_number() OVER (PARTITION BY a_id ORDER BY adot DESC, b_id) AS qrk
+      |  FROM adc),
+      |dots AS (
+      |  SELECT cand.a_id, cand.b_id, cand.adot,
+      |    ${Knn.dotSql} AS dot
+      |  FROM cand JOIN embeddings a ON a.vec_id = cand.a_id
+      |            JOIN embeddings b ON b.vec_id = cand.b_id
+      |  WHERE cand.qrk <= ${s9K * s9Rerank}),
+      |ranked AS (
+      |  SELECT a_id, b_id, adot, dot,
+      |    row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rk
+      |  FROM dots)
+      |SELECT a_id, rk, b_id, adot, dot FROM ranked WHERE rk <= $s9K
+      |ORDER BY a_id, rk""".stripMargin
 }

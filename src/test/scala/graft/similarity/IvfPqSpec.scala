@@ -115,8 +115,13 @@ class IvfPqSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     // cell pruning stacks on PQ quantization: the floor sits below s8's
-    // (the standard IVF recall trade the s3 family documents)
-    assert(approx.nonEmpty && recall >= 0.4, s"recall=$recall")
+    // (the standard IVF recall trade the s3 family documents). Raised
+    // 0.4 → 0.45 with the round-14 Lloyd refinement: measured here
+    // (Profile pqrecall, n=500) 0.460 → 0.462 — cell pruning dominates at
+    // this nprobe/nlist, so most of the Lloyd gain shows at sf0.1 (n=2000:
+    // 0.444 → 0.484). Deterministic pipeline ⇒ the floor guards quality
+    // regressions, not noise.
+    assert(approx.nonEmpty && recall >= 0.45, s"recall=$recall")
     val truth = Knn.bruteForceTopK(emb, n.toInt).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("dot")).toMap
     Pq.ivfPqTopK(emb, nlist, nprobe, ksub, Pq.s9K, Pq.s9Rerank).collect().foreach { r =>
@@ -191,5 +196,61 @@ class IvfPqSpec extends SparkSpec {
     val b = Pq.s9KnnIvfPq(spark, sf0001)
       .as[(Long, Int, Long, Double, Double)].collect().toSeq
     assert(a === b && a.nonEmpty)
+  }
+
+  // ------------------------------------------------------------- s9b —
+  // two-level coarse assignment composed with the identical residual-PQ
+  // search side (round-13 VERDICT #1)
+
+  test("s9b exhaustive probes + exhaustive rerank reproduce exact brute-force top-k") {
+    // the two-level quantizer may place a vector in a near-optimal cell,
+    // but with ALL cells probed every b is still a candidate and the
+    // exhaustive rerank restores the exact ranking — like s9, the index
+    // may only prune, never corrupt
+    val full = Pq.twoLevelIvfPqTopK(emb, nlist, nprobe = nlist, ksub, k = 5,
+        rerank = n.toInt)
+      .select("a_id", "rk", "b_id").as[(Long, Int, Long)].collect().toSet
+    val exact = Knn.bruteForceTopK(emb, 5)
+      .select("a_id", "rk", "b_id").as[(Long, Int, Long)].collect().toSet
+    assert(full === exact)
+  }
+
+  test("pruned s9b keeps a recall floor and exact reranked dots") {
+    val exact = Knn.bruteForceTopK(emb, 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val approx = Pq.twoLevelIvfPqTopK(emb, nlist, nprobe, ksub, Pq.s9K, Pq.s9Rerank)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // floor sits a notch under s9's: the hierarchical assignment can park
+    // a vector in a near-optimal cell (the s3c trade). Measured (Profile
+    // pqrecall, n=500): 0.434 with the Lloyd codebook (0.428 sampled-init);
+    // sf0.1: 0.418 vs s9's 0.484. Deterministic ⇒ regression guard.
+    assert(approx.nonEmpty && recall >= 0.42, s"recall=$recall")
+    val truth = Knn.bruteForceTopK(emb, n.toInt).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("dot")).toMap
+    Pq.twoLevelIvfPqTopK(emb, nlist, nprobe, ksub, Pq.s9K, Pq.s9Rerank)
+      .collect().foreach { r =>
+        val key = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+        truth.get(key).foreach(d => assert(math.abs(d - r.getAs[Double]("dot")) < 1e-12))
+      }
+  }
+
+  test("s9b driver query is deterministic across invocations") {
+    val a = Pq.s9bKnnIvfPq2Level(spark, sf0001)
+      .as[(Long, Int, Long, Double, Double)].collect().toSeq
+    val b = Pq.s9bKnnIvfPq2Level(spark, sf0001)
+      .as[(Long, Int, Long, Double, Double)].collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("s9c dispatch routes flat at gate-scale n and two-level above the s3d cutover") {
+    assert(Ivf.chooseAnchorIvf(n) === "flat")
+    assert(Ivf.chooseAnchorIvf(Ivf.flatQuantizerMaxN + 1) === "two-level")
+    // at this corpus the dispatch must BE s9 — same rows, same oracle
+    val auto = Pq.s9cKnnAuto(spark, sf0001)
+      .as[(Long, Int, Long, Double, Double)].collect().toSeq
+    val flat = Pq.s9KnnIvfPq(spark, sf0001)
+      .as[(Long, Int, Long, Double, Double)].collect().toSeq
+    assert(auto === flat && auto.nonEmpty)
   }
 }

@@ -89,7 +89,13 @@ class PqSpec extends SparkSpec {
     val approx = Pq.pqTopK(emb, cb, Pq.s8K, Pq.s8Rerank)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(approx.nonEmpty && recall >= 0.5, s"recall=$recall")
+    // Floor raised 0.5 → 0.95 with the round-14 Lloyd codebook refinement:
+    // measured on this corpus (Profile pqrecall, n=500), recall moved
+    // 0.894 (sampled-init, iters=0) → 0.974 (iters=2); at sf0.1 (n=2000,
+    // real 2000/256 compression) 0.660 → 0.800. The pipeline is fully
+    // deterministic, so the floor guards against quality REGRESSIONS, not
+    // run-to-run noise.
+    assert(approx.nonEmpty && recall >= 0.95, s"recall=$recall")
     // every reported dot is a true dot product (the rerank is exact)
     val truth = Knn.bruteForceTopK(emb, n.toInt).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("dot")).toMap
