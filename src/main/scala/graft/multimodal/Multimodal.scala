@@ -197,15 +197,21 @@ object Multimodal {
 
   /** REAL PNG pixel decode — not a stub: chunk walk with CRC verification,
     * IHDR parse, multi-IDAT zlib inflate (JDK Inflater — the same
-    * primitive the PDF /FlateDecode path uses), and the full PNG filter
+    * primitive the PDF /FlateDecode path uses), the full PNG filter
     * family inversion (Sub/Up/Average/Paeth — REUSED from the
-    * /DecodeParms predictor work, [[graft.sources.Pdf.pngUnfilter]]).
+    * /DecodeParms predictor work, [[graft.sources.Pdf.pngUnfilter]]), and
+    * — round 14 — PLTE palette expansion for indexed-color images.
     *
-    * Supported: 8-bit depth, color types 0/2/4/6, interlace 0. Everything
-    * else — Adam7 interlace, palette, 1/2/4/16-bit depths — and every
-    * malformation (bad CRC, truncated IDAT, wrong inflated length,
-    * missing IEND) returns None: contained per file, the PDF-reader
-    * discipline. */
+    * Supported: 8-bit depth, color types 0/2/4/6 and 3 (palette — the
+    * dominant web-corpus PNG shape: the index plane unfilters at bpp = 1,
+    * then each index expands through the CRC-verified PLTE to an RGB
+    * plane, so downstream stats see `channels = 3` truecolor). Refused
+    * per file (None — contained, the PDF-reader discipline): Adam7
+    * interlace, 1/2/4/16-bit depths, a tRNS-carrying palette (alpha
+    * palette: the documented next depth step), PLTE on grayscale types
+    * (spec violation, PNG §11.2.3), an index beyond the palette (spec:
+    * error), and every malformation — bad CRC, truncated IDAT, wrong
+    * inflated length, missing IEND, missing PLTE on ct = 3. */
   def decodePng(content: Array[Byte]): Option[PngImage] = try {
     def u4(i: Int): Long =
       ((content(i) & 0xffL) << 24) | ((content(i + 1) & 0xffL) << 16) |
@@ -218,6 +224,8 @@ object Multimodal {
     val idat = new java.io.ByteArrayOutputStream()
     var sawIend = false
     var sawIdat = false
+    var plte: Option[Array[Byte]] = None
+    var sawTrns = false
     while (!sawIend) {
       if (i + 8 > content.length) return None
       val len = u4(i)
@@ -236,6 +244,12 @@ object Multimodal {
           // compression and filter methods must be 0 (the only defined ones)
           if ((content(i + 18) & 0xff) != 0 || (content(i + 19) & 0xff) != 0)
             return None
+        case "PLTE" =>
+          // single PLTE, before IDAT, 1-256 RGB triples (PNG §11.2.3)
+          if (plte.isDefined || sawIdat || len == 0 || len % 3 != 0 || len > 768)
+            return None
+          plte = Some(java.util.Arrays.copyOfRange(content, i + 8, i + 8 + len.toInt))
+        case "tRNS" => sawTrns = true
         case "IDAT" => sawIdat = true; idat.write(content, i + 8, len.toInt)
         case "IEND" => sawIend = true
         case _ => () // ancillary chunks skipped by their declared length
@@ -244,13 +258,15 @@ object Multimodal {
     }
     val (w, h, depth, ct, interlace) = dims.getOrElse(return None)
     if (depth != 8) return None // 1/2/4/16-bit depths: refused, not garbled
-    if (ct != 0 && ct != 2 && ct != 4 && ct != 6) return None // palette etc.
+    if (ct != 0 && ct != 2 && ct != 3 && ct != 4 && ct != 6) return None
     if (interlace != 0) return None // Adam7: refused (different row layout)
+    if (ct == 3 && (plte.isEmpty || sawTrns)) return None // no palette / alpha palette
+    if ((ct == 0 || ct == 4) && plte.isDefined) return None // PLTE forbidden (spec)
     if (w <= 0 || h <= 0 || !sawIdat) return None
-    val ch = pngChannels(ct)
+    val ch = if (ct == 3) 1 else pngChannels(ct) // ct 3: 1 index byte/pixel
     val rowBytes = w.toLong * ch
     val expected = h.toLong * (1L + rowBytes)
-    if (expected > maxPlaneBytes) return None
+    if (expected > maxPlaneBytes || w.toLong * h * 3 > maxPlaneBytes) return None
     // inflate the concatenated IDAT stream to EXACTLY the expected length
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -266,7 +282,21 @@ object Multimodal {
     if (got != raw.length || over != 0) return None
     val pixels = graft.sources.Pdf.pngUnfilter(raw, bpp = ch, rowBytes = rowBytes.toInt)
     if (pixels.length != w.toLong * h * ch) return None
-    Some(PngImage(w, h, ct, ch, pixels))
+    if (ct != 3) return Some(PngImage(w, h, ct, ch, pixels))
+    // palette expansion: index plane -> RGB truecolor plane
+    val pal = plte.get
+    val nEntries = pal.length / 3
+    val rgb = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < pixels.length) {
+      val idx = pixels(p) & 0xff
+      if (idx >= nEntries) return None // index beyond palette: spec error
+      rgb(p * 3) = pal(idx * 3)
+      rgb(p * 3 + 1) = pal(idx * 3 + 1)
+      rgb(p * 3 + 2) = pal(idx * 3 + 2)
+      p += 1
+    }
+    Some(PngImage(w, h, ct, 3, rgb))
   } catch { case _: Exception => None }
 
   /** Pixel statistics over a decoded plane: (n_pixels, integer luma sum,
@@ -300,9 +330,14 @@ object Multimodal {
     * forward-filters each row with tag = row % 5 (so a decode genuinely
     * exercises Sub/Up/Average/Paeth inversion, not just None), deflates,
     * and splits the stream across TWO IDAT chunks (multi-IDAT concat is
-    * part of the format). */
-  def encodePng(w: Int, h: Int, colorType: Int, pixels: Array[Byte]): Array[Byte] = {
-    val ch = pngChannels(colorType)
+    * part of the format). For `colorType = 3` pass the INDEX plane as
+    * `pixels` (1 byte/pixel) and the RGB-triple table as `palette` — a
+    * PLTE chunk lands between IHDR and IDAT per the spec's ordering. */
+  def encodePng(w: Int, h: Int, colorType: Int, pixels: Array[Byte],
+                palette: Option[Array[Byte]] = None): Array[Byte] = {
+    val ch = if (colorType == 3) 1 else pngChannels(colorType)
+    require(colorType != 3 || palette.exists(p => p.nonEmpty && p.length % 3 == 0),
+      "colorType 3 needs a non-empty RGB-triple palette")
     require(pixels.length == w * h * ch, s"plane must be ${w * h * ch} bytes")
     val rowBytes = w * ch
     val raw = new Array[Byte](h * (1 + rowBytes))
@@ -343,8 +378,9 @@ object Multimodal {
     }
     val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     val ihdr = be4(w) ++ be4(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val plte = if (colorType == 3) chunk("PLTE", palette.get) else Array.empty[Byte]
     val (z1, z2) = z.splitAt(math.max(1, z.length / 2))
-    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z1) ++ chunk("IDAT", z2) ++
+    sig ++ chunk("IHDR", ihdr) ++ plte ++ chunk("IDAT", z1) ++ chunk("IDAT", z2) ++
       chunk("IEND", Array.empty)
   }
 

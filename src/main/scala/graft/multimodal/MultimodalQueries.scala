@@ -132,13 +132,71 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** mm5b's synthetic table: COMPLETE real PALETTE PNGs (ct = 3 — the
+    * dominant web-corpus PNG shape and round-13's most-hit refusal): a
+    * full 256-entry PLTE whose triples follow the formulas
+    * `r = (k·7+1) % 256, g = (k·11+3) % 256, b = (k·13+5) % 256`, and an
+    * index plane `((doc_id·31 + i)·37) % 256` — both arithmetically
+    * reconstructible by the oracle, while the engine must earn the pixels
+    * through a genuine inflate + unfilter + palette expansion. Same
+    * per-row-varying filters and two-IDAT split as mm5's writer. */
+  def syntheticPalettePngs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val pal = new Array[Byte](768)
+    var k = 0
+    while (k < 256) {
+      pal(k * 3) = ((k * 7 + 1) % 256).toByte
+      pal(k * 3 + 1) = ((k * 11 + 3) % 256).toByte
+      pal(k * 3 + 2) = ((k * 13 + 5) % 256).toByte
+      k += 1
+    }
+    graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 6 + 2).toInt
+        val h = (id % 4 + 2).toInt
+        val idxPlane = new Array[Byte](w * h)
+        var i = 0
+        while (i < idxPlane.length) {
+          idxPlane(i) = (((id * 31 + i) * 37) % 256).toByte; i += 1
+        }
+        (id, Multimodal.encodePng(w, h, 3, idxPlane, Some(pal)))
+      }
+  }
+
+  /** mm5b: pixel statistics over PALETTE PNGs (round-13 VERDICT #2 —
+    * "lift the most common refusal"): the same decode → stats dataflow as
+    * mm5, but every row routes through the PLTE expansion path, so a hash
+    * match proves chunk ordering, the indexed unfilter (bpp = 1), and the
+    * palette lookup are all lossless. Output schema identical to mm5;
+    * `channels` is 3 for every row (indexed decodes to truecolor). */
+  def mm5bPaletteStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticPalettePngs(spark, dir)
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.batchSize).flatMap { batch =>
+          // per-batch decoder init would go here (mm1 contract)
+          batch.iterator.flatMap { case (id, bytes) =>
+            Multimodal.decodePng(bytes).map { img =>
+              val (n, lum, mn, mx) = Multimodal.pngStats(img)
+              (id, img.width, img.height, img.channels, n, lum, mn, mx,
+                lum.toDouble / n.toDouble)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "channels", "n_pixels", "lum_sum",
+        "px_min", "px_max", "mean_luma")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm1b_media_meta" -> (mm1bMediaMeta _),
-    "mm2_frame_sample" -> (mm2FrameSample _),
+"mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_image_meta" -> (mm3ImageMeta _),
     "mm4_resize_meta" -> (mm4ResizeMeta _),
-    "mm5_pixel_stats" -> (mm5PixelStats _)
+    "mm5_pixel_stats" -> (mm5PixelStats _),
+    "mm5b_palette_stats" -> (mm5bPaletteStats _)
   )
 
   /** mm1b's SQL twin reconstructs the synthetic-media metadata from
@@ -249,6 +307,38 @@ object MultimodalQueries {
         |  CAST(CAST(SUM(luma) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
         |    AS mean_luma
         |FROM lum GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+    // mm5b: index = ((doc_id*31 + i)*37) % 256, then the palette formulas
+    // r=(idx*7+1)%256 g=(idx*11+3)%256 b=(idx*13+5)%256 reconstruct the
+    // expanded truecolor plane — a hash match means inflate + indexed
+    // unfilter + PLTE lookup recovered every pixel byte exactly.
+    "mm5b_palette_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 6 + 2 AS INT) AS w,
+        |    CAST(doc_id % 4 + 2 AS INT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    ((doc_id*31 + unnest(range(0, CAST(w AS BIGINT) * h))) * 37) % 256 AS idx
+        |  FROM p),
+        |rgb AS (
+        |  SELECT doc_id, w, h,
+        |    (idx*7 + 1) % 256 AS c0,
+        |    (idx*11 + 3) % 256 AS c1,
+        |    (idx*13 + 5) % 256 AS c2
+        |  FROM px),
+        |lum AS (
+        |  SELECT doc_id, w, h,
+        |    (2126*c0 + 7152*c1 + 722*c2) // 10000 AS luma,
+        |    LEAST(c0, c1, c2) AS mn, GREATEST(c0, c1, c2) AS mx
+        |  FROM rgb)
+        |SELECT doc_id, w AS width, h AS height, CAST(3 AS INT) AS channels,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |  CAST(SUM(luma) AS BIGINT) AS lum_sum,
+        |  CAST(MIN(mn) AS INT) AS px_min, CAST(MAX(mx) AS INT) AS px_max,
+        |  CAST(CAST(SUM(luma) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_luma
+        |FROM lum GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "mm2_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id, unnest(range(0, (n_chars * 40 - 1) // 5000 + 1)) AS k
