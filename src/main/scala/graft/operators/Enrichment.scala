@@ -44,11 +44,19 @@ object QGramIndex {
   *      dimension id (the reference's `fetchone()` returns SQLite scan order
   *      ≈ insertion id — we make that explicit, SURVEY.md §7.4).
   *
-  * Scale: the dimension is user-curated and broadcast-size by contract, so
-  * both phases are shuffle-free on the fact side. The theta join is a
-  * BroadcastNestedLoopJoin over the *miss subset only* — the exact phase
-  * prunes the expensive path, mirroring the reference's fast path. At 100 TB
-  * the fuzzy slot upgrades to an LSH similarity join (graft.dedup.MinHash).
+  * Scale: the dimension is user-curated and broadcast-size by the
+  * reference's contract — but the engine no longer HINTS that (round 14,
+  * measured at sf10's 1.5M-row dim): every equi join here carries no
+  * static broadcast, so AQE broadcasts the dim/gram frames at runtime when
+  * their MEASURED size is small (the contract case — identical physical
+  * plan, PlanSpec-pinned on the final adaptive plan) and keeps a scalable
+  * shuffle join when a 100×-oversized dim would have made the old hint a
+  * 1.4 GB forced broadcast (the q-gram index at sf10 is 22.5M rows). The
+  * one remaining hint is the short-key theta join, whose
+  * BroadcastNestedLoopJoin needs a declared resident side and whose input
+  * is the bounded `len < Q` tail. The exact phase still prunes the
+  * expensive path, mirroring the reference's fast path. At 100 TB the
+  * fuzzy slot upgrades to an LSH similarity join (graft.dedup.MinHash).
   */
 object Enrichment {
 
@@ -89,10 +97,12 @@ object Enrichment {
       .withColumn("__kr", row_number().over(keyWins))
       .filter(col("__kr") === 1).drop("__kr")
     // Fresh attribute ids per phase (toDF re-aliases) — the two joins must
-    // not share dim lineage or Catalyst sees an ambiguous self-join.
+    // not share dim lineage or Catalyst sees an ambiguous self-join. No
+    // static broadcast hint: AQE broadcasts a contract-size dim from its
+    // runtime-measured size and keeps the shuffle join for an oversized one.
     def dimFor(phase: String): (DataFrame, String => Column) = {
       val pre = s"__${phase}_"
-      val d = broadcast(dimUnique.toDF(dimNames.map(pre + _): _*))
+      val d = dimUnique.toDF(dimNames.map(pre + _): _*)
       (d, (n: String) => col(pre + n))
     }
 
@@ -133,14 +143,18 @@ object Enrichment {
     val longFacts = missesL.filter(length(col("__lk")) >= Q)
     val shortFacts = missesL.filter(length(col("__lk")) < Q)
 
-    // dim-side q-gram inverted index + document frequencies (broadcast-size)
+    // dim-side q-gram inverted index + document frequencies — dim-scaled
+    // frames (|dim|·len rows), so no static broadcast hints anywhere on
+    // this path: at contract scale AQE broadcasts them at runtime, at the
+    // measured sf10 scale (22.5M gram rows off a 1.5M-row dim) the joins
+    // stay shuffled instead of forcing a 1.4 GB broadcast
     val grams = d.withColumn("__g", explode(qgrams(col("__dk"))))
     val gramDf = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
 
     // per fact: probe with its least-frequent gram; df=0 ⇒ no match possible
     val probe = longFacts
       .select(col(factId).as("__fid"), explode(qgrams(col("__lk"))).as("__g"))
-      .join(broadcast(gramDf), Seq("__g"), "left")
+      .join(gramDf, Seq("__g"), "left")
       .na.fill(0L, Seq("__df"))
       .groupBy("__fid")
       .agg(min(struct(col("__df"), col("__g"))).as("__m"))
@@ -152,8 +166,11 @@ object Enrichment {
     // that survives a fact-table scale-up
     val longCand = longFacts
       .join(probe, longFacts(factId) === col("__fid"))
-      .join(broadcast(grams), col("__probe") === grams("__g"))
+      .join(grams, col("__probe") === grams("__g"))
       .filter(contains(col("__dk"), col("__lk")))
+    // the short-key (< Q chars) theta join keeps its hint: a contains
+    // predicate plans as BroadcastNestedLoopJoin, which NEEDS a declared
+    // resident side — and this tail is the documented bounded-rare path
     val shortCand = shortFacts.join(broadcast(d), contains(col("__dk"), col("__lk")))
 
     val outCols = misses.columns.map(col) ++ payload.map(p => f(p).as(p)) :+

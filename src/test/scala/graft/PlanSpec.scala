@@ -34,7 +34,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("two-phase enrichment never cartesian-joins the long-key path") {
-    val p = planOf("j02_twophase_enrich")
+    // Round 14: the enrichment carries NO static broadcast hints (an
+    // oversized dim must not be force-broadcast — the sf10 q-gram index is
+    // 22.5M rows), so the broadcast decision is AQE's from runtime sizes.
+    // Execute, then pin the FINAL adaptive plan: at contract scale the dim
+    // joins must still come out broadcast.
+    val df = SparkEntry.queries("j02_twophase_enrich")(spark, sf0001)
+    df.collect()
+    // an executed AdaptiveSparkPlanExec prints final + initial plans —
+    // assert on the FINAL section only
+    val p = plan(df).split("== Initial Plan ==")(0)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     // the only nested-loop is the bounded short-key (< Q chars) fallback
