@@ -235,6 +235,93 @@ class IvfPqSpec extends SparkSpec {
       }
   }
 
+  test("s9b stage-1 scan shuffles carry only ids/cells/codes/scores — never vectors or LUTs") {
+    // the two-level twin of the s9 pin: rebuild s9b's candidate stage
+    // (two-level assign -> residual codes -> probes -> ADC) and assert no
+    // exchange moves embedding/lut/ce columns — the rerank tail is
+    // excluded exactly as in the s9 test
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.expressions.Window
+    val ncoarse = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val ak = graft.dedup.Dedup.md5Hash60(
+      concat(lit("ivfanchor|"), col("vec_id").cast("string")))
+    val ranked = emb
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"), ak.as("ak"))
+      .orderBy(col("ak"), col("cell")).limit(nlist)
+      .withColumn("r", row_number().over(Window.orderBy(col("ak"), col("cell"))))
+      .select("cell", "ce", "r")
+    val coarse = ranked.filter(col("r") <= ncoarse)
+      .select(col("cell").as("g"), col("ce").as("cg"))
+    val fineGroups = ranked.select(col("cell"), col("ce"))
+      .crossJoin(broadcast(coarse))
+      .select(col("cell"), col("ce"), col("g"),
+        Knn.dotFold(col("ce"), col("cg")).as("gd"))
+      .groupBy("cell")
+      .agg(max_by(col("g"), struct(col("gd"), (-col("g")).as("ng"))).as("g"),
+        first(col("ce")).as("ce"))
+    val cb2 = Pq.fitResidualCodebook2Level(emb, coarse, fineGroups, ksub)
+    val coarseAssign = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("embedding"), col("g"),
+        Knn.dotFold(col("embedding"), col("cg")).as("cd"))
+      .groupBy("vec_id")
+      .agg(max_by(col("g"), struct(col("cd"), (-col("g")).as("ng"))).as("g"),
+        first(col("embedding")).as("embedding"))
+    val fineAssign = coarseAssign
+      .join(broadcast(fineGroups.select(col("g"), col("cell"), col("ce"))), "g")
+      .select(col("vec_id"), col("embedding"), col("cell"), col("ce"),
+        Knn.dotFold(col("embedding"), col("ce")).as("fd"))
+      .groupBy(col("vec_id").as("b_id"))
+      .agg(max_by(struct(col("cell"), col("ce")),
+          struct(col("fd"), (-col("cell")).as("nc"))).as("w"),
+        first(col("embedding")).as("embedding"))
+      .select(col("b_id"), col("w.cell").as("cell"), col("w.ce").as("ce"),
+        col("embedding"))
+    val codes = fineAssign.select(col("b_id"), col("cell"),
+      pq_encode_res(col("embedding"), col("ce"), cb2, Pq.m, Pq.dsub).as("codes"))
+    val stratum = emb.join(broadcast(Knn.queryIds(emb)), "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    val probes = stratum.crossJoin(broadcast(ranked.select(col("cell"), col("ce"))))
+      .select(col("vec_id"), col("cell"),
+        Knn.dotFold(col("embedding"), col("ce")).as("adot"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("adot").desc, col("cell").asc)))
+      .filter(col("ark") <= nprobe)
+      .select(col("vec_id").as("a_id"), col("cell"), col("adot").as("qcdot"))
+    val qlut = stratum.select(col("vec_id").as("a_id"),
+      pq_lut(col("embedding"), cb2, Pq.m, Pq.dsub).as("lut"))
+    val approx = codes.join(broadcast(probes), "cell")
+      .filter(col("a_id") =!= col("b_id"))
+      .join(broadcast(qlut), "a_id")
+      .select(col("a_id"), col("b_id"),
+        (col("qcdot") + pq_adc(col("lut"), col("codes"), ksub)).as("adot"))
+    val w1 = Window.partitionBy("a_id").orderBy(col("adot").desc, col("b_id").asc)
+    val cand = approx.withColumn("qrk", row_number().over(w1))
+      .filter(col("qrk") <= 40).select("a_id", "b_id", "adot")
+    cand.collect()
+    def allShuffles(p: SparkPlan): Seq[Seq[String]] = {
+      val self = p match {
+        case s: ShuffleExchangeExec => Seq(s.output.map(_.name))
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(allShuffles)
+    }
+    val shuffles = allShuffles(cand.queryExecution.executedPlan)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { cols =>
+      assert(!cols.exists(c => c.contains("embedding") || c.contains("lut") ||
+          c == "ce"),
+        s"s9b stage-1 shuffle carries wide columns: $cols")
+    }
+  }
+
   test("s9b driver query is deterministic across invocations") {
     val a = Pq.s9bKnnIvfPq2Level(spark, sf0001)
       .as[(Long, Int, Long, Double, Double)].collect().toSeq
