@@ -180,10 +180,12 @@ object Multimodal {
 
   // ---- real PNG pixel decode (mm5) ---------------------------------------
 
-  /** A fully decoded 8-bit PNG: `pixels` is the unfiltered image plane,
-    * `width · height · channels` bytes in scanline order. */
+  /** A fully decoded PNG: `pixels` is the unfiltered image plane in
+    * scanline order — `width · height · channels` bytes at bitDepth 8,
+    * twice that (big-endian u16 samples, PNG network byte order) at
+    * bitDepth 16. */
   case class PngImage(width: Int, height: Int, colorType: Int,
-                      channels: Int, pixels: Array[Byte])
+                      channels: Int, pixels: Array[Byte], bitDepth: Int = 8)
 
   /** Samples per pixel for the non-palette 8-bit color types (PNG spec
     * §11.2.2): gray, RGB, gray+alpha, RGBA. */
@@ -202,7 +204,10 @@ object Multimodal {
     * /DecodeParms predictor work, [[graft.sources.Pdf.pngUnfilter]]), and
     * — round 14 — PLTE palette expansion for indexed-color images.
     *
-    * Supported: 8-bit depth, color types 0/2/4/6 and 3 (palette — the
+    * Supported: 8- and 16-bit depths for color types 0/2/4/6 (16-bit —
+    * round 14 — unfilters at bpp = channels·2, per the spec's
+    * filters-operate-on-bytes rule, and keeps big-endian u16 samples in
+    * the plane), plus 8-bit color type 3 (palette — the
     * dominant web-corpus PNG shape: the index plane unfilters at bpp = 1,
     * then each index expands through the CRC-verified PLTE to an RGB
     * plane, so downstream stats see `channels = 3` truecolor). Refused
@@ -257,14 +262,16 @@ object Multimodal {
       i += 12 + len.toInt
     }
     val (w, h, depth, ct, interlace) = dims.getOrElse(return None)
-    if (depth != 8) return None // 1/2/4/16-bit depths: refused, not garbled
+    if (depth != 8 && depth != 16) return None // 1/2/4-bit: refused, not garbled
     if (ct != 0 && ct != 2 && ct != 3 && ct != 4 && ct != 6) return None
     if (interlace != 0) return None // Adam7: refused (different row layout)
+    if (ct == 3 && depth != 8) return None // 16-bit palette indices: not in the spec
     if (ct == 3 && (plte.isEmpty || sawTrns)) return None // no palette / alpha palette
     if ((ct == 0 || ct == 4) && plte.isDefined) return None // PLTE forbidden (spec)
     if (w <= 0 || h <= 0 || !sawIdat) return None
     val ch = if (ct == 3) 1 else pngChannels(ct) // ct 3: 1 index byte/pixel
-    val rowBytes = w.toLong * ch
+    val bps = depth / 8 // bytes per sample; filters operate on BYTES with bpp = ch*bps
+    val rowBytes = w.toLong * ch * bps
     val expected = h.toLong * (1L + rowBytes)
     if (expected > maxPlaneBytes || w.toLong * h * 3 > maxPlaneBytes) return None
     // inflate the concatenated IDAT stream to EXACTLY the expected length
@@ -280,9 +287,9 @@ object Multimodal {
     val over = inf.inflate(new Array[Byte](1)) // any surplus byte = wrong length
     inf.end()
     if (got != raw.length || over != 0) return None
-    val pixels = graft.sources.Pdf.pngUnfilter(raw, bpp = ch, rowBytes = rowBytes.toInt)
-    if (pixels.length != w.toLong * h * ch) return None
-    if (ct != 3) return Some(PngImage(w, h, ct, ch, pixels))
+    val pixels = graft.sources.Pdf.pngUnfilter(raw, bpp = ch * bps, rowBytes = rowBytes.toInt)
+    if (pixels.length != w.toLong * h * ch * bps) return None
+    if (ct != 3) return Some(PngImage(w, h, ct, ch, pixels, depth))
     // palette expansion: index plane -> RGB truecolor plane
     val pal = plte.get
     val nEntries = pal.length / 3
@@ -304,19 +311,25 @@ object Multimodal {
     * EXACT integer arithmetic — (2126·R + 7152·G + 722·B) div 10000 — so
     * the aggregate is order-independent and the DuckDB twin replays it
     * bit-for-bit (for gray, the identity sums to 10000·v div 10000 = v).
-    * Alpha channels are excluded from min/max and luma. */
+    * Alpha channels are excluded from min/max and luma. At bitDepth 16 the
+    * samples are big-endian u16 and the identical formula runs on the
+    * 0..65535 range — no precision downshift. */
   def pngStats(img: PngImage): (Long, Long, Int, Int) = {
     val ch = img.channels
+    val bps = img.bitDepth / 8
     val n = img.width * img.height
+    def sample(idx: Int): Int =
+      if (bps == 1) img.pixels(idx) & 0xff
+      else ((img.pixels(idx * 2) & 0xff) << 8) | (img.pixels(idx * 2 + 1) & 0xff)
     var lumSum = 0L
-    var mn = 255
+    var mn = (1 << (img.bitDepth)) - 1
     var mx = 0
     var p = 0
     while (p < n) {
       val base = p * ch
-      val c0 = img.pixels(base) & 0xff
+      val c0 = sample(base)
       val (r, g, b) =
-        if (ch >= 3) (c0, img.pixels(base + 1) & 0xff, img.pixels(base + 2) & 0xff)
+        if (ch >= 3) (c0, sample(base + 1), sample(base + 2))
         else (c0, c0, c0)
       lumSum += (2126L * r + 7152L * g + 722L * b) / 10000L
       mn = math.min(mn, math.min(r, math.min(g, b)))
@@ -334,8 +347,27 @@ object Multimodal {
     * `pixels` (1 byte/pixel) and the RGB-triple table as `palette` — a
     * PLTE chunk lands between IHDR and IDAT per the spec's ordering. */
   def encodePng(w: Int, h: Int, colorType: Int, pixels: Array[Byte],
-                palette: Option[Array[Byte]] = None): Array[Byte] = {
-    val ch = if (colorType == 3) 1 else pngChannels(colorType)
+                palette: Option[Array[Byte]] = None): Array[Byte] =
+    encodePngDepth(w, h, colorType, 8, pixels, palette)
+
+  /** 16-bit writer: packs each 0..65535 sample big-endian (PNG network
+    * byte order) and runs the same filter/deflate/chunk core. */
+  def encodePng16(w: Int, h: Int, colorType: Int, samples: Array[Int]): Array[Byte] = {
+    val plane = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      plane(i * 2) = ((samples(i) >> 8) & 0xff).toByte
+      plane(i * 2 + 1) = (samples(i) & 0xff).toByte
+      i += 1
+    }
+    encodePngDepth(w, h, colorType, 16, plane, None)
+  }
+
+  private def encodePngDepth(w: Int, h: Int, colorType: Int, depth: Int,
+                             pixels: Array[Byte],
+                             palette: Option[Array[Byte]]): Array[Byte] = {
+    val bps = depth / 8
+    val ch = (if (colorType == 3) 1 else pngChannels(colorType)) * bps
     require(colorType != 3 || palette.exists(p => p.nonEmpty && p.length % 3 == 0),
       "colorType 3 needs a non-empty RGB-triple palette")
     require(pixels.length == w * h * ch, s"plane must be ${w * h * ch} bytes")
@@ -377,7 +409,7 @@ object Multimodal {
       be4(data.length) ++ td ++ be4(crc.getValue.toInt)
     }
     val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
-    val ihdr = be4(w) ++ be4(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val ihdr = be4(w) ++ be4(h) ++ Array[Byte](depth.toByte, colorType.toByte, 0, 0, 0)
     val plte = if (colorType == 3) chunk("PLTE", palette.get) else Array.empty[Byte]
     val (z1, z2) = z.splitAt(math.max(1, z.length / 2))
     sig ++ chunk("IHDR", ihdr) ++ plte ++ chunk("IDAT", z1) ++ chunk("IDAT", z2) ++

@@ -189,6 +189,54 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** mm5c's synthetic table: 16-BIT PNGs (gray / RGB by doc parity) whose
+    * big-endian u16 samples follow `((doc_id·131 + k)·257) mod 65536` —
+    * the deep-color shape (photography, medical, scientific corpora) that
+    * was a refusal until round 14. */
+  def syntheticDeepPngs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 6 + 2).toInt
+        val h = (id % 4 + 2).toInt
+        val ct = if (id % 2 == 0) 0 else 2
+        val ch = Multimodal.pngChannels(ct)
+        val samples = new Array[Int](w * h * ch)
+        var k = 0
+        while (k < samples.length) {
+          samples(k) = (((id * 131 + k) * 257) % 65536).toInt; k += 1
+        }
+        (id, Multimodal.encodePng16(w, h, ct, samples))
+      }
+  }
+
+  /** mm5c: pixel statistics over 16-BIT PNGs — same decode → stats
+    * dataflow, but the plane carries big-endian u16 samples (the filter
+    * inversion runs on bytes with bpp = channels·2, per the spec) and the
+    * BT.709 integer luma runs on the full 0..65535 range with no
+    * precision downshift. The oracle reconstructs the u16 samples
+    * arithmetically; a hash match proves the two-byte sample order and
+    * the 16-bit unfilter byte offsets are exactly right. */
+  def mm5cDeepStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticDeepPngs(spark, dir)
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.batchSize).flatMap { batch =>
+          // per-batch decoder init would go here (mm1 contract)
+          batch.iterator.flatMap { case (id, bytes) =>
+            Multimodal.decodePng(bytes).map { img =>
+              val (n, lum, mn, mx) = Multimodal.pngStats(img)
+              (id, img.width, img.height, img.channels, img.bitDepth,
+                n, lum, mn, mx, lum.toDouble / n.toDouble)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "channels", "bit_depth",
+        "n_pixels", "lum_sum", "px_min", "px_max", "mean_luma")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm1b_media_meta" -> (mm1bMediaMeta _),
@@ -196,7 +244,8 @@ object MultimodalQueries {
     "mm3_image_meta" -> (mm3ImageMeta _),
     "mm4_resize_meta" -> (mm4ResizeMeta _),
     "mm5_pixel_stats" -> (mm5PixelStats _),
-    "mm5b_palette_stats" -> (mm5bPaletteStats _)
+    "mm5b_palette_stats" -> (mm5bPaletteStats _),
+    "mm5c_deep_stats" -> (mm5cDeepStats _)
   )
 
   /** mm1b's SQL twin reconstructs the synthetic-media metadata from
@@ -301,6 +350,42 @@ object MultimodalQueries {
         |    LEAST(c0, c1, c2) AS mn, GREATEST(c0, c1, c2) AS mx
         |  FROM rgb)
         |SELECT doc_id, w AS width, h AS height, CAST(ch AS INT) AS channels,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |  CAST(SUM(luma) AS BIGINT) AS lum_sum,
+        |  CAST(MIN(mn) AS INT) AS px_min, CAST(MAX(mx) AS INT) AS px_max,
+        |  CAST(CAST(SUM(luma) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_luma
+        |FROM lum GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+    // mm5c: u16 sample k of doc = ((doc_id*131 + k)*257) % 65536; pixel p
+    // channel c has k = p*ch + c. Same integer BT.709 luma on the 16-bit
+    // range — a hash match means the engine recovered every two-byte
+    // big-endian sample through the 16-bit unfilter exactly.
+    "mm5c_deep_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 6 + 2 AS INT) AS w,
+        |    CAST(doc_id % 4 + 2 AS INT) AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, ch,
+        |    unnest(range(0, CAST(w AS BIGINT) * h)) AS i
+        |  FROM p),
+        |rgb AS (
+        |  SELECT doc_id, w, h, ch,
+        |    ((doc_id*131 + i*ch + 0) * 257) % 65536 AS c0,
+        |    CASE WHEN ch >= 3 THEN ((doc_id*131 + i*ch + 1) * 257) % 65536
+        |         ELSE ((doc_id*131 + i*ch) * 257) % 65536 END AS c1,
+        |    CASE WHEN ch >= 3 THEN ((doc_id*131 + i*ch + 2) * 257) % 65536
+        |         ELSE ((doc_id*131 + i*ch) * 257) % 65536 END AS c2
+        |  FROM px),
+        |lum AS (
+        |  SELECT doc_id, w, h, ch,
+        |    (2126*c0 + 7152*c1 + 722*c2) // 10000 AS luma,
+        |    LEAST(c0, c1, c2) AS mn, GREATEST(c0, c1, c2) AS mx
+        |  FROM rgb)
+        |SELECT doc_id, w AS width, h AS height, CAST(ch AS INT) AS channels,
+        |  CAST(16 AS INT) AS bit_depth,
         |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
         |  CAST(SUM(luma) AS BIGINT) AS lum_sum,
         |  CAST(MIN(mn) AS INT) AS px_min, CAST(MAX(mx) AS INT) AS px_max,
