@@ -202,21 +202,24 @@ object Multimodal {
     * primitive the PDF /FlateDecode path uses), the full PNG filter
     * family inversion (Sub/Up/Average/Paeth — REUSED from the
     * /DecodeParms predictor work, [[graft.sources.Pdf.pngUnfilter]]), and
-    * — round 14 — PLTE palette expansion for indexed-color images.
+    * — round 14 — PLTE palette expansion, 16-bit depth, and Adam7
+    * de-interlacing.
     *
-    * Supported: 8- and 16-bit depths for color types 0/2/4/6 (16-bit —
-    * round 14 — unfilters at bpp = channels·2, per the spec's
+    * Supported: 8- and 16-bit depths for color types 0/2/4/6 (16-bit
+    * unfilters at bpp = channels·2, per the spec's
     * filters-operate-on-bytes rule, and keeps big-endian u16 samples in
-    * the plane), plus 8-bit color type 3 (palette — the
-    * dominant web-corpus PNG shape: the index plane unfilters at bpp = 1,
-    * then each index expands through the CRC-verified PLTE to an RGB
-    * plane, so downstream stats see `channels = 3` truecolor). Refused
-    * per file (None — contained, the PDF-reader discipline): Adam7
-    * interlace, 1/2/4/16-bit depths, a tRNS-carrying palette (alpha
-    * palette: the documented next depth step), PLTE on grayscale types
-    * (spec violation, PNG §11.2.3), an index beyond the palette (spec:
-    * error), and every malformation — bad CRC, truncated IDAT, wrong
-    * inflated length, missing IEND, missing PLTE on ct = 3. */
+    * the plane), 8-bit color type 3 (palette — the dominant web-corpus
+    * PNG shape: the index plane unfilters at bpp = 1, then each index
+    * expands through the CRC-verified PLTE to an RGB plane, so downstream
+    * stats see `channels = 3` truecolor), and BOTH interlace methods
+    * (Adam7 = seven independently-filtered sub-images, empty passes
+    * omitted, each unfiltered then scattered to its (x0 + i·dx, y0 + j·dy)
+    * position — PNG §8.2). Refused per file (None — contained, the
+    * PDF-reader discipline): 1/2/4-bit depths, a tRNS-carrying palette
+    * (alpha palette: the documented next depth step), PLTE on grayscale
+    * types (spec violation, PNG §11.2.3), an index beyond the palette
+    * (spec: error), and every malformation — bad CRC, truncated IDAT,
+    * wrong inflated length, missing IEND, missing PLTE on ct = 3. */
   def decodePng(content: Array[Byte]): Option[PngImage] = try {
     def u4(i: Int): Long =
       ((content(i) & 0xffL) << 24) | ((content(i + 1) & 0xffL) << 16) |
@@ -264,7 +267,7 @@ object Multimodal {
     val (w, h, depth, ct, interlace) = dims.getOrElse(return None)
     if (depth != 8 && depth != 16) return None // 1/2/4-bit: refused, not garbled
     if (ct != 0 && ct != 2 && ct != 3 && ct != 4 && ct != 6) return None
-    if (interlace != 0) return None // Adam7: refused (different row layout)
+    if (interlace != 0 && interlace != 1) return None // 0 = none, 1 = Adam7
     if (ct == 3 && depth != 8) return None // 16-bit palette indices: not in the spec
     if (ct == 3 && (plte.isEmpty || sawTrns)) return None // no palette / alpha palette
     if ((ct == 0 || ct == 4) && plte.isDefined) return None // PLTE forbidden (spec)
@@ -272,7 +275,20 @@ object Multimodal {
     val ch = if (ct == 3) 1 else pngChannels(ct) // ct 3: 1 index byte/pixel
     val bps = depth / 8 // bytes per sample; filters operate on BYTES with bpp = ch*bps
     val rowBytes = w.toLong * ch * bps
-    val expected = h.toLong * (1L + rowBytes)
+    // Adam7 (PNG §8.2): seven sub-images at (x0, y0, dx, dy) offsets, each
+    // filtered INDEPENDENTLY (its own scanlines, its own filter bytes);
+    // empty passes are omitted from the stream entirely
+    val passes: Seq[(Int, Int, Int, Int, Int, Int)] =
+      if (interlace == 0) Seq.empty
+      else adam7.flatMap { case (x0, y0, dx, dy) =>
+        val wp = (w - x0 + dx - 1) / dx
+        val hp = (h - y0 + dy - 1) / dy
+        if (wp > 0 && hp > 0) Some((x0, y0, dx, dy, wp, hp)) else None
+      }.toSeq
+    val expected: Long =
+      if (interlace == 0) h.toLong * (1L + rowBytes)
+      else passes.map { case (_, _, _, _, wp, hp) =>
+        hp.toLong * (1L + wp.toLong * ch * bps) }.sum
     if (expected > maxPlaneBytes || w.toLong * h * 3 > maxPlaneBytes) return None
     // inflate the concatenated IDAT stream to EXACTLY the expected length
     val inf = new java.util.zip.Inflater()
@@ -287,8 +303,38 @@ object Multimodal {
     val over = inf.inflate(new Array[Byte](1)) // any surplus byte = wrong length
     inf.end()
     if (got != raw.length || over != 0) return None
-    val pixels = graft.sources.Pdf.pngUnfilter(raw, bpp = ch * bps, rowBytes = rowBytes.toInt)
-    if (pixels.length != w.toLong * h * ch * bps) return None
+    val pixels: Array[Byte] =
+      if (interlace == 0) {
+        val p = graft.sources.Pdf.pngUnfilter(raw, bpp = ch * bps,
+          rowBytes = rowBytes.toInt)
+        if (p.length != w.toLong * h * ch * bps) return None
+        p
+      } else {
+        // per-pass unfilter, then scatter each pass pixel to its final
+        // (x0 + i·dx, y0 + j·dy) position — the de-interlace
+        val out = new Array[Byte](w * h * ch * bps)
+        var off = 0
+        passes.foreach { case (x0, y0, dx, dy, wp, hp) =>
+          val prb = wp * ch * bps
+          val passLen = hp * (1 + prb)
+          val sub = graft.sources.Pdf.pngUnfilter(
+            java.util.Arrays.copyOfRange(raw, off, off + passLen),
+            bpp = ch * bps, rowBytes = prb)
+          if (sub.length != hp.toLong * prb) return None
+          var j = 0
+          while (j < hp) {
+            var i2 = 0
+            while (i2 < wp) {
+              System.arraycopy(sub, (j * wp + i2) * ch * bps, out,
+                ((y0 + j * dy) * w + (x0 + i2 * dx)) * ch * bps, ch * bps)
+              i2 += 1
+            }
+            j += 1
+          }
+          off += passLen
+        }
+        out
+      }
     if (ct != 3) return Some(PngImage(w, h, ct, ch, pixels, depth))
     // palette expansion: index plane -> RGB truecolor plane
     val pal = plte.get
@@ -363,6 +409,45 @@ object Multimodal {
     encodePngDepth(w, h, colorType, 16, plane, None)
   }
 
+  /** Adam7 pass grid (PNG §8.2): (x0, y0, dx, dy) per pass. */
+  private[multimodal] val adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Adam7 writer: splits the plane into the seven sub-images, filters
+    * each pass independently (tag = pass-local row % 5, filter neighbors
+    * INSIDE the pass — the spec's rule), concatenates, and runs the same
+    * deflate/chunk tail with interlace = 1. 8-bit; pass a 16-bit plane by
+    * pre-packing (as [[encodePng16]] does) with bps folded into pixels. */
+  def encodePngAdam7(w: Int, h: Int, colorType: Int, pixels: Array[Byte],
+                     palette: Option[Array[Byte]] = None,
+                     depth: Int = 8): Array[Byte] = {
+    val bps = depth / 8
+    val ch = (if (colorType == 3) 1 else pngChannels(colorType)) * bps
+    require(pixels.length == w * h * ch, s"plane must be ${w * h * ch} bytes")
+    val buf = new java.io.ByteArrayOutputStream()
+    adam7.foreach { case (x0, y0, dx, dy) =>
+      val wp = (w - x0 + dx - 1) / dx
+      val hp = (h - y0 + dy - 1) / dy
+      if (wp > 0 && hp > 0) {
+        // gather the pass's sub-image, then filter it like a tiny PNG
+        val sub = new Array[Byte](wp * hp * ch)
+        var j = 0
+        while (j < hp) {
+          var i = 0
+          while (i < wp) {
+            System.arraycopy(pixels, ((y0 + j * dy) * w + (x0 + i * dx)) * ch,
+              sub, (j * wp + i) * ch, ch)
+            i += 1
+          }
+          j += 1
+        }
+        buf.write(filterPlane(sub, hp, wp * ch, ch))
+      }
+    }
+    finishPng(w, h, colorType, depth, buf.toByteArray, palette, interlace = 1)
+  }
+
   private def encodePngDepth(w: Int, h: Int, colorType: Int, depth: Int,
                              pixels: Array[Byte],
                              palette: Option[Array[Byte]]): Array[Byte] = {
@@ -371,18 +456,26 @@ object Multimodal {
     require(colorType != 3 || palette.exists(p => p.nonEmpty && p.length % 3 == 0),
       "colorType 3 needs a non-empty RGB-triple palette")
     require(pixels.length == w * h * ch, s"plane must be ${w * h * ch} bytes")
-    val rowBytes = w * ch
-    val raw = new Array[Byte](h * (1 + rowBytes))
+    finishPng(w, h, colorType, depth, filterPlane(pixels, h, w * ch, ch),
+      palette, interlace = 0)
+  }
+
+  /** Forward-filter a contiguous plane: `rows` scanlines of `rowBytes`
+    * bytes, filter tag = row % 5 (every inversion exercised), byte-level
+    * neighbors at distance `bpp`. */
+  private def filterPlane(pixels: Array[Byte], rows: Int, rowBytes: Int,
+                          bpp: Int): Array[Byte] = {
+    val raw = new Array[Byte](rows * (1 + rowBytes))
     var r = 0
-    while (r < h) {
+    while (r < rows) {
       val tag = r % 5
       raw(r * (1 + rowBytes)) = tag.toByte
       var i = 0
       while (i < rowBytes) {
         val x = pixels(r * rowBytes + i) & 0xff
-        val a = if (i >= ch) pixels(r * rowBytes + i - ch) & 0xff else 0
+        val a = if (i >= bpp) pixels(r * rowBytes + i - bpp) & 0xff else 0
         val b = if (r > 0) pixels((r - 1) * rowBytes + i) & 0xff else 0
-        val c = if (r > 0 && i >= ch) pixels((r - 1) * rowBytes + i - ch) & 0xff else 0
+        val c = if (r > 0 && i >= bpp) pixels((r - 1) * rowBytes + i - bpp) & 0xff else 0
         val enc = tag match {
           case 0 => x
           case 1 => x - a
@@ -395,6 +488,14 @@ object Multimodal {
       }
       r += 1
     }
+    raw
+  }
+
+  /** Deflate the filtered stream and assemble signature + IHDR [+ PLTE] +
+    * two IDATs + IEND. */
+  private def finishPng(w: Int, h: Int, colorType: Int, depth: Int,
+                        raw: Array[Byte], palette: Option[Array[Byte]],
+                        interlace: Int): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
     val zbuf = new java.io.ByteArrayOutputStream()
@@ -409,7 +510,8 @@ object Multimodal {
       be4(data.length) ++ td ++ be4(crc.getValue.toInt)
     }
     val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
-    val ihdr = be4(w) ++ be4(h) ++ Array[Byte](depth.toByte, colorType.toByte, 0, 0, 0)
+    val ihdr = be4(w) ++ be4(h) ++
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0, interlace.toByte)
     val plte = if (colorType == 3) chunk("PLTE", palette.get) else Array.empty[Byte]
     val (z1, z2) = z.splitAt(math.max(1, z.length / 2))
     sig ++ chunk("IHDR", ihdr) ++ plte ++ chunk("IDAT", z1) ++ chunk("IDAT", z2) ++

@@ -237,6 +237,51 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** mm5d: pixel statistics over ADAM7-INTERLACED PNGs — the same pixel
+    * formula, color-type cycle, and output schema as mm5, but every file
+    * is written interlaced (seven independently-filtered sub-images). The
+    * oracle is BY DESIGN the identical SQL as mm5's: de-interlacing must
+    * reproduce exactly the plane the progressive layout scattered, so a
+    * hash match proves the pass geometry, per-pass filter inversion, and
+    * scatter offsets are all byte-exact. */
+  def mm5dInterlacedStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticInterlacedPngs(spark, dir)
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.batchSize).flatMap { batch =>
+          // per-batch decoder init would go here (mm1 contract)
+          batch.iterator.flatMap { case (id, bytes) =>
+            Multimodal.decodePng(bytes).map { img =>
+              val (n, lum, mn, mx) = Multimodal.pngStats(img)
+              (id, img.width, img.height, img.channels, n, lum, mn, mx,
+                lum.toDouble / n.toDouble)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "channels", "n_pixels", "lum_sum",
+        "px_min", "px_max", "mean_luma")
+      .orderBy("doc_id")
+  }
+
+  /** mm5d's synthetic table: mm5's exact pixel planes written INTERLACED
+    * (interlace method 1). Dims up to 7×5 exercise passes that are empty,
+    * single-pixel, and multi-row. */
+  def syntheticInterlacedPngs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 6 + 2).toInt
+        val h = (id % 4 + 2).toInt
+        val ct = (id % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+        val ch = Multimodal.pngChannels(ct)
+        val px = new Array[Byte](w * h * ch)
+        var i = 0
+        while (i < px.length) { px(i) = (((id * 31 + i) * 37) % 256).toByte; i += 1 }
+        (id, Multimodal.encodePngAdam7(w, h, ct, px))
+      }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm1b_media_meta" -> (mm1bMediaMeta _),
@@ -245,7 +290,8 @@ object MultimodalQueries {
     "mm4_resize_meta" -> (mm4ResizeMeta _),
     "mm5_pixel_stats" -> (mm5PixelStats _),
     "mm5b_palette_stats" -> (mm5bPaletteStats _),
-    "mm5c_deep_stats" -> (mm5cDeepStats _)
+    "mm5c_deep_stats" -> (mm5cDeepStats _),
+    "mm5d_interlaced_stats" -> (mm5dInterlacedStats _)
   )
 
   /** mm1b's SQL twin reconstructs the synthetic-media metadata from
@@ -255,7 +301,13 @@ object MultimodalQueries {
     * duration is `n_chars * 40` ms, frames every 5000 ms within
     * [0, duration) — `sequence(0, d-1, 5000)` has ⌊(d-1)/5000⌋ + 1
     * elements. */
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = baseOracle +
+    // mm5d: the SAME SQL as mm5 on purpose — interlacing changes only the
+    // byte layout; the decode must recover the identical plane, and the
+    // hash gate proves the Adam7 geometry byte-exact.
+    ("mm5d_interlaced_stats" -> baseOracle("mm5_pixel_stats"))
+
+  private def baseOracle: Map[String, String] = Map(
     "mm1_media_features" ->
       s"""WITH b AS (
         |  SELECT doc_id, hex(encode(text)) AS h, strlen(text) AS n
