@@ -518,6 +518,135 @@ object Multimodal {
       chunk("IEND", Array.empty)
   }
 
+  // ---- real WAV/PCM audio decode (mm6) -----------------------------------
+
+  /** A fully decoded PCM WAV: interleaved 16-bit signed samples in frame
+    * order (`frames · channels` values). */
+  case class WavAudio(channels: Int, sampleRate: Int, frames: Int,
+                      samples: Array[Short])
+
+  /** Dependency-free WAV (RIFF) decode — NOT a stub: the audio twin of
+    * [[decodePng]]. Walks the RIFF chunk list ("RIFF" size "WAVE", then
+    * even-aligned chunks — a chunk with an odd payload is followed by a
+    * pad byte, RIFF §2), requires ONE `fmt ` chunk BEFORE the one `data`
+    * chunk, and accepts the canonical LPCM shape: format tag 1 (or
+    * WAVE_FORMAT_EXTENSIBLE 0xFFFE with the PCM sub-format GUID), 16-bit
+    * samples, 1–8 channels, a positive sample rate, and a data size that
+    * is a whole number of frames whose declared block alignment matches
+    * channels·2. Samples are little-endian signed 16-bit (the RIFF byte
+    * order — note the OPPOSITE endianness of PNG's network order).
+    * Everything else — truncation, float/ADPCM/8-bit/24-bit formats, a
+    * data chunk before fmt, size lies — returns None: contained per
+    * file, the PDF-reader discipline. */
+  def decodeWav(content: Array[Byte]): Option[WavAudio] = try {
+    def u2(i: Int): Int = (content(i) & 0xff) | ((content(i + 1) & 0xff) << 8)
+    def u4(i: Int): Long = (u2(i) & 0xffffL) | ((u2(i + 2) & 0xffffL) << 16)
+    def tag(i: Int): String = new String(content, i, 4, "ISO-8859-1")
+    if (content.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    val riffEnd = {
+      val declared = 8L + u4(4)
+      if (declared > content.length) return None // size lie: truncated
+      declared.toInt
+    }
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None // tag, ch, rate, align, bits
+    var data: Option[(Int, Int)] = None // offset, length
+    while (i + 8 <= riffEnd) {
+      val typ = tag(i)
+      val len = u4(i + 4)
+      if (len > Int.MaxValue - 8 || i + 8 + len > riffEnd) return None
+      typ match {
+        case "fmt " =>
+          if (fmt.isDefined || len < 16) return None
+          // payload layout (RIFF fmt): tag@0 ch@2 rate@4 byteRate@8
+          // align@12 bits@14 [cbSize@16 validBits@18 mask@20 GUID@24]
+          fmt = Some((u2(i + 8), u2(i + 10), u4(i + 12).toInt, u2(i + 20),
+            u2(i + 22)))
+          // WAVE_FORMAT_EXTENSIBLE: the real format lives in the 16-byte
+          // sub-format GUID; accept only KSDATAFORMAT_SUBTYPE_PCM
+          if (u2(i + 8) == 0xFFFE) {
+            if (len < 40 || u2(i + 24) < 22) return None
+            val guidPcm = Array(0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10,
+              0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+            if (!(0 until 16).forall(k =>
+              (content(i + 32 + k) & 0xff) == guidPcm(k))) return None
+            fmt = fmt.map { case (_, ch, r, al, b) => (1, ch, r, al, b) }
+          }
+        case "data" =>
+          if (data.isDefined) return None
+          if (fmt.isEmpty) return None // data before fmt: malformed
+          data = Some((i + 8, len.toInt))
+        case _ => () // LIST/INFO/fact/cue chunks skipped by length
+      }
+      i += 8 + len.toInt + (len.toInt & 1) // odd chunks carry a pad byte
+    }
+    val (ftag, ch, rate, align, bits) = fmt.getOrElse(return None)
+    val (off, dlen) = data.getOrElse(return None)
+    if (ftag != 1 || bits != 16) return None // float/ADPCM/8-bit/24-bit: refused
+    if (ch < 1 || ch > 8 || rate <= 0) return None
+    if (align != ch * 2) return None // block align must match LPCM layout
+    if (dlen % align != 0) return None // partial trailing frame: refused
+    val n = dlen / 2
+    val samples = new Array[Short](n)
+    var k = 0
+    while (k < n) {
+      samples(k) = ((content(off + k * 2) & 0xff) |
+        ((content(off + k * 2 + 1) & 0xff) << 8)).toShort
+      k += 1
+    }
+    Some(WavAudio(ch, rate, n / ch, samples))
+  } catch { case _: Exception => None }
+
+  /** Audio statistics over decoded PCM: (n_samples, exact integer
+    * sum-of-squares, peak absolute amplitude, clipped-sample count). The
+    * power sum is BIGINT-exact (max |s| = 32768 ⇒ s² ≤ 2³⁰; 2³³ samples
+    * before overflow), so the aggregate is order-independent and the
+    * DuckDB twin replays it bit-for-bit — RMS derives as one double
+    * division downstream, the moment-statistics discipline (a22). */
+  def wavStats(a: WavAudio): (Long, Long, Int, Long) = {
+    var sumSq = 0L
+    var peak = 0
+    var clipped = 0L
+    var k = 0
+    while (k < a.samples.length) {
+      val s = a.samples(k).toInt
+      sumSq += s.toLong * s
+      val abs = math.abs(s)
+      if (abs > peak) peak = abs
+      if (s == Short.MaxValue || s == Short.MinValue) clipped += 1
+      k += 1
+    }
+    (a.samples.length.toLong, sumSq, peak, clipped)
+  }
+
+  /** A real WAV WRITER for the synthetic audio table and the specs:
+    * canonical RIFF/WAVE with an INFO LIST chunk between fmt and data (so
+    * a decode genuinely walks chunks rather than assuming the 44-byte
+    * canonical layout) and an odd-sized comment chunk exercising the RIFF
+    * pad-byte rule. */
+  def encodeWav(channels: Int, sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(samples.length % channels == 0, "whole frames only")
+    def le2(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le4(v: Int): Array[Byte] = le2(v & 0xffff) ++ le2((v >>> 16) & 0xffff)
+    val align = channels * 2
+    val fmt = "fmt ".getBytes("ISO-8859-1") ++ le4(16) ++
+      le2(1) ++ le2(channels) ++ le4(sampleRate) ++
+      le4(sampleRate * align) ++ le2(align) ++ le2(16)
+    // odd-length LIST payload: the pad byte after it is part of the format
+    val info = "LIST".getBytes("ISO-8859-1") ++ le4(9) ++
+      "INFOICMT!".getBytes("ISO-8859-1") ++ Array[Byte](0)
+    val dataBytes = new Array[Byte](samples.length * 2)
+    var k = 0
+    while (k < samples.length) {
+      dataBytes(k * 2) = (samples(k) & 0xff).toByte
+      dataBytes(k * 2 + 1) = ((samples(k) >> 8) & 0xff).toByte
+      k += 1
+    }
+    val data = "data".getBytes("ISO-8859-1") ++ le4(dataBytes.length) ++ dataBytes
+    val body = "WAVE".getBytes("ISO-8859-1") ++ fmt ++ info ++ data
+    "RIFF".getBytes("ISO-8859-1") ++ le4(body.length) ++ body
+  }
+
   /** Resize stub: recompute metadata only; a real impl rewrites `content`. */
   def resizeStub(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._

@@ -282,6 +282,58 @@ object MultimodalQueries {
       }
   }
 
+  /** mm6's synthetic table: COMPLETE real WAV files (RIFF chunk walk
+    * required: an INFO LIST with an odd payload sits between fmt and
+    * data) whose 16-bit LPCM samples follow
+    * `((doc_id·131 + k)·9973) mod 65536 − 32768` — arithmetically
+    * reconstructible while the bytes stay genuine RIFF. Mono/stereo by
+    * doc parity, three sample rates. */
+  def syntheticWavs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val ch = (id % 2 + 1).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val frames = (id % 50 + 10).toInt
+        val samples = new Array[Short](frames * ch)
+        var k = 0
+        while (k < samples.length) {
+          samples(k) = (((id * 131 + k) * 9973) % 65536 - 32768).toShort
+          k += 1
+        }
+        (id, Multimodal.encodeWav(ch, rate, samples))
+      }
+  }
+
+  /** mm6: REAL audio decode — the second modality done the mm5 way: each
+    * row's WAV is decoded through the RIFF chunk walk (fmt validation,
+    * LIST skip, pad-byte rule, little-endian 16-bit LPCM) and the stats —
+    * exact BIGINT power sum (RMS derives as one double division + sqrt),
+    * peak amplitude, clipped-sample count, integer duration — run on the
+    * DECODED samples through the same batched mapPartitions seam. A hash
+    * match against the oracle's formula-reconstructed samples proves the
+    * byte order, frame layout, and chunk walk lossless. */
+  def mm6AudioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticWavs(spark, dir)
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.batchSize).flatMap { batch =>
+          // per-batch decoder init would go here (mm1 contract)
+          batch.iterator.flatMap { case (id, bytes) =>
+            Multimodal.decodeWav(bytes).map { a =>
+              val (n, sumSq, peak, clipped) = Multimodal.wavStats(a)
+              (id, a.channels, a.sampleRate, a.frames, n,
+                a.frames.toLong * 1000L / a.sampleRate, sumSq, peak, clipped,
+                math.sqrt(sumSq.toDouble / n.toDouble))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "channels", "sample_rate", "frames", "n_samples",
+        "duration_ms", "sum_sq", "peak", "clipped", "rms")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm1b_media_meta" -> (mm1bMediaMeta _),
@@ -291,7 +343,8 @@ object MultimodalQueries {
     "mm5_pixel_stats" -> (mm5PixelStats _),
     "mm5b_palette_stats" -> (mm5bPaletteStats _),
     "mm5c_deep_stats" -> (mm5cDeepStats _),
-    "mm5d_interlaced_stats" -> (mm5dInterlacedStats _)
+    "mm5d_interlaced_stats" -> (mm5dInterlacedStats _),
+    "mm6_audio_stats" -> (mm6AudioStats _)
   )
 
   /** mm1b's SQL twin reconstructs the synthetic-media metadata from
@@ -408,6 +461,31 @@ object MultimodalQueries {
         |  CAST(CAST(SUM(luma) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
         |    AS mean_luma
         |FROM lum GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+    // mm6: sample k of doc = ((doc_id*131 + k)*9973) % 65536 - 32768;
+    // exact integer power sum, peak, clip count; duration and RMS via the
+    // same integer-division / double-sqrt chains the engine runs.
+    "mm6_audio_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 2 + 1 AS INT) AS ch,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+        |    CAST(doc_id % 50 + 10 AS INT) AS frames
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, ch, rate, frames,
+        |    ((doc_id*131 + unnest(range(0, CAST(frames AS BIGINT) * ch))) * 9973)
+        |      % 65536 - 32768 AS v
+        |  FROM p)
+        |SELECT doc_id, ch AS channels, rate AS sample_rate, frames,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(CAST(frames AS BIGINT) * 1000 // rate AS BIGINT) AS duration_ms,
+        |  CAST(SUM(v*v) AS BIGINT) AS sum_sq,
+        |  CAST(MAX(ABS(v)) AS INT) AS peak,
+        |  CAST(SUM(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS clipped,
+        |  sqrt(CAST(CAST(SUM(v*v) AS BIGINT) AS DOUBLE)
+        |       / CAST(COUNT(*) AS DOUBLE)) AS rms
+        |FROM s GROUP BY doc_id, ch, rate, frames ORDER BY doc_id""".stripMargin,
     // mm5c: u16 sample k of doc = ((doc_id*131 + k)*257) % 65536; pixel p
     // channel c has k = p*ch + c. Same integer BT.709 luma on the 16-bit
     // range — a hash match means the engine recovered every two-byte
