@@ -215,10 +215,11 @@ object Multimodal {
     * (Adam7 = seven independently-filtered sub-images, empty passes
     * omitted, each unfiltered then scattered to its (x0 + i·dx, y0 + j·dy)
     * position — PNG §8.2). Refused per file (None — contained, the
-    * PDF-reader discipline): 1/2/4-bit depths, a tRNS-carrying palette
-    * (alpha palette: the documented next depth step), PLTE on grayscale
-    * types (spec violation, PNG §11.2.3), an index beyond the palette
-    * (spec: error), and every malformation — bad CRC, truncated IDAT,
+    * PDF-reader discipline): 1/2/4-bit depths, PLTE on grayscale types
+    * (spec violation, PNG §11.2.3), tRNS on alpha-carrying color types
+    * (forbidden, §11.3.2), a tRNS longer than the palette or preceding
+    * it, an index beyond the palette (spec: error), and every
+    * malformation — bad CRC, truncated IDAT,
     * wrong inflated length, missing IEND, missing PLTE on ct = 3. */
   def decodePng(content: Array[Byte]): Option[PngImage] = try {
     def u4(i: Int): Long =
@@ -233,7 +234,8 @@ object Multimodal {
     var sawIend = false
     var sawIdat = false
     var plte: Option[Array[Byte]] = None
-    var sawTrns = false
+    var trns: Option[Array[Byte]] = None
+    var trnsBeforePlte = false
     while (!sawIend) {
       if (i + 8 > content.length) return None
       val len = u4(i)
@@ -257,7 +259,10 @@ object Multimodal {
           if (plte.isDefined || sawIdat || len == 0 || len % 3 != 0 || len > 768)
             return None
           plte = Some(java.util.Arrays.copyOfRange(content, i + 8, i + 8 + len.toInt))
-        case "tRNS" => sawTrns = true
+        case "tRNS" =>
+          if (trns.isDefined) return None // single tRNS (PNG §11.3.2)
+          if (plte.isEmpty) trnsBeforePlte = true // must FOLLOW PLTE for ct 3
+          trns = Some(java.util.Arrays.copyOfRange(content, i + 8, i + 8 + len.toInt))
         case "IDAT" => sawIdat = true; idat.write(content, i + 8, len.toInt)
         case "IEND" => sawIend = true
         case _ => () // ancillary chunks skipped by their declared length
@@ -269,7 +274,12 @@ object Multimodal {
     if (ct != 0 && ct != 2 && ct != 3 && ct != 4 && ct != 6) return None
     if (interlace != 0 && interlace != 1) return None // 0 = none, 1 = Adam7
     if (ct == 3 && depth != 8) return None // 16-bit palette indices: not in the spec
-    if (ct == 3 && (plte.isEmpty || sawTrns)) return None // no palette / alpha palette
+    if (ct == 3 && plte.isEmpty) return None // palette decode needs the palette
+    // ct 3 + tRNS = alpha palette (decoded to RGBA since round 14): the
+    // chunk must follow PLTE and carry at most one alpha per entry
+    if (ct == 3 && trns.exists(t => trnsBeforePlte || t.length > plte.get.length / 3))
+      return None
+    if ((ct == 4 || ct == 6) && trns.isDefined) return None // forbidden (spec §11.3.2)
     if ((ct == 0 || ct == 4) && plte.isDefined) return None // PLTE forbidden (spec)
     if (w <= 0 || h <= 0 || !sawIdat) return None
     val ch = if (ct == 3) 1 else pngChannels(ct) // ct 3: 1 index byte/pixel
@@ -336,20 +346,26 @@ object Multimodal {
         out
       }
     if (ct != 3) return Some(PngImage(w, h, ct, ch, pixels, depth))
-    // palette expansion: index plane -> RGB truecolor plane
+    // palette expansion: index plane -> RGB truecolor (or RGBA when a
+    // tRNS alpha table rides along; entries past its end default to 255,
+    // PNG §11.3.2)
     val pal = plte.get
     val nEntries = pal.length / 3
-    val rgb = new Array[Byte](w * h * 3)
+    val outCh = if (trns.isDefined) 4 else 3
+    val rgb = new Array[Byte](w * h * outCh)
     var p = 0
     while (p < pixels.length) {
       val idx = pixels(p) & 0xff
       if (idx >= nEntries) return None // index beyond palette: spec error
-      rgb(p * 3) = pal(idx * 3)
-      rgb(p * 3 + 1) = pal(idx * 3 + 1)
-      rgb(p * 3 + 2) = pal(idx * 3 + 2)
+      rgb(p * outCh) = pal(idx * 3)
+      rgb(p * outCh + 1) = pal(idx * 3 + 1)
+      rgb(p * outCh + 2) = pal(idx * 3 + 2)
+      if (outCh == 4)
+        rgb(p * outCh + 3) =
+          trns.get.lift(idx).getOrElse(255.toByte)
       p += 1
     }
-    Some(PngImage(w, h, ct, 3, rgb))
+    Some(PngImage(w, h, ct, outCh, rgb))
   } catch { case _: Exception => None }
 
   /** Pixel statistics over a decoded plane: (n_pixels, integer luma sum,
@@ -448,6 +464,17 @@ object Multimodal {
     finishPng(w, h, colorType, depth, buf.toByteArray, palette, interlace = 1)
   }
 
+  /** Alpha-palette writer: PLTE + tRNS between IHDR and IDAT. */
+  def encodePngAlphaPalette(w: Int, h: Int, indices: Array[Byte],
+                            palette: Array[Byte],
+                            trns: Array[Byte]): Array[Byte] = {
+    require(palette.nonEmpty && palette.length % 3 == 0 &&
+      trns.length <= palette.length / 3, "alpha table exceeds palette")
+    require(indices.length == w * h, s"index plane must be ${w * h} bytes")
+    finishPng(w, h, 3, 8, filterPlane(indices, h, w, 1), Some(palette),
+      interlace = 0, trns = Some(trns))
+  }
+
   private def encodePngDepth(w: Int, h: Int, colorType: Int, depth: Int,
                              pixels: Array[Byte],
                              palette: Option[Array[Byte]]): Array[Byte] = {
@@ -495,7 +522,8 @@ object Multimodal {
     * two IDATs + IEND. */
   private def finishPng(w: Int, h: Int, colorType: Int, depth: Int,
                         raw: Array[Byte], palette: Option[Array[Byte]],
-                        interlace: Int): Array[Byte] = {
+                        interlace: Int,
+                        trns: Option[Array[Byte]] = None): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
     val zbuf = new java.io.ByteArrayOutputStream()
@@ -513,8 +541,9 @@ object Multimodal {
     val ihdr = be4(w) ++ be4(h) ++
       Array[Byte](depth.toByte, colorType.toByte, 0, 0, interlace.toByte)
     val plte = if (colorType == 3) chunk("PLTE", palette.get) else Array.empty[Byte]
+    val tr = trns.map(chunk("tRNS", _)).getOrElse(Array.empty[Byte])
     val (z1, z2) = z.splitAt(math.max(1, z.length / 2))
-    sig ++ chunk("IHDR", ihdr) ++ plte ++ chunk("IDAT", z1) ++ chunk("IDAT", z2) ++
+    sig ++ chunk("IHDR", ihdr) ++ plte ++ tr ++ chunk("IDAT", z1) ++ chunk("IDAT", z2) ++
       chunk("IEND", Array.empty)
   }
 

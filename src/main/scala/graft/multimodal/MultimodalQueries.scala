@@ -334,6 +334,52 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** mm5e: ALPHA-PALETTE stats (ct = 3 + tRNS — logos/icons with
+    * transparency, the web's other indexed shape): mm5b's exact palette
+    * and index formulas plus a 128-entry tRNS table, decoded to RGBA.
+    * The oracle is mm5b's SQL with `channels = 4`: alpha is excluded
+    * from luma/min/max by contract, so identical RGB stats arriving
+    * through the RGBA expansion prove the alpha path changes layout,
+    * never pixel values. */
+  def mm5eAlphaPaletteStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pal = new Array[Byte](768)
+    val trns = new Array[Byte](128)
+    var k = 0
+    while (k < 256) {
+      pal(k * 3) = ((k * 7 + 1) % 256).toByte
+      pal(k * 3 + 1) = ((k * 11 + 3) % 256).toByte
+      pal(k * 3 + 2) = ((k * 13 + 5) % 256).toByte
+      if (k < 128) trns(k) = ((k * 3 + 7) % 256).toByte
+      k += 1
+    }
+    graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 6 + 2).toInt
+        val h = (id % 4 + 2).toInt
+        val idxPlane = new Array[Byte](w * h)
+        var i = 0
+        while (i < idxPlane.length) {
+          idxPlane(i) = (((id * 31 + i) * 37) % 256).toByte; i += 1
+        }
+        (id, Multimodal.encodePngAlphaPalette(w, h, idxPlane, pal, trns))
+      }
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            Multimodal.decodePng(bytes).map { img =>
+              val (n, lum, mn, mx) = Multimodal.pngStats(img)
+              (id, img.width, img.height, img.channels, n, lum, mn, mx,
+                lum.toDouble / n.toDouble)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "channels", "n_pixels", "lum_sum",
+        "px_min", "px_max", "mean_luma")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm1b_media_meta" -> (mm1bMediaMeta _),
@@ -344,7 +390,8 @@ object MultimodalQueries {
     "mm5b_palette_stats" -> (mm5bPaletteStats _),
     "mm5c_deep_stats" -> (mm5cDeepStats _),
     "mm5d_interlaced_stats" -> (mm5dInterlacedStats _),
-    "mm6_audio_stats" -> (mm6AudioStats _)
+    "mm6_audio_stats" -> (mm6AudioStats _),
+    "mm5e_alpha_palette_stats" -> (mm5eAlphaPaletteStats _)
   )
 
   /** mm1b's SQL twin reconstructs the synthetic-media metadata from
@@ -358,7 +405,11 @@ object MultimodalQueries {
     // mm5d: the SAME SQL as mm5 on purpose — interlacing changes only the
     // byte layout; the decode must recover the identical plane, and the
     // hash gate proves the Adam7 geometry byte-exact.
-    ("mm5d_interlaced_stats" -> baseOracle("mm5_pixel_stats"))
+    ("mm5d_interlaced_stats" -> baseOracle("mm5_pixel_stats")) +
+    // mm5e: mm5b's SQL with channels = 4 — the RGB stats must survive the
+    // RGBA expansion unchanged (alpha excluded by contract)
+    ("mm5e_alpha_palette_stats" -> baseOracle("mm5b_palette_stats")
+      .replace("CAST(3 AS INT) AS channels", "CAST(4 AS INT) AS channels"))
 
   private def baseOracle: Map[String, String] = Map(
     "mm1_media_features" ->
