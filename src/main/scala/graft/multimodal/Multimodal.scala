@@ -676,6 +676,142 @@ object Multimodal {
     "RIFF".getBytes("ISO-8859-1") ++ le4(body.length) ++ body
   }
 
+  // ---- real MP4/ISOBMFF container metadata (mm7) -------------------------
+
+  /** Parsed MP4 container metadata: major brand, movie timescale +
+    * duration (mvhd), and per-track presentation sizes (tkhd, 16.16 fixed
+    * → integer pixels). */
+  case class Mp4Meta(brand: String, timescale: Long, duration: Long,
+                     nTracks: Int, maxWidth: Int, maxHeight: Int)
+
+  /** Dependency-free MP4 (ISO/IEC 14496-12 ISOBMFF) metadata — NOT a
+    * stub: the video-container analog of [[imageMeta]]'s marker walk. A
+    * box is [size:u32be][type:4cc][payload]; size == 1 switches to a
+    * 64-bit largesize (handled), size == 0 ("to end of file") is refused
+    * like other open-ended shapes. The walk skips unknown boxes by their
+    * declared size, descends into the `moov` container, reads `mvhd`
+    * (version 0 and 1 layouts — the 64-bit times shift timescale/duration
+    * offsets), and collects every `trak`→`tkhd` presentation size (again
+    * both versions; width/height are 16.16 fixed point, truncated to
+    * integer pixels). Requires exactly one moov with one mvhd; truncated
+    * boxes, size lies, or a missing/duplicated mvhd return None —
+    * contained per file, the PDF-reader discipline. */
+  def mp4Meta(content: Array[Byte]): Option[Mp4Meta] = try {
+    def u4(i: Int): Long =
+      ((content(i) & 0xffL) << 24) | ((content(i + 1) & 0xffL) << 16) |
+        ((content(i + 2) & 0xffL) << 8) | (content(i + 3) & 0xffL)
+    def u8(i: Int): Long = (u4(i) << 32) | u4(i + 4)
+    def tag(i: Int): String = new String(content, i, 4, "ISO-8859-1")
+    // walk the box list in [from, to), invoking f(type, payloadFrom,
+    // payloadTo); returns false on any framing violation
+    def walk(from: Int, to: Int)(f: (String, Int, Int) => Boolean): Boolean = {
+      var i = from
+      while (i < to) {
+        if (i + 8 > to) return false
+        var size = u4(i)
+        var hdr = 8
+        if (size == 1) { // 64-bit largesize
+          if (i + 16 > to) return false
+          size = u8(i + 8); hdr = 16
+        }
+        if (size == 0 || size < hdr || i + size > to) return false
+        if (!f(tag(i + 4), i + hdr, (i + size).toInt)) return false
+        i += size.toInt
+      }
+      true
+    }
+    if (content.length < 8) return None
+    var brand: Option[String] = None
+    var mvhd: Option[(Long, Long)] = None
+    var tracks = List.empty[(Int, Int)]
+    val ok = walk(0, content.length) { (typ, from, to) =>
+      typ match {
+        case "ftyp" =>
+          if (brand.isDefined || to - from < 8) false
+          else { brand = Some(tag(from)); true }
+        case "moov" =>
+          walk(from, to) { (t2, f2, to2) =>
+            t2 match {
+              case "mvhd" =>
+                if (mvhd.isDefined || to2 - f2 < 4) false
+                else {
+                  val v = content(f2) & 0xff
+                  // v0: ver/flags(4) ctime(4) mtime(4) ts(4) dur(4)
+                  // v1: ver/flags(4) ctime(8) mtime(8) ts(4) dur(8)
+                  if (v == 0 && to2 - f2 >= 20) {
+                    mvhd = Some((u4(f2 + 12), u4(f2 + 16))); true
+                  } else if (v == 1 && to2 - f2 >= 32) {
+                    mvhd = Some((u4(f2 + 20), u8(f2 + 24))); true
+                  } else false
+                }
+              case "trak" =>
+                walk(f2, to2) { (t3, f3, to3) =>
+                  t3 match {
+                    case "tkhd" =>
+                      val v = content(f3) & 0xff
+                      // width/height are the LAST 8 payload bytes (16.16
+                      // fixed), after the version-dependent time fields,
+                      // ids, and the 36-byte matrix
+                      val need = if (v == 0) 84 else 96
+                      if (to3 - f3 < need) false
+                      else {
+                        val wOff = f3 + need - 8
+                        tracks = ((u4(wOff) >> 16).toInt,
+                          (u4(wOff + 4) >> 16).toInt) :: tracks
+                        true
+                      }
+                    case _ => true // mdia/edts etc. skipped
+                  }
+                }
+              case _ => true // udta/iods etc. skipped
+            }
+          }
+        case _ => true // free/mdat/skip boxes skipped by declared size
+      }
+    }
+    if (!ok) return None
+    val b = brand.getOrElse(return None)
+    val (ts, dur) = mvhd.getOrElse(return None)
+    if (ts <= 0) return None
+    val (mw, mh) =
+      if (tracks.isEmpty) (0, 0)
+      else (tracks.map(_._1).max, tracks.map(_._2).max)
+    Some(Mp4Meta(b, ts, dur, tracks.length, mw, mh))
+  } catch { case _: Exception => None }
+
+  /** A real ISOBMFF WRITER for the synthetic video table and the specs:
+    * ftyp + a free box (so the walk genuinely skips), moov{mvhd + udta +
+    * trak{tkhd}×n} with a version-1 mvhd every third file (64-bit
+    * duration path) and an empty mdat tail. */
+  def encodeMp4(brand: String, timescale: Long, duration: Long,
+                tracks: Seq[(Int, Int)], v1Mvhd: Boolean = false): Array[Byte] = {
+    require(brand.length == 4, "4cc brand")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be4(payload.length + 8) ++ typ.getBytes("ISO-8859-1") ++ payload
+    def be8(v: Long): Array[Byte] = be4((v >> 32).toInt) ++ be4(v.toInt)
+    val ftyp = box("ftyp", brand.getBytes("ISO-8859-1") ++ be4(0) ++
+      "isom".getBytes("ISO-8859-1"))
+    val free = box("free", Array.fill[Byte](5)(0x20))
+    val mvhd =
+      if (v1Mvhd)
+        box("mvhd", Array[Byte](1, 0, 0, 0) ++ be8(0) ++ be8(0) ++
+          be4(timescale.toInt) ++ be8(duration) ++ Array.fill[Byte](80)(0))
+      else
+        box("mvhd", Array[Byte](0, 0, 0, 0) ++ be4(0) ++ be4(0) ++
+          be4(timescale.toInt) ++ be4(duration.toInt) ++ Array.fill[Byte](80)(0))
+    val udta = box("udta", box("name", "graft".getBytes("ISO-8859-1")))
+    val traks = tracks.map { case (w, h) =>
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ be4(0) ++ be4(0) ++
+        be4(1) ++ be4(0) ++ be4(duration.toInt) ++ Array.fill[Byte](8)(0) ++
+        Array.fill[Byte](8)(0) ++ Array.fill[Byte](36)(0) ++
+        be4(w << 16) ++ be4(h << 16))
+      box("trak", tkhd)
+    }
+    val moov = box("moov", mvhd ++ udta ++ traks.flatten.toArray)
+    val mdat = box("mdat", Array.empty[Byte])
+    ftyp ++ free ++ moov ++ mdat
+  }
+
   /** Resize stub: recompute metadata only; a real impl rewrites `content`. */
   def resizeStub(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._

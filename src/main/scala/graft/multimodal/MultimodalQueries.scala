@@ -380,6 +380,46 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** mm7: REAL video-container metadata — the third modality's header
+    * walk, done the mm3 way: each row is a genuine ISOBMFF file (ftyp, a
+    * free box the walk must skip, moov{mvhd/udta/trak{tkhd}}, mdat; every
+    * third file uses the version-1 mvhd so the 64-bit offsets are
+    * exercised) and [[Multimodal.mp4Meta]] parses brand, movie
+    * timescale/duration, and per-track 16.16 presentation sizes from the
+    * FORMAT. The oracle reconstructs the same values from the generator
+    * formulas; duration_ms is the exact integer division both engines
+    * run. */
+  def mm7VideoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val brand = if (id % 2 == 0) "isom" else "mp42"
+        val ts = 600L + (id % 5) * 200L
+        val dur = id % 9000 + 600
+        val n = (id % 3 + 1).toInt
+        val tracks = (0 until n).map { k =>
+          (((id * 13 + k * 7) % 1905 + 16).toInt,
+           ((id * 17 + k * 11) % 1065 + 16).toInt)
+        }
+        (id, Multimodal.encodeMp4(brand, ts, dur, tracks, v1Mvhd = id % 3 == 0))
+      }
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.batchSize).flatMap { batch =>
+          // per-batch decoder init would go here (mm1 contract)
+          batch.iterator.flatMap { case (id, bytes) =>
+            Multimodal.mp4Meta(bytes).map { m =>
+              (id, m.brand, m.timescale, m.duration,
+                m.duration * 1000L / m.timescale, m.nTracks,
+                m.maxWidth, m.maxHeight)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "brand", "timescale", "duration", "duration_ms",
+        "n_tracks", "max_width", "max_height")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm1b_media_meta" -> (mm1bMediaMeta _),
@@ -391,7 +431,8 @@ object MultimodalQueries {
     "mm5c_deep_stats" -> (mm5cDeepStats _),
     "mm5d_interlaced_stats" -> (mm5dInterlacedStats _),
     "mm6_audio_stats" -> (mm6AudioStats _),
-    "mm5e_alpha_palette_stats" -> (mm5eAlphaPaletteStats _)
+    "mm5e_alpha_palette_stats" -> (mm5eAlphaPaletteStats _),
+    "mm7_video_meta" -> (mm7VideoMeta _)
   )
 
   /** mm1b's SQL twin reconstructs the synthetic-media metadata from
@@ -512,6 +553,33 @@ object MultimodalQueries {
         |  CAST(CAST(SUM(luma) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
         |    AS mean_luma
         |FROM lum GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+    // mm7: brand/timescale/duration from the doc_id formulas; track dims
+    // maxed over k in range(0, n); duration_ms = duration*1000 // timescale.
+    "mm7_video_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |    600 + (doc_id % 5) * 200 AS ts,
+        |    doc_id % 9000 + 600 AS dur,
+        |    CAST(doc_id % 3 + 1 AS INT) AS n
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(n AS BIGINT))) AS k
+        |  FROM p),
+        |dims AS (
+        |  SELECT doc_id,
+        |    MAX((doc_id*13 + k*7) % 1905 + 16) AS mw,
+        |    MAX((doc_id*17 + k*11) % 1065 + 16) AS mh
+        |  FROM t GROUP BY doc_id)
+        |SELECT p.doc_id, p.brand,
+        |  CAST(p.ts AS BIGINT) AS timescale,
+        |  CAST(p.dur AS BIGINT) AS duration,
+        |  CAST(p.dur * 1000 // p.ts AS BIGINT) AS duration_ms,
+        |  p.n AS n_tracks,
+        |  CAST(d.mw AS INT) AS max_width, CAST(d.mh AS INT) AS max_height
+        |FROM p JOIN dims d ON d.doc_id = p.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
     // mm6: sample k of doc = ((doc_id*131 + k)*9973) % 65536 - 32768;
     // exact integer power sum, peak, clip count; duration and RMS via the
     // same integer-division / double-sqrt chains the engine runs.
