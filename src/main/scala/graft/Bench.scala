@@ -125,8 +125,16 @@ object Bench {
     // in the JSON so the distinction is machine-readable, not a README
     // footnote. max_heap_mb is the JVM's real -Xmx-derived ceiling (the
     // truthful form of SPARK_DRIVER_MEM, which may be unset).
+    // the conf value is only guaranteed numeric when set via the validated
+    // env var — interpolating any other source unquoted could emit invalid
+    // JSON; parse to Int, else emit an escaped JSON string
+    val shufParts = {
+      val raw = spark.conf.get("spark.sql.shuffle.partitions")
+      scala.util.Try(raw.trim.toInt).map(_.toString).getOrElse(
+        "\"" + raw.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    }
     val harness =
-      s""""harness":{"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
+      s""""harness":{"shuffle_partitions":$shufParts,""" +
       s""""max_heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},""" +
       s""""cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}","retry_cap":$retryCap}"""
     val json =

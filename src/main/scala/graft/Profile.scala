@@ -27,6 +27,7 @@ object Profile {
     if (args.headOption.contains("d4part")) { profileD4Part(dir); return }
     if (args.headOption.contains("ppjoin")) { profilePpjoin(dir); return }
     if (args.headOption.contains("pqrecall")) { profilePqRecall(dir); return }
+    if (args.headOption.contains("s9bdiag")) { profileS9bDiag(dir); return }
     val spark = GraftSession(s"local[8]", "8")
     import graft.text.TextAnalysis.{shingles, tokens}
 
@@ -225,6 +226,77 @@ object Profile {
       println(f"s9b iters=$iters recall=${
         recall(Pq.twoLevelIvfPqTopK(emb, nlist, nprobe, ksub, 5, 8, iters = iters))}%.4f")
       graft.util.Caches.releaseAll()
+    }
+    // multi-assign width scan at the production Lloyd setting (ma = ncoarse
+    // makes the union ALL cells — the hierarchical assignment degenerates
+    // to flat, so the row must match s9 and anchors the curve's ceiling)
+    val ncoarse = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    for (ma <- 1 to ncoarse) {
+      println(f"s9b multiAssign=$ma recall=${
+        recall(Pq.twoLevelIvfPqTopK(emb, nlist, nprobe, ksub, 5, 8,
+          multiAssign = ma))}%.4f")
+      graft.util.Caches.releaseAll()
+    }
+    spark.stop()
+  }
+
+  /** s9b multi-assign diagnostics: how many corpus vectors' FINE CELL
+    * differs between (a) flat argmax over all nlist anchors (s9's rule),
+    * (b) top-1-coarse-group hierarchical (round-14 s9b), and (c) the
+    * top-2-coarse union (round-15 s9b) — quantifies how much of the flat
+    * assignment the multi-assign recovers. */
+  def profileS9bDiag(dir: String): Unit = {
+    val spark = GraftSession()
+    import spark.implicits._
+    import graft.similarity.{Knn, Pq}
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val nlist = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val ncoarse = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val ak = graft.dedup.Dedup.md5Hash60(
+      concat(lit("ivfanchor|"), col("vec_id").cast("string")))
+    val ranked = graft.util.Caches.scoped(emb
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"), ak.as("ak"))
+      .orderBy(col("ak"), col("cell")).limit(nlist)
+      .withColumn("r", row_number().over(Window.orderBy(col("ak"), col("cell"))))
+      .select("cell", "ce", "r"))
+    val coarse = ranked.filter(col("r") <= ncoarse)
+      .select(col("cell").as("g"), col("ce").as("cg"))
+    val fineGroups = ranked.select(col("cell"), col("ce"))
+      .crossJoin(broadcast(coarse))
+      .select(col("cell"), col("ce"), col("g"),
+        Knn.dotFold(col("ce"), col("cg")).as("gd"))
+      .groupBy("cell")
+      .agg(max_by(col("g"), struct(col("gd"), (-col("g")).as("ng"))).as("g"),
+        first(col("ce")).as("ce"))
+    // flat: argmax over ALL fine anchors
+    val flat = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(ranked.select(col("cell"), col("ce"))))
+      .select(col("vec_id"),
+        Knn.dotFold(col("embedding"), col("ce")).as("fd"), col("cell"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("fd"), (-col("cell")).as("nc"))).as("cell_flat"))
+    // hierarchical with k coarse groups
+    def hier(k: Int) = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("embedding"), col("g"),
+        Knn.dotFold(col("embedding"), col("cg")).as("cd"))
+      .groupBy("vec_id")
+      .agg(slice(array_sort(collect_list(struct((-col("cd")).as("ncd"), col("g")))),
+          1, k).as("top"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), explode(col("top.g")).as("g"))
+      .join(broadcast(fineGroups.select(col("g"), col("cell"), col("ce"))), "g")
+      .select(col("vec_id"),
+        Knn.dotFold(col("embedding"), col("ce")).as("fd"), col("cell"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("fd"), (-col("cell")).as("nc"))).as("cell_h"))
+    println(s"n=$n nlist=$nlist ncoarse=$ncoarse")
+    for (k <- Seq(1, 2, 3)) {
+      val diff = flat.join(hier(k), "vec_id")
+        .filter(col("cell_flat") =!= col("cell_h")).count()
+      println(f"top-$k coarse: $diff of $n vectors land OFF the flat-optimal cell (${100.0 * diff / n}%.1f%%)")
     }
     spark.stop()
   }

@@ -13,9 +13,16 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = GraftSession() // one shared config for Verify/Bench/tests
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // The attempted-query manifest closes the fitted-oracle blind spot: a
+    // query that throws DURING its codebook/centroid fit registers no
+    // oracle entry AND writes no parquet, so the gate's "declared oracle
+    // but no output" net can't see it. The gate cross-checks this list
+    // instead — any attempted name with no output dir is a hard failure.
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      attempted.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

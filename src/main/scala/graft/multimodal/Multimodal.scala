@@ -280,6 +280,11 @@ object Multimodal {
     if (ct == 3 && trns.exists(t => trnsBeforePlte || t.length > plte.get.length / 3))
       return None
     if ((ct == 4 || ct == 6) && trns.isDefined) return None // forbidden (spec §11.3.2)
+    // ct 0/2 tRNS is a single transparent color — exactly 2 / 6 bytes
+    // (§11.3.2); any other length is a malformation, refused like bad CRCs
+    // (the value itself is irrelevant to the stats, which carry no alpha)
+    if (ct == 0 && trns.exists(_.length != 2)) return None
+    if (ct == 2 && trns.exists(_.length != 6)) return None
     if ((ct == 0 || ct == 4) && plte.isDefined) return None // PLTE forbidden (spec)
     if (w <= 0 || h <= 0 || !sawIdat) return None
     val ch = if (ct == 3) 1 else pngChannels(ct) // ct 3: 1 index byte/pixel
@@ -299,7 +304,10 @@ object Multimodal {
       if (interlace == 0) h.toLong * (1L + rowBytes)
       else passes.map { case (_, _, _, _, wp, hp) =>
         hp.toLong * (1L + wp.toLong * ch * bps) }.sum
-    if (expected > maxPlaneBytes || w.toLong * h * 3 > maxPlaneBytes) return None
+    // the palette expansion below allocates w·h·4 when a tRNS table rides
+    // along (RGBA), so the cap must check the EXPANDED plane, not w·h·3
+    val expandCh = if (ct == 3 && trns.isDefined) 4 else 3
+    if (expected > maxPlaneBytes || w.toLong * h * expandCh > maxPlaneBytes) return None
     // inflate the concatenated IDAT stream to EXACTLY the expected length
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)

@@ -350,23 +350,51 @@ object Pq {
   // assign, `Ivf.twoLevelAnchorTopK`, O(n·2√nlist) = O(n^1.25), measured
   // 7.4× cheaper than flat at sf10's 500k vectors). s9b composes that
   // assignment with the UNCHANGED residual-PQ search side ([[searchCells]]):
-  // pick the nearest of ncoarse ≈ √nlist coarse anchors, then the nearest
-  // fine anchor within that coarse group only; residual-encode against the
-  // chosen fine anchor exactly as s9 does. The price is s3c's documented
-  // hierarchical-recall trade (a vector whose best fine anchor lives in a
-  // different coarse group lands in a near-optimal cell); the ADC identity,
-  // the probe side (queries rank ALL nlist fine anchors — queryN·nlist,
-  // noise), and the codes-only-shuffle property are untouched.
+  // pick the [[coarseMultiAssign]] nearest of ncoarse ≈ √nlist coarse
+  // anchors, then the nearest fine anchor within the UNION of those groups;
+  // residual-encode against the chosen fine anchor exactly as s9 does.
+  // Round 15: the multi-assign (top-[[coarseMultiAssign]] coarse groups,
+  // the standard IMI recall recovery — Babenko & Lempitsky, "The Inverted
+  // Multi-Index", CVPR 2012 use the same widen-the-coarse-candidates move)
+  // closes the round-14 hierarchical-recall gap: a vector whose best fine
+  // anchor lives in a runner-up coarse group now finds it. Cost grows from
+  // n·(ncoarse + nlist/ncoarse) to n·(ncoarse + ma·nlist/ncoarse) dots —
+  // still O(n·√nlist) = O(n^1.25) at any fixed ma, (1+ma)/√nlist of
+  // flat's n·nlist (4.5× under flat at sf10's nlist = 708). The ADC
+  // identity, the probe side (queries rank ALL nlist fine anchors —
+  // queryN·nlist, noise), and the codes-only-shuffle property untouched.
+
+  /** Coarse groups each corpus vector is assigned against before the fine
+    * argmax. The width is MEASURED, not assumed — the synthetic corpus is
+    * near-isotropic, so the textbook "top-2 recovers nearly all of flat"
+    * does NOT hold here (`Profile s9bdiag`: 63% of vectors land off the
+    * flat-optimal cell at ma = 1, still 47% at ma = 2; `Profile pqrecall`
+    * n = 2000: ma = 1..7 → .418 .418 .414 .450 .476 .488 .484, where
+    * ma = ncoarse = 7 degenerates to flat and exactly reproduces s9's
+    * .484 — the curve's built-in correctness anchor). ma = 5 is the knee:
+    * within 0.008 of flat at n = 2000, and at small corpora (ncoarse ≤ 5)
+    * the union covers every group, so the quantizer IS flat — the clamp
+    * that makes the gate-scale oracle exact. On a real clustered corpus
+    * the same fixed width only gets cheaper: clusters concentrate the
+    * best fine anchor into fewer coarse groups, never more. */
+  val coarseMultiAssign = 5
 
   /** Two-level IVFADC top-k. The anchor list, the group split, and both
-    * argmax passes mirror `Ivf.twoLevelAnchorTopK` verbatim (same md5
-    * family, same tie rules) with one difference: the fine pass carries
-    * the embedding through (`first()` — constant per vec_id) because the
-    * residual encode needs it, where s3c only needed the cell id. */
+    * argmax passes mirror `Ivf.twoLevelAnchorTopK` (same md5 family, same
+    * tie rules) with two differences: the fine pass carries the embedding
+    * through (`first()` — constant per vec_id) because the residual encode
+    * needs it, and the coarse pass keeps the top [[coarseMultiAssign]]
+    * groups (cd desc, ties to the lower g — the same ordering as the old
+    * argmax, so multiAssign = 1 reproduces round 14 exactly) rather than
+    * only the winner. The top-k selection itself is a bounded
+    * sort-and-slice of the ncoarse partial-aggregated dots per vector —
+    * map-side combinable, so the exchange still carries one row per
+    * corpus vector. */
   def twoLevelIvfPqTopK(emb: DataFrame, nlist: Int, nprobe: Int, ksub: Int,
                         k: Int, rerank: Int,
                         fitted: Array[Double] => Unit = _ => (),
-                        iters: Int = lloydIters): DataFrame = {
+                        iters: Int = lloydIters,
+                        multiAssign: Int = coarseMultiAssign): DataFrame = {
     val ncoarse = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
     val ak = graft.dedup.Dedup.md5Hash60(
       concat(lit("ivfanchor|"), col("vec_id").cast("string")))
@@ -388,19 +416,27 @@ object Pq {
       .groupBy("cell")
       .agg(max_by(col("g"), struct(col("gd"), (-col("g")).as("ng"))).as("g"),
         first(col("ce")).as("ce"))
-    val cb = fitResidualCodebook2Level(emb, coarse, fineGroups, ksub, iters)
+    val cb = fitResidualCodebook2Level(emb, coarse, fineGroups, ksub, iters,
+      multiAssign)
     fitted(cb)
-    // corpus pass 1: nearest coarse group (n·ncoarse dots)
+    // corpus pass 1: top-[[coarseMultiAssign]] coarse groups (n·ncoarse
+    // dots, unchanged) — sort-and-slice of the per-vector dot list
+    // replaces the single argmax; struct(-cd, g) ascending ≡ (cd desc,
+    // g asc), the exact old tie rule
     val coarseAssign = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(coarse))
       .select(col("vec_id"), col("embedding"), col("g"),
         Knn.dotFold(col("embedding"), col("cg")).as("cd"))
       .groupBy("vec_id")
-      .agg(max_by(col("g"), struct(col("cd"), (-col("g")).as("ng"))).as("g"),
+      .agg(slice(array_sort(collect_list(struct((-col("cd")).as("ncd"), col("g")))),
+          1, multiAssign).as("top"),
         first(col("embedding")).as("embedding"))
-    // corpus pass 2: nearest fine anchor WITHIN the assigned group
-    // (n·(nlist/ncoarse) dots on average); the fine anchor's vector rides
-    // along so the residual encode needs no join back to `ranked`
+      .select(col("vec_id"), col("embedding"), explode(col("top.g")).as("g"))
+    // corpus pass 2: nearest fine anchor within the UNION of the assigned
+    // groups (n·multiAssign·(nlist/ncoarse) dots on average; group cell
+    // sets are disjoint — fineGroups maps each cell to exactly one g);
+    // the fine anchor's vector rides along so the residual encode needs
+    // no join back to `ranked`
     val fineAssign = coarseAssign
       .join(broadcast(fineGroups.select(col("g"), col("cell"), col("ce"))), "g")
       .select(col("vec_id"), col("embedding"), col("cell"), col("ce"),
@@ -428,14 +464,15 @@ object Pq {
   }
 
   /** The s9b residual training sample: like [[fitResidualCodebook]] but
-    * the per-sample assignment replays the TWO-LEVEL rule (coarse argmax,
-    * then fine argmax within the group — window formulations of the corpus
-    * passes' max_by aggregates, same dot folds, same ties-to-lower), so
-    * sampled residuals are the corpus residuals of those ids under s9b's
-    * own quantizer. */
+    * the per-sample assignment replays the TWO-LEVEL rule (top
+    * [[coarseMultiAssign]] coarse groups, then fine argmax over the union
+    * — window formulations of the corpus passes' aggregates, same dot
+    * folds, same ties-to-lower), so sampled residuals are the corpus
+    * residuals of those ids under s9b's own quantizer. */
   def fitResidualCodebook2Level(emb: DataFrame, coarse: DataFrame,
                                 fineGroups: DataFrame, ksub: Int,
-                                iters: Int = lloydIters): Array[Double] = {
+                                iters: Int = lloydIters,
+                                multiAssign: Int = coarseMultiAssign): Array[Double] = {
     val ck = graft.dedup.Dedup.md5Hash60(
       concat(lit("pqresanchor|"), col("vec_id").cast("string")))
     val chosen = emb.select(col("vec_id"), col("embedding"), ck.as("ck"))
@@ -445,7 +482,7 @@ object Pq {
         Knn.dotFold(col("embedding"), col("cg")).as("cd"))
       .withColumn("crk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cd").desc, col("g").asc)))
-      .filter(col("crk") === 1)
+      .filter(col("crk") <= multiAssign)
       .select("vec_id", "ck", "embedding", "g")
     val sample = cass
       .join(broadcast(fineGroups.select(col("g"), col("cell"), col("ce"))), "g")
@@ -666,9 +703,11 @@ object Pq {
       |ORDER BY a_id, rk""".stripMargin
 
   // s9b: the s3c two-level assignment CTEs (coarse split of the SAME
-  // ranked anchor list, fine-anchor→group argmax, corpus coarse-then-fine
-  // argmax — each tie to the lower id) feeding the s9 residual/encode/
-  // probe/ADC/rerank chain unchanged.
+  // ranked anchor list, fine-anchor→group argmax, corpus top-2-coarse-
+  // then-fine-over-the-union — each tie to the lower id) feeding the s9
+  // residual/encode/probe/ADC/rerank chain unchanged. cassign's crk <=
+  // coarseMultiAssign is the whole multi-assign in SQL: fassign's join
+  // against both groups' cells followed by frk = 1 IS the union argmax.
   private def s9bOracleSql(cbFlat: Array[Double], ksub: Int): String =
     s"""WITH params AS (
       |  SELECT GREATEST(4, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS nlist,
@@ -701,7 +740,7 @@ object Pq {
       |        list_reduce(list_transform(range(1, len(e.embedding) + 1),
       |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cg[i] AS DOUBLE)),
       |          (acc, x) -> acc + x) DESC, c.g) AS crk
-      |    FROM embeddings e CROSS JOIN coarse c) t WHERE crk = 1),
+      |    FROM embeddings e CROSS JOIN coarse c) t WHERE crk <= $coarseMultiAssign),
       |fassign AS (
       |  SELECT b_id, cell FROM (
       |    SELECT e.vec_id AS b_id, f.cell,

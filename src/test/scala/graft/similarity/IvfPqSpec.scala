@@ -221,11 +221,13 @@ class IvfPqSpec extends SparkSpec {
     val approx = Pq.twoLevelIvfPqTopK(emb, nlist, nprobe, ksub, Pq.s9K, Pq.s9Rerank)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // floor sits a notch under s9's: the hierarchical assignment can park
-    // a vector in a near-optimal cell (the s3c trade). Measured (Profile
-    // pqrecall, n=500): 0.434 with the Lloyd codebook (0.428 sampled-init);
-    // sf0.1: 0.418 vs s9's 0.484. Deterministic ⇒ regression guard.
-    assert(approx.nonEmpty && recall >= 0.42, s"recall=$recall")
+    // Round 15 (coarse multi-assign, width 5): at this corpus ncoarse = 5,
+    // so the top-5 union covers every group and the quantizer IS flat —
+    // s9b's recall here equals s9's (measured 0.462; floor raised
+    // 0.42 → 0.45, s9's own floor). The non-degenerate hierarchical path
+    // is pinned separately below at multiAssign = 2. At n = 2000
+    // (ncoarse = 7, real pruning): 0.476 vs s9's 0.484 (Profile pqrecall).
+    assert(approx.nonEmpty && recall >= 0.45, s"recall=$recall")
     val truth = Knn.bruteForceTopK(emb, n.toInt).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("dot")).toMap
     Pq.twoLevelIvfPqTopK(emb, nlist, nprobe, ksub, Pq.s9K, Pq.s9Rerank)
@@ -267,8 +269,10 @@ class IvfPqSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"), col("g"),
         Knn.dotFold(col("embedding"), col("cg")).as("cd"))
       .groupBy("vec_id")
-      .agg(max_by(col("g"), struct(col("cd"), (-col("g")).as("ng"))).as("g"),
+      .agg(slice(array_sort(collect_list(struct((-col("cd")).as("ncd"), col("g")))),
+          1, Pq.coarseMultiAssign).as("top"),
         first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), explode(col("top.g")).as("g"))
     val fineAssign = coarseAssign
       .join(broadcast(fineGroups.select(col("g"), col("cell"), col("ce"))), "g")
       .select(col("vec_id"), col("embedding"), col("cell"), col("ce"),
@@ -320,6 +324,34 @@ class IvfPqSpec extends SparkSpec {
           c == "ce"),
         s"s9b stage-1 shuffle carries wide columns: $cols")
     }
+  }
+
+  test("s9b multi-assign at or beyond ncoarse degenerates to exactly s9 (flat)") {
+    // the union of ALL coarse groups makes the fine argmax a flat argmax
+    // over every cell, and the fit replays the same residuals — the
+    // two-level quantizer must then be INVISIBLE: row-identical output.
+    // This is the spec-side anchor of the pqrecall curve's ma = ncoarse
+    // row (0.484 = s9's 0.484 at n = 2000).
+    val ncoarse = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    assert(Pq.coarseMultiAssign >= ncoarse) // this corpus IS the degenerate regime
+    val two = Pq.twoLevelIvfPqTopK(emb, nlist, nprobe, ksub, Pq.s9K, Pq.s9Rerank)
+      .as[(Long, Int, Long, Double, Double)].collect().toSeq
+    val flat = Pq.ivfPqTopK(emb, nlist, nprobe, ksub, Pq.s9K, Pq.s9Rerank)
+      .as[(Long, Int, Long, Double, Double)].collect().toSeq
+    assert(two === flat && two.nonEmpty)
+  }
+
+  test("s9b's non-degenerate hierarchical path (multiAssign = 2) keeps its recall floor") {
+    // force REAL coarse pruning at this corpus (2 < ncoarse = 5): the
+    // hierarchical trade reappears and the floor guards it — measured
+    // 0.452 here (vs 0.434 at the round-14 width-1 assignment).
+    val exact = Knn.bruteForceTopK(emb, 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val approx = Pq.twoLevelIvfPqTopK(emb, nlist, nprobe, ksub, Pq.s9K,
+        Pq.s9Rerank, multiAssign = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(approx.nonEmpty && recall >= 0.42, s"recall=$recall")
   }
 
   test("s9b driver query is deterministic across invocations") {

@@ -34,6 +34,17 @@ def main(sf_dir, out_dir, json_out=None):
     # check it would silently vanish from the report instead of failing.
     for name in sorted(set(oracle) - set(names)):
         failures.append((name, "declared oracle but no Verify output (query threw?)"))
+    # Fitted-oracle queries (s3/s8/s9 families) register their SQL at fit
+    # time, so a fit-time throw leaves neither an output NOR an oracle entry
+    # and the check above can't see it. Verify's attempted.json manifest
+    # closes that hole: every attempted query must have produced an output.
+    attempted_path = os.path.join(out_dir, "attempted.json")
+    if os.path.exists(attempted_path):
+        with open(attempted_path) as f:
+            attempted = json.load(f)
+        for name in sorted(set(attempted) - set(names) - set(oracle)):
+            failures.append((name, "attempted but produced neither output nor "
+                             "oracle (threw during fit?)"))
     for name in names:
         spark_glob = os.path.join(out_dir, name, "*.parquet")
         if not glob.glob(spark_glob):
