@@ -183,7 +183,8 @@ object Multimodal {
   /** A fully decoded PNG: `pixels` is the unfiltered image plane in
     * scanline order — `width · height · channels` bytes at bitDepth 8,
     * twice that (big-endian u16 samples, PNG network byte order) at
-    * bitDepth 16. */
+    * bitDepth 16, and at sub-byte depths (1/2/4) one byte per sample
+    * holding the raw unpacked 0..2^depth−1 value. */
   case class PngImage(width: Int, height: Int, colorType: Int,
                       channels: Int, pixels: Array[Byte], bitDepth: Int = 8)
 
@@ -205,17 +206,24 @@ object Multimodal {
     * — round 14 — PLTE palette expansion, 16-bit depth, and Adam7
     * de-interlacing.
     *
-    * Supported: 8- and 16-bit depths for color types 0/2/4/6 (16-bit
+    * Supported — the FULL legal depth/color-type matrix of PNG §11.2.2
+    * since round 15: 8- and 16-bit depths for color types 0/2/4/6 (16-bit
     * unfilters at bpp = channels·2, per the spec's
     * filters-operate-on-bytes rule, and keeps big-endian u16 samples in
-    * the plane), 8-bit color type 3 (palette — the dominant web-corpus
+    * the plane), color type 3 (palette — the dominant web-corpus
     * PNG shape: the index plane unfilters at bpp = 1, then each index
     * expands through the CRC-verified PLTE to an RGB plane, so downstream
-    * stats see `channels = 3` truecolor), and BOTH interlace methods
+    * stats see `channels = 3` truecolor), SUB-BYTE depths 1/2/4 for
+    * grayscale and palette (round 15 — 1-bit B/W scans and 4-bit icons:
+    * filters run on the PACKED scanline bytes at bpp = 1 per §7.2, rows
+    * byte-padded, then samples unpack MSB-first to one byte each holding
+    * the raw 0..2^depth−1 value), and BOTH interlace methods
     * (Adam7 = seven independently-filtered sub-images, empty passes
     * omitted, each unfiltered then scattered to its (x0 + i·dx, y0 + j·dy)
-    * position — PNG §8.2). Refused per file (None — contained, the
-    * PDF-reader discipline): 1/2/4-bit depths, PLTE on grayscale types
+    * position — PNG §8.2; composes with sub-byte: each pass packs its own
+    * rows). Refused per file (None — contained, the PDF-reader
+    * discipline): any depth/color-type pair outside table 11.1 (e.g.
+    * sub-byte RGB), PLTE on grayscale types
     * (spec violation, PNG §11.2.3), tRNS on alpha-carrying color types
     * (forbidden, §11.3.2), a tRNS longer than the palette or preceding
     * it, an index beyond the palette (spec: error), and every
@@ -270,10 +278,16 @@ object Multimodal {
       i += 12 + len.toInt
     }
     val (w, h, depth, ct, interlace) = dims.getOrElse(return None)
-    if (depth != 8 && depth != 16) return None // 1/2/4-bit: refused, not garbled
-    if (ct != 0 && ct != 2 && ct != 3 && ct != 4 && ct != 6) return None
+    // legal depth/color-type combos (PNG §11.2.2, table 11.1): sub-byte
+    // depths (1/2/4 — round 15) exist only for grayscale and palette
+    val depthOk = ct match {
+      case 0 => depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16
+      case 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
+      case 2 | 4 | 6 => depth == 8 || depth == 16
+      case _ => return None
+    }
+    if (!depthOk) return None
     if (interlace != 0 && interlace != 1) return None // 0 = none, 1 = Adam7
-    if (ct == 3 && depth != 8) return None // 16-bit palette indices: not in the spec
     if (ct == 3 && plte.isEmpty) return None // palette decode needs the palette
     // ct 3 + tRNS = alpha palette (decoded to RGBA since round 14): the
     // chunk must follow PLTE and carry at most one alpha per entry
@@ -288,8 +302,18 @@ object Multimodal {
     if ((ct == 0 || ct == 4) && plte.isDefined) return None // PLTE forbidden (spec)
     if (w <= 0 || h <= 0 || !sawIdat) return None
     val ch = if (ct == 3) 1 else pngChannels(ct) // ct 3: 1 index byte/pixel
-    val bps = depth / 8 // bytes per sample; filters operate on BYTES with bpp = ch*bps
-    val rowBytes = w.toLong * ch * bps
+    // bytes per DECODED sample (sub-byte depths unpack to one byte each);
+    // filters operate on BYTES: bpp = ch·bps at 8/16-bit, 1 at sub-byte
+    // (§7.2: fewer than 8 bits per pixel rounds bpp up to one byte)
+    val bps = math.max(1, depth / 8)
+    val subByte = depth < 8
+    // a PACKED scanline at sub-byte depth: w samples of `depth` bits,
+    // MSB-first within each byte, rows padded to a byte boundary (§7.2 —
+    // bits never carry across scanlines)
+    def packedRow(width: Int): Long =
+      if (subByte) (width.toLong * depth + 7) / 8 else width.toLong * ch * bps
+    val filterBpp = if (subByte) 1 else ch * bps
+    val rowBytes = packedRow(w)
     // Adam7 (PNG §8.2): seven sub-images at (x0, y0, dx, dy) offsets, each
     // filtered INDEPENDENTLY (its own scanlines, its own filter bytes);
     // empty passes are omitted from the stream entirely
@@ -303,7 +327,7 @@ object Multimodal {
     val expected: Long =
       if (interlace == 0) h.toLong * (1L + rowBytes)
       else passes.map { case (_, _, _, _, wp, hp) =>
-        hp.toLong * (1L + wp.toLong * ch * bps) }.sum
+        hp.toLong * (1L + packedRow(wp)) }.sum
     // the palette expansion below allocates w·h·4 when a tRNS table rides
     // along (RGBA), so the cap must check the EXPANDED plane, not w·h·3
     val expandCh = if (ct == 3 && trns.isDefined) 4 else 3
@@ -321,30 +345,55 @@ object Multimodal {
     val over = inf.inflate(new Array[Byte](1)) // any surplus byte = wrong length
     inf.end()
     if (got != raw.length || over != 0) return None
+    // sub-byte unpack: one output byte per sample, MSB-first extraction —
+    // the exact inverse of the writer's packRows; applied AFTER the filter
+    // inversion (filters see the packed bytes, §7.2)
+    def unpackBits(packed: Array[Byte], rows: Int, width: Int): Array[Byte] = {
+      val prb = ((width.toLong * depth + 7) / 8).toInt
+      val mask = (1 << depth) - 1
+      val out = new Array[Byte](rows * width)
+      var r = 0
+      while (r < rows) {
+        var i = 0
+        while (i < width) {
+          val bit = i * depth
+          out(r * width + i) =
+            (((packed(r * prb + (bit >> 3)) & 0xff) >> (8 - depth - (bit & 7))) & mask).toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
+    }
     val pixels: Array[Byte] =
       if (interlace == 0) {
-        val p = graft.sources.Pdf.pngUnfilter(raw, bpp = ch * bps,
+        val up = graft.sources.Pdf.pngUnfilter(raw, bpp = filterBpp,
           rowBytes = rowBytes.toInt)
+        if (up.length != h.toLong * rowBytes) return None
+        val p = if (subByte) unpackBits(up, h, w) else up
         if (p.length != w.toLong * h * ch * bps) return None
         p
       } else {
-        // per-pass unfilter, then scatter each pass pixel to its final
-        // (x0 + i·dx, y0 + j·dy) position — the de-interlace
+        // per-pass unfilter (packed rows), then sub-byte unpack, then
+        // scatter each pass pixel to its final (x0 + i·dx, y0 + j·dy)
+        // position — the de-interlace
         val out = new Array[Byte](w * h * ch * bps)
         var off = 0
         passes.foreach { case (x0, y0, dx, dy, wp, hp) =>
-          val prb = wp * ch * bps
+          val prb = packedRow(wp).toInt
           val passLen = hp * (1 + prb)
-          val sub = graft.sources.Pdf.pngUnfilter(
+          val upass = graft.sources.Pdf.pngUnfilter(
             java.util.Arrays.copyOfRange(raw, off, off + passLen),
-            bpp = ch * bps, rowBytes = prb)
-          if (sub.length != hp.toLong * prb) return None
+            bpp = filterBpp, rowBytes = prb)
+          if (upass.length != hp.toLong * prb) return None
+          val sub = if (subByte) unpackBits(upass, hp, wp) else upass
+          val unit = ch * bps
           var j = 0
           while (j < hp) {
             var i2 = 0
             while (i2 < wp) {
-              System.arraycopy(sub, (j * wp + i2) * ch * bps, out,
-                ((y0 + j * dy) * w + (x0 + i2 * dx)) * ch * bps, ch * bps)
+              System.arraycopy(sub, (j * wp + i2) * unit, out,
+                ((y0 + j * dy) * w + (x0 + i2 * dx)) * unit, unit)
               i2 += 1
             }
             j += 1
@@ -386,7 +435,8 @@ object Multimodal {
     * 0..65535 range — no precision downshift. */
   def pngStats(img: PngImage): (Long, Long, Int, Int) = {
     val ch = img.channels
-    val bps = img.bitDepth / 8
+    // sub-byte planes carry one byte per sample (raw 0..2^depth−1 values)
+    val bps = math.max(1, img.bitDepth / 8)
     val n = img.width * img.height
     def sample(idx: Int): Int =
       if (bps == 1) img.pixels(idx) & 0xff
@@ -441,13 +491,19 @@ object Multimodal {
   /** Adam7 writer: splits the plane into the seven sub-images, filters
     * each pass independently (tag = pass-local row % 5, filter neighbors
     * INSIDE the pass — the spec's rule), concatenates, and runs the same
-    * deflate/chunk tail with interlace = 1. 8-bit; pass a 16-bit plane by
-    * pre-packing (as [[encodePng16]] does) with bps folded into pixels. */
+    * deflate/chunk tail with interlace = 1. 8-bit planes directly; pass a
+    * 16-bit plane by pre-packing (as [[encodePng16]] does) with bps folded
+    * into pixels. At sub-byte depths (1/2/4 — round 15) `pixels` is one
+    * byte per sample and each pass's gathered sub-image is bit-packed
+    * per §7.2 (rows padded per PASS, not per image) before filtering at
+    * bpp = 1. */
   def encodePngAdam7(w: Int, h: Int, colorType: Int, pixels: Array[Byte],
                      palette: Option[Array[Byte]] = None,
                      depth: Int = 8): Array[Byte] = {
-    val bps = depth / 8
-    val ch = (if (colorType == 3) 1 else pngChannels(colorType)) * bps
+    val subByte = depth < 8
+    val ch =
+      if (subByte) 1
+      else (if (colorType == 3) 1 else pngChannels(colorType)) * (depth / 8)
     require(pixels.length == w * h * ch, s"plane must be ${w * h * ch} bytes")
     val buf = new java.io.ByteArrayOutputStream()
     adam7.foreach { case (x0, y0, dx, dy) =>
@@ -466,10 +522,55 @@ object Multimodal {
           }
           j += 1
         }
-        buf.write(filterPlane(sub, hp, wp * ch, ch))
+        if (subByte)
+          buf.write(filterPlane(packRows(sub, hp, wp, depth), hp,
+            (wp * depth + 7) / 8, 1))
+        else
+          buf.write(filterPlane(sub, hp, wp * ch, ch))
       }
     }
     finishPng(w, h, colorType, depth, buf.toByteArray, palette, interlace = 1)
+  }
+
+  /** Pack one-byte-per-sample rows into sub-byte scanlines: `depth` bits
+    * per sample, MSB-first within each byte, each row padded to a byte
+    * boundary (PNG §7.2) — the writer-side inverse of the decoder's
+    * unpackBits. */
+  private def packRows(samples: Array[Byte], rows: Int, width: Int,
+                       depth: Int): Array[Byte] = {
+    val prb = (width * depth + 7) / 8
+    val mask = (1 << depth) - 1
+    val out = new Array[Byte](rows * prb)
+    var r = 0
+    while (r < rows) {
+      var i = 0
+      while (i < width) {
+        val bit = i * depth
+        out(r * prb + (bit >> 3)) = (out(r * prb + (bit >> 3)) |
+          ((samples(r * width + i) & mask) << (8 - depth - (bit & 7)))).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Sub-byte writer (depths 1/2/4, color types 0 and 3): `samples` is one
+    * byte per sample (values < 2^depth); rows are packed MSB-first, then
+    * filtered at bpp = 1 (§7.2) through the same per-row-varying filter
+    * family and two-IDAT tail as the 8-bit writer. */
+  def encodePngSubByte(w: Int, h: Int, colorType: Int, depth: Int,
+                       samples: Array[Byte],
+                       palette: Option[Array[Byte]] = None): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4, "sub-byte depths only")
+    require(colorType == 0 || colorType == 3, "sub-byte: gray or palette")
+    require(colorType != 3 || palette.exists(p => p.nonEmpty && p.length % 3 == 0),
+      "colorType 3 needs a non-empty RGB-triple palette")
+    require(samples.length == w * h, s"plane must be ${w * h} samples")
+    val packed = packRows(samples, h, w, depth)
+    val prb = (w * depth + 7) / 8
+    finishPng(w, h, colorType, depth, filterPlane(packed, h, prb, 1),
+      palette, interlace = 0)
   }
 
   /** Alpha-palette writer: PLTE + tRNS between IHDR and IDAT. */
