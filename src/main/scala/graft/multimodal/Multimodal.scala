@@ -658,24 +658,33 @@ object Multimodal {
 
   // ---- real WAV/PCM audio decode (mm6) -----------------------------------
 
-  /** A fully decoded PCM WAV: interleaved 16-bit signed samples in frame
-    * order (`frames · channels` values). */
+  /** A fully decoded PCM WAV: interleaved signed samples in frame order
+    * (`frames · channels` values), widened to Int. 16/24-bit carry their
+    * two's-complement value; 8-bit PCM is UNSIGNED on disk (RIFF's one
+    * endianness quirk: midpoint 128) and is centered to −128..127 at
+    * decode so every width shares the signed stats frame. */
   case class WavAudio(channels: Int, sampleRate: Int, frames: Int,
-                      samples: Array[Short])
+                      samples: Array[Int], bits: Int = 16)
 
   /** Dependency-free WAV (RIFF) decode — NOT a stub: the audio twin of
     * [[decodePng]]. Walks the RIFF chunk list ("RIFF" size "WAVE", then
     * even-aligned chunks — a chunk with an odd payload is followed by a
     * pad byte, RIFF §2), requires ONE `fmt ` chunk BEFORE the one `data`
-    * chunk, and accepts the canonical LPCM shape: format tag 1 (or
-    * WAVE_FORMAT_EXTENSIBLE 0xFFFE with the PCM sub-format GUID), 16-bit
-    * samples, 1–8 channels, a positive sample rate, and a data size that
-    * is a whole number of frames whose declared block alignment matches
-    * channels·2. Samples are little-endian signed 16-bit (the RIFF byte
-    * order — note the OPPOSITE endianness of PNG's network order).
-    * Everything else — truncation, float/ADPCM/8-bit/24-bit formats, a
-    * data chunk before fmt, size lies — returns None: contained per
-    * file, the PDF-reader discipline. */
+    * chunk, and accepts the canonical LPCM shapes: format tag 1 (or
+    * WAVE_FORMAT_EXTENSIBLE 0xFFFE with the PCM sub-format GUID), 8-, 16-
+    * or 24-bit samples (round 15 widened from 16-only — 24-bit LPCM and
+    * 8-bit unsigned PCM are the common speech-corpus widths), 1–8
+    * channels, a positive sample rate, and a data size that is a whole
+    * number of frames whose declared block alignment matches
+    * channels·(bits/8). Multi-byte samples are little-endian signed (the
+    * RIFF byte order — note the OPPOSITE endianness of PNG's network
+    * order); 8-bit is unsigned per the spec and centered by −128 so the
+    * BIGINT-exact stats discipline holds at every width. Everything
+    * else — truncation, float32 (format tag 3: samples are IEEE floats,
+    * so an exact integer power sum would need a documented quantization
+    * rule; refused rather than approximated), ADPCM, a data chunk before
+    * fmt, size lies — returns None: contained per file, the PDF-reader
+    * discipline. */
   def decodeWav(content: Array[Byte]): Option[WavAudio] = try {
     def u2(i: Int): Int = (content(i) & 0xff) | ((content(i + 1) & 0xff) << 8)
     def u4(i: Int): Long = (u2(i) & 0xffffL) | ((u2(i + 2) & 0xffffL) << 16)
@@ -720,38 +729,51 @@ object Multimodal {
     }
     val (ftag, ch, rate, align, bits) = fmt.getOrElse(return None)
     val (off, dlen) = data.getOrElse(return None)
-    if (ftag != 1 || bits != 16) return None // float/ADPCM/8-bit/24-bit: refused
+    if (ftag != 1) return None // float/ADPCM: refused
+    if (bits != 8 && bits != 16 && bits != 24) return None
     if (ch < 1 || ch > 8 || rate <= 0) return None
-    if (align != ch * 2) return None // block align must match LPCM layout
+    val bytesPer = bits / 8
+    if (align != ch * bytesPer) return None // block align must match LPCM layout
     if (dlen % align != 0) return None // partial trailing frame: refused
-    val n = dlen / 2
-    val samples = new Array[Short](n)
+    val n = dlen / bytesPer
+    val samples = new Array[Int](n)
     var k = 0
     while (k < n) {
-      samples(k) = ((content(off + k * 2) & 0xff) |
-        ((content(off + k * 2 + 1) & 0xff) << 8)).toShort
+      samples(k) = bits match {
+        case 8 => (content(off + k) & 0xff) - 128 // unsigned on disk, centered
+        case 16 => ((content(off + k * 2) & 0xff) |
+          ((content(off + k * 2 + 1) & 0xff) << 8)).toShort.toInt
+        case _ => // 24-bit LE two's complement: sign-extend via << 8 >> 8
+          ((content(off + k * 3) & 0xff) |
+            ((content(off + k * 3 + 1) & 0xff) << 8) |
+            ((content(off + k * 3 + 2) & 0xff) << 16)) << 8 >> 8
+      }
       k += 1
     }
-    Some(WavAudio(ch, rate, n / ch, samples))
+    Some(WavAudio(ch, rate, n / ch, samples, bits))
   } catch { case _: Exception => None }
 
   /** Audio statistics over decoded PCM: (n_samples, exact integer
     * sum-of-squares, peak absolute amplitude, clipped-sample count). The
-    * power sum is BIGINT-exact (max |s| = 32768 ⇒ s² ≤ 2³⁰; 2³³ samples
-    * before overflow), so the aggregate is order-independent and the
-    * DuckDB twin replays it bit-for-bit — RMS derives as one double
-    * division downstream, the moment-statistics discipline (a22). */
+    * power sum is BIGINT-exact at every width (max |s| = 2²³ at 24-bit ⇒
+    * s² ≤ 2⁴⁶; 2¹⁷ samples before overflow even then), so the aggregate is
+    * order-independent and the DuckDB twin replays it bit-for-bit — RMS
+    * derives as one double division downstream, the moment-statistics
+    * discipline (a22). Clip rails are width-relative: ±(2^(bits−1)) — for
+    * centered 8-bit that is −128/127, the disk values 0/255. */
   def wavStats(a: WavAudio): (Long, Long, Int, Long) = {
+    val hi = (1 << (a.bits - 1)) - 1
+    val lo = -(1 << (a.bits - 1))
     var sumSq = 0L
     var peak = 0
     var clipped = 0L
     var k = 0
     while (k < a.samples.length) {
-      val s = a.samples(k).toInt
+      val s = a.samples(k)
       sumSq += s.toLong * s
       val abs = math.abs(s)
       if (abs > peak) peak = abs
-      if (s == Short.MaxValue || s == Short.MinValue) clipped += 1
+      if (s == hi || s == lo) clipped += 1
       k += 1
     }
     (a.samples.length.toLong, sumSq, peak, clipped)
@@ -761,23 +783,41 @@ object Multimodal {
     * canonical RIFF/WAVE with an INFO LIST chunk between fmt and data (so
     * a decode genuinely walks chunks rather than assuming the 44-byte
     * canonical layout) and an odd-sized comment chunk exercising the RIFF
-    * pad-byte rule. */
-  def encodeWav(channels: Int, sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    * pad-byte rule. 16-bit; [[encodeWavBits]] is the width-general form. */
+  def encodeWav(channels: Int, sampleRate: Int, samples: Array[Short]): Array[Byte] =
+    encodeWavBits(channels, sampleRate, 16, samples.map(_.toInt))
+
+  /** Width-general LPCM writer (8/16/24-bit): `samples` carry the DECODED
+    * (signed, centered) values; 8-bit re-biases by +128 to the spec's
+    * unsigned disk form, multi-byte widths serialize little-endian. Same
+    * LIST/pad chunk layout as [[encodeWav]]. */
+  def encodeWavBits(channels: Int, sampleRate: Int, bits: Int,
+                    samples: Array[Int]): Array[Byte] = {
     require(samples.length % channels == 0, "whole frames only")
+    require(bits == 8 || bits == 16 || bits == 24, "LPCM widths only")
     def le2(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def le4(v: Int): Array[Byte] = le2(v & 0xffff) ++ le2((v >>> 16) & 0xffff)
-    val align = channels * 2
+    val bytesPer = bits / 8
+    val align = channels * bytesPer
     val fmt = "fmt ".getBytes("ISO-8859-1") ++ le4(16) ++
       le2(1) ++ le2(channels) ++ le4(sampleRate) ++
-      le4(sampleRate * align) ++ le2(align) ++ le2(16)
+      le4(sampleRate * align) ++ le2(align) ++ le2(bits)
     // odd-length LIST payload: the pad byte after it is part of the format
     val info = "LIST".getBytes("ISO-8859-1") ++ le4(9) ++
       "INFOICMT!".getBytes("ISO-8859-1") ++ Array[Byte](0)
-    val dataBytes = new Array[Byte](samples.length * 2)
+    val dataBytes = new Array[Byte](samples.length * bytesPer)
     var k = 0
     while (k < samples.length) {
-      dataBytes(k * 2) = (samples(k) & 0xff).toByte
-      dataBytes(k * 2 + 1) = ((samples(k) >> 8) & 0xff).toByte
+      bits match {
+        case 8 => dataBytes(k) = ((samples(k) + 128) & 0xff).toByte
+        case 16 =>
+          dataBytes(k * 2) = (samples(k) & 0xff).toByte
+          dataBytes(k * 2 + 1) = ((samples(k) >> 8) & 0xff).toByte
+        case _ =>
+          dataBytes(k * 3) = (samples(k) & 0xff).toByte
+          dataBytes(k * 3 + 1) = ((samples(k) >> 8) & 0xff).toByte
+          dataBytes(k * 3 + 2) = ((samples(k) >> 16) & 0xff).toByte
+      }
       k += 1
     }
     val data = "data".getBytes("ISO-8859-1") ++ le4(dataBytes.length) ++ dataBytes

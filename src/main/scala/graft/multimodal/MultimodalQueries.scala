@@ -334,6 +334,59 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** mm6b's synthetic table: 8-BIT and 24-BIT PCM WAVs (the common
+    * speech-corpus widths that were refusals through round 14). Width and
+    * channel count decorrelate (doc_id mod 4 → mono/stereo at both
+    * widths); sample k's DECODED value follows
+    * `((doc_id·131 + k)·9973) mod 2^bits − 2^(bits−1)` — the engine must
+    * recover it through the unsigned-rebias (8-bit) or the 3-byte
+    * little-endian sign extension (24-bit). */
+  def syntheticWideWavs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val ch = ((id % 4) / 2 + 1).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val frames = (id % 50 + 10).toInt
+        val bits = if (id % 2 == 0) 8 else 24
+        val half = 1L << (bits - 1)
+        val samples = new Array[Int](frames * ch)
+        var k = 0
+        while (k < samples.length) {
+          samples(k) = (((id * 131 + k) * 9973) % (half * 2) - half).toInt
+          k += 1
+        }
+        (id, Multimodal.encodeWavBits(ch, rate, bits, samples))
+      }
+  }
+
+  /** mm6b: audio stats across the LPCM width matrix — same decode → stats
+    * dataflow as mm6, over 8- and 24-bit files. The exact-BIGINT power
+    * sum discipline holds at 24-bit (s² ≤ 2⁴⁶); clip rails are
+    * width-relative (−128/127, ±(2²³−1/−2²³)). A hash match proves the
+    * unsigned-center convention and the 3-byte sign extension are exactly
+    * the documented arithmetic. */
+  def mm6bWideAudioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticWideWavs(spark, dir)
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.batchSize).flatMap { batch =>
+          // per-batch decoder init would go here (mm1 contract)
+          batch.iterator.flatMap { case (id, bytes) =>
+            Multimodal.decodeWav(bytes).map { a =>
+              val (n, sumSq, peak, clipped) = Multimodal.wavStats(a)
+              (id, a.channels, a.sampleRate, a.bits, a.frames, n,
+                a.frames.toLong * 1000L / a.sampleRate, sumSq, peak, clipped,
+                math.sqrt(sumSq.toDouble / n.toDouble))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "channels", "sample_rate", "bits", "frames",
+        "n_samples", "duration_ms", "sum_sq", "peak", "clipped", "rms")
+      .orderBy("doc_id")
+  }
+
   /** mm5e: ALPHA-PALETTE stats (ct = 3 + tRNS — logos/icons with
     * transparency, the web's other indexed shape): mm5b's exact palette
     * and index formulas plus a 128-entry tRNS table, decoded to RGBA.
@@ -502,6 +555,7 @@ object MultimodalQueries {
     "mm5c_deep_stats" -> (mm5cDeepStats _),
     "mm5d_interlaced_stats" -> (mm5dInterlacedStats _),
     "mm6_audio_stats" -> (mm6AudioStats _),
+    "mm6b_wide_audio_stats" -> (mm6bWideAudioStats _),
     "mm5e_alpha_palette_stats" -> (mm5eAlphaPaletteStats _),
     "mm5f_subbyte_stats" -> (mm5fSubByteStats _),
     "mm7_video_meta" -> (mm7VideoMeta _)
@@ -745,6 +799,34 @@ object MultimodalQueries {
         |  CAST(CAST(SUM(luma) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
         |    AS mean_luma
         |FROM lum GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // mm6b: decoded sample k = ((doc_id*131 + k)*9973) % 2^bits −
+    // 2^(bits−1) with bits 8/24 by doc parity and channels decorrelated
+    // via doc_id % 4; width-relative clip rails.
+    "mm6b_wide_audio_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST((doc_id % 4) // 2 + 1 AS INT) AS ch,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+        |    CAST(doc_id % 50 + 10 AS INT) AS frames,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END AS INT) AS bits
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, ch, rate, frames, bits,
+        |    ((doc_id*131 + unnest(range(0, CAST(frames AS BIGINT) * ch))) * 9973)
+        |      % (CASE bits WHEN 8 THEN 256 ELSE 16777216 END)
+        |      - (CASE bits WHEN 8 THEN 128 ELSE 8388608 END) AS v
+        |  FROM p)
+        |SELECT doc_id, ch AS channels, rate AS sample_rate, bits, frames,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(CAST(frames AS BIGINT) * 1000 // rate AS BIGINT) AS duration_ms,
+        |  CAST(SUM(v*v) AS BIGINT) AS sum_sq,
+        |  CAST(MAX(ABS(v)) AS INT) AS peak,
+        |  CAST(SUM(CASE WHEN v = (CASE bits WHEN 8 THEN 127 ELSE 8388607 END)
+        |             OR v = (CASE bits WHEN 8 THEN -128 ELSE -8388608 END)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS clipped,
+        |  sqrt(CAST(CAST(SUM(v*v) AS BIGINT) AS DOUBLE)
+        |       / CAST(COUNT(*) AS DOUBLE)) AS rms
+        |FROM s GROUP BY doc_id, ch, rate, frames, bits ORDER BY doc_id""".stripMargin,
     // mm5f: sample i of doc = ((doc_id*31 + i)*37) % 2^d with d cycling
     // 1/2/4; gray docs keep the raw value (BT.709 identity: luma = v),
     // palette docs route v through mm5b's triple formulas. bit_depth is
