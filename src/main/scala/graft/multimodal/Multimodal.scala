@@ -845,30 +845,42 @@ object Multimodal {
     * integer pixels). Requires exactly one moov with one mvhd; truncated
     * boxes, size lies, or a missing/duplicated mvhd return None —
     * contained per file, the PDF-reader discipline. */
-  def mp4Meta(content: Array[Byte]): Option[Mp4Meta] = try {
-    def u4(i: Int): Long =
-      ((content(i) & 0xffL) << 24) | ((content(i + 1) & 0xffL) << 16) |
-        ((content(i + 2) & 0xffL) << 8) | (content(i + 3) & 0xffL)
-    def u8(i: Int): Long = (u4(i) << 32) | u4(i + 4)
-    def tag(i: Int): String = new String(content, i, 4, "ISO-8859-1")
-    // walk the box list in [from, to), invoking f(type, payloadFrom,
-    // payloadTo); returns false on any framing violation
-    def walk(from: Int, to: Int)(f: (String, Int, Int) => Boolean): Boolean = {
-      var i = from
-      while (i < to) {
-        if (i + 8 > to) return false
-        var size = u4(i)
-        var hdr = 8
-        if (size == 1) { // 64-bit largesize
-          if (i + 16 > to) return false
-          size = u8(i + 8); hdr = 16
-        }
-        if (size == 0 || size < hdr || i + size > to) return false
-        if (!f(tag(i + 4), i + hdr, (i + size).toInt)) return false
-        i += size.toInt
+  /** Big-endian u32/u64 and 4cc readers + the ISOBMFF box-list walk,
+    * shared by [[mp4Meta]] and [[mp4Tracks]]: a box is
+    * [size:u32be][type:4cc][payload]; size == 1 switches to a 64-bit
+    * largesize, size == 0 ("to end of file") is refused like other
+    * open-ended shapes. `f(type, payloadFrom, payloadTo)` per box;
+    * returns false on any framing violation. */
+  private def beU4(c: Array[Byte], i: Int): Long =
+    ((c(i) & 0xffL) << 24) | ((c(i + 1) & 0xffL) << 16) |
+      ((c(i + 2) & 0xffL) << 8) | (c(i + 3) & 0xffL)
+  private def beU8(c: Array[Byte], i: Int): Long = (beU4(c, i) << 32) | beU4(c, i + 4)
+  private def fourcc(c: Array[Byte], i: Int): String =
+    new String(c, i, 4, "ISO-8859-1")
+  private def walkBoxes(c: Array[Byte], from: Int, to: Int)
+                       (f: (String, Int, Int) => Boolean): Boolean = {
+    var i = from
+    while (i < to) {
+      if (i + 8 > to) return false
+      var size = beU4(c, i)
+      var hdr = 8
+      if (size == 1) { // 64-bit largesize
+        if (i + 16 > to) return false
+        size = beU8(c, i + 8); hdr = 16
       }
-      true
+      if (size == 0 || size < hdr || i + size > to) return false
+      if (!f(fourcc(c, i + 4), i + hdr, (i + size).toInt)) return false
+      i += size.toInt
     }
+    true
+  }
+
+  def mp4Meta(content: Array[Byte]): Option[Mp4Meta] = try {
+    def u4(i: Int): Long = beU4(content, i)
+    def u8(i: Int): Long = beU8(content, i)
+    def tag(i: Int): String = fourcc(content, i)
+    def walk(from: Int, to: Int)(f: (String, Int, Int) => Boolean): Boolean =
+      walkBoxes(content, from, to)(f)
     if (content.length < 8) return None
     var brand: Option[String] = None
     var mvhd: Option[(Long, Long)] = None
@@ -928,6 +940,124 @@ object Multimodal {
     Some(Mp4Meta(b, ts, dur, tracks.length, mw, mh))
   } catch { case _: Exception => None }
 
+  /** One parsed ISOBMFF track: identity and presentation size from tkhd,
+    * media timescale/duration from the trak's mdhd, the handler 4cc
+    * ("vide"/"soun"/…) from hdlr, and the first sample-entry format 4cc
+    * (the codec — "avc1", "mp4a", …) from stbl/stsd — the columns a
+    * video-corpus filter actually keys on ("keep h264 video ≥ 720p"). */
+  case class Mp4Track(trackId: Long, width: Int, height: Int,
+                      handler: String, codec: String,
+                      mediaTimescale: Long, mediaDuration: Long)
+
+  /** Per-track ISOBMFF metadata (round-15 VERDICT #5) — descends
+    * moov→trak→{tkhd, mdia→{mdhd, hdlr, minf→stbl→stsd}}, both version-0
+    * and version-1 layouts for tkhd/mdhd (64-bit times shift every later
+    * offset). Each trak must carry exactly one tkhd and one mdia with one
+    * mdhd, one hdlr, and one stsd with ≥ 1 entry; a missing or duplicated
+    * box, a zero media timescale, or any framing violation refuses the
+    * FILE (None — the per-file containment discipline; partial track
+    * lists would silently under-report a corpus filter's matches).
+    * Tracks return in file order. */
+  def mp4Tracks(content: Array[Byte]): Option[Seq[Mp4Track]] = try {
+    if (content.length < 8) return None
+    var sawMoov = false
+    var bad = false
+    val tracks = scala.collection.mutable.ListBuffer.empty[Mp4Track]
+    val ok = walkBoxes(content, 0, content.length) { (typ, from, to) =>
+      typ match {
+        case "moov" =>
+          if (sawMoov) false
+          else {
+            sawMoov = true
+            walkBoxes(content, from, to) { (t2, f2, to2) =>
+              t2 match {
+                case "trak" =>
+                  // per-trak fields, all required exactly once
+                  var tkhd: Option[(Long, Int, Int)] = None
+                  var mdhd: Option[(Long, Long)] = None
+                  var hdlr: Option[String] = None
+                  var codec: Option[String] = None
+                  val wok = walkBoxes(content, f2, to2) { (t3, f3, to3) =>
+                    t3 match {
+                      case "tkhd" =>
+                        val v = content(f3) & 0xff
+                        val need = if (v == 0) 84 else 96
+                        if (tkhd.isDefined || to3 - f3 < need) false
+                        else {
+                          // track_id follows ver/flags + 2 times (4+4+4
+                          // at v0; 4+8+8 at v1); width/height are the
+                          // last 8 payload bytes (16.16 fixed)
+                          val idOff = f3 + (if (v == 0) 12 else 20)
+                          val wOff = f3 + need - 8
+                          tkhd = Some((beU4(content, idOff),
+                            (beU4(content, wOff) >> 16).toInt,
+                            (beU4(content, wOff + 4) >> 16).toInt))
+                          true
+                        }
+                      case "mdia" =>
+                        walkBoxes(content, f3, to3) { (t4, f4, to4) =>
+                          t4 match {
+                            case "mdhd" =>
+                              val v = content(f4) & 0xff
+                              // v0: ver/flags(4) ctime(4) mtime(4) ts(4)
+                              // dur(4); v1: ver/flags(4) ctime(8) mtime(8)
+                              // ts(4) dur(8)
+                              if (mdhd.isDefined) false
+                              else if (v == 0 && to4 - f4 >= 20) {
+                                mdhd = Some((beU4(content, f4 + 12),
+                                  beU4(content, f4 + 16))); true
+                              } else if (v == 1 && to4 - f4 >= 32) {
+                                mdhd = Some((beU4(content, f4 + 20),
+                                  beU8(content, f4 + 24))); true
+                              } else false
+                            case "hdlr" =>
+                              // ver/flags(4) pre_defined(4) handler(4cc)
+                              if (hdlr.isDefined || to4 - f4 < 12) false
+                              else { hdlr = Some(fourcc(content, f4 + 8)); true }
+                            case "minf" =>
+                              walkBoxes(content, f4, to4) { (t5, f5, to5) =>
+                                t5 match {
+                                  case "stbl" =>
+                                    walkBoxes(content, f5, to5) { (t6, f6, to6) =>
+                                      t6 match {
+                                        case "stsd" =>
+                                          // ver/flags(4) entry_count(4)
+                                          // entry: size(4) format(4cc)
+                                          if (codec.isDefined || to6 - f6 < 16 ||
+                                            beU4(content, f6 + 4) < 1) false
+                                          else {
+                                            codec = Some(fourcc(content, f6 + 12))
+                                            true
+                                          }
+                                        case _ => true // stts/stsc/... skipped
+                                      }
+                                    }
+                                  case _ => true // vmhd/smhd/dinf skipped
+                                }
+                              }
+                            case _ => true // edts etc. skipped
+                          }
+                        }
+                      case _ => true
+                    }
+                  }
+                  if (!wok) false
+                  else (tkhd, mdhd, hdlr, codec) match {
+                    case (Some((id, w, h)), Some((ts, dur)), Some(hd), Some(cc))
+                      if ts > 0 =>
+                      tracks += Mp4Track(id, w, h, hd, cc, ts, dur); true
+                    case _ => bad = true; false // incomplete track: refuse file
+                  }
+                case _ => true // mvhd/udta skipped (mp4Meta's concern)
+              }
+            }
+          }
+        case _ => true // ftyp/free/mdat skipped by declared size
+      }
+    }
+    if (!ok || bad || !sawMoov) None else Some(tracks.toList)
+  } catch { case _: Exception => None }
+
   /** A real ISOBMFF WRITER for the synthetic video table and the specs:
     * ftyp + a free box (so the walk genuinely skips), moov{mvhd + udta +
     * trak{tkhd}×n} with a version-1 mvhd every third file (64-bit
@@ -959,6 +1089,61 @@ object Multimodal {
     val moov = box("moov", mvhd ++ udta ++ traks.flatten.toArray)
     val mdat = box("mdat", Array.empty[Byte])
     ftyp ++ free ++ moov ++ mdat
+  }
+
+  /** Full-track ISOBMFF writer: like [[encodeMp4]] but every trak carries
+    * the complete media hierarchy — tkhd (with a real track_id) + mdia{
+    * mdhd, hdlr, minf{stbl{stsd{one sample entry}}}} — so [[mp4Tracks]]
+    * must genuinely descend four container levels. `v1` switches tkhd AND
+    * mdhd to their version-1 (64-bit-time) layouts. */
+  def encodeMp4WithTracks(brand: String, timescale: Long, duration: Long,
+                          tracks: Seq[Mp4Track],
+                          v1: Boolean = false): Array[Byte] = {
+    require(brand.length == 4, "4cc brand")
+    require(tracks.forall(t => t.handler.length == 4 && t.codec.length == 4),
+      "4cc handler/codec")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be4(payload.length + 8) ++ typ.getBytes("ISO-8859-1") ++ payload
+    def be8(v: Long): Array[Byte] = be4((v >> 32).toInt) ++ be4(v.toInt)
+    val ftyp = box("ftyp", brand.getBytes("ISO-8859-1") ++ be4(0) ++
+      "isom".getBytes("ISO-8859-1"))
+    val free = box("free", Array.fill[Byte](5)(0x20))
+    val mvhd =
+      if (v1)
+        box("mvhd", Array[Byte](1, 0, 0, 0) ++ be8(0) ++ be8(0) ++
+          be4(timescale.toInt) ++ be8(duration) ++ Array.fill[Byte](80)(0))
+      else
+        box("mvhd", Array[Byte](0, 0, 0, 0) ++ be4(0) ++ be4(0) ++
+          be4(timescale.toInt) ++ be4(duration.toInt) ++ Array.fill[Byte](80)(0))
+    val traks = tracks.map { t =>
+      val tail = Array.fill[Byte](8)(0) ++ Array.fill[Byte](8)(0) ++
+        Array.fill[Byte](36)(0) ++ be4(t.width << 16) ++ be4(t.height << 16)
+      val tkhd =
+        if (v1) box("tkhd", Array[Byte](1, 0, 0, 7) ++ be8(0) ++ be8(0) ++
+          be4(t.trackId.toInt) ++ be4(0) ++ be8(duration) ++ tail)
+        else box("tkhd", Array[Byte](0, 0, 0, 7) ++ be4(0) ++ be4(0) ++
+          be4(t.trackId.toInt) ++ be4(0) ++ be4(duration.toInt) ++ tail)
+      val mdhd = // trailing language/pre_defined (4 bytes) per the spec
+        if (v1) box("mdhd", Array[Byte](1, 0, 0, 0) ++ be8(0) ++ be8(0) ++
+          be4(t.mediaTimescale.toInt) ++ be8(t.mediaDuration) ++
+          Array[Byte](0, 0, 0, 0))
+        else box("mdhd", Array[Byte](0, 0, 0, 0) ++ be4(0) ++ be4(0) ++
+          be4(t.mediaTimescale.toInt) ++ be4(t.mediaDuration.toInt) ++
+          Array[Byte](0, 0, 0, 0))
+      val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0) ++ be4(0) ++
+        t.handler.getBytes("ISO-8859-1") ++ Array.fill[Byte](12)(0) ++
+        Array[Byte](0)) // empty null-terminated name
+      // one minimal sample entry: size(4) format(4cc) reserved(6) dref(2)
+      val entry = be4(16) ++ t.codec.getBytes("ISO-8859-1") ++
+        Array.fill[Byte](6)(0) ++ Array[Byte](0, 1)
+      val stsd = box("stsd", Array[Byte](0, 0, 0, 0) ++ be4(1) ++ entry)
+      val mdia = box("mdia", mdhd ++ hdlr ++ box("minf", box("stbl", stsd)))
+      box("trak", tkhd ++ mdia)
+    }
+    val moov = box("moov", mvhd ++
+      box("udta", box("name", "graft".getBytes("ISO-8859-1"))) ++
+      traks.flatten.toArray)
+    ftyp ++ free ++ moov ++ box("mdat", Array.empty[Byte])
   }
 
   /** Resize stub: recompute metadata only; a real impl rewrites `content`. */
