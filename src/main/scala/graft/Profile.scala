@@ -28,6 +28,7 @@ object Profile {
     if (args.headOption.contains("ppjoin")) { profilePpjoin(dir); return }
     if (args.headOption.contains("pqrecall")) { profilePqRecall(dir); return }
     if (args.headOption.contains("s9bdiag")) { profileS9bDiag(dir); return }
+    if (args.headOption.contains("j02plan")) { profileJ02Plan(dir); return }
     val spark = GraftSession(s"local[8]", "8")
     import graft.text.TextAnalysis.{shingles, tokens}
 
@@ -297,6 +298,50 @@ object Profile {
       val diff = flat.join(hier(k), "vec_id")
         .filter(col("cell_flat") =!= col("cell_h")).count()
       println(f"top-$k coarse: $diff of $n vectors land OFF the flat-optimal cell (${100.0 * diff / n}%.1f%%)")
+    }
+    spark.stop()
+  }
+
+  /** j02 de-hinting attribution (round-15 VERDICT #3): times j02 and j02b
+    * over several spaced runs and dumps the FINAL adaptive plan's join
+    * strategies + exchange count, to separate the AQE
+    * shuffle-then-convert tax from measurement noise. */
+  def profileJ02Plan(dir: String): Unit = {
+    val spark = GraftSession()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec, BroadcastNestedLoopJoinExec}
+    Tables.documents(spark, dir).count() // warm the session
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    for (name <- Seq("j02_twophase_enrich", "j02b_normalized_enrich")) {
+      val fn = SparkEntry.queries(name)
+      for (pass <- 1 to 3) {
+        graft.util.Caches.releaseAll(); System.gc(); Thread.sleep(500)
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        println(f"$name pass $pass: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      val df = fn(spark, dir)
+      df.count()
+      val all = nodes(df.queryExecution.executedPlan)
+      val joins = all.collect {
+        case _: BroadcastHashJoinExec => "BHJ"
+        case _: ShuffledHashJoinExec => "SHJ"
+        case _: SortMergeJoinExec => "SMJ"
+        case _: BroadcastNestedLoopJoinExec => "BNLJ"
+      }
+      val shuffles = all.count(_.isInstanceOf[ShuffleExchangeExec])
+      println(s"$name final adaptive plan: joins=${joins.groupBy(identity)
+        .map { case (k, v) => s"$k×${v.size}" }.toSeq.sorted.mkString(",")} " +
+        s"shuffleExchanges=$shuffles")
     }
     spark.stop()
   }
