@@ -128,6 +128,31 @@ object Multimodal {
     soi ++ app0 ++ com ++ sof0 ++ eoi
   }
 
+  /** A REAL GIF file skeleton: 89a signature, logical screen descriptor
+    * with a global color table flagged and sized by `colorBits`
+    * (1..8 — the colour-resolution AND GCT-size fields both carry
+    * colorBits−1), the GCT itself (3·2^colorBits bytes), and the 0x3B
+    * trailer — everything a header parser must walk, dims little-endian. */
+  def gifHeader(w: Int, h: Int, colorBits: Int): Array[Byte] = {
+    require(colorBits >= 1 && colorBits <= 8, "1..8 colour bits")
+    def le2(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val packed = 0x80 | ((colorBits - 1) << 4) | (colorBits - 1)
+    "GIF89a".getBytes("ISO-8859-1") ++ le2(w) ++ le2(h) ++
+      Array(packed.toByte, 0.toByte, 0.toByte) ++
+      new Array[Byte](3 * (1 << colorBits)) ++ Array(0x3B.toByte)
+  }
+
+  /** A REAL BMP header: "BM" file header + 40-byte BITMAPINFOHEADER with
+    * little-endian signed dims, planes = 1, and the given bit count —
+    * no pixel data (header-only, like [[jpegHeader]]'s empty scan). */
+  def bmpHeader(w: Int, h: Int, bpp: Int): Array[Byte] = {
+    def le2(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le4(v: Int): Array[Byte] = le2(v & 0xffff) ++ le2((v >>> 16) & 0xffff)
+    "BM".getBytes("ISO-8859-1") ++ le4(54) ++ le4(0) ++ le4(54) ++
+      le4(40) ++ le4(w) ++ le4(h) ++ le2(1) ++ le2(bpp) ++
+      new Array[Byte](24) // compression/size/resolution/palette fields zeroed
+  }
+
   /** Synthesize a REAL-format image table from `documents` metadata (even
     * doc_id → PNG, odd → JPEG; dims derived from n_chars) — stands in for
     * `binaryFile` over an image corpus, and makes the expected metadata
@@ -148,17 +173,39 @@ object Multimodal {
     * JPEG via a marker WALK (APPn/COM/DQT segments skipped by their
     * declared big-endian lengths until a start-of-frame marker SOFn —
     * C0–CF minus the non-frame C4/C8/CC — whose payload is precision,
-    * height, width). Returns None for truncated/alien bytes — contained
-    * per file, like the PDF reader. */
+    * height, width), GIF via the 87a/89a signature + logical screen
+    * descriptor (LITTLE-endian u16 dims — the opposite byte order of
+    * PNG/JPEG; "bit depth" is the colour-resolution field, packed bits
+    * 4-6 of byte 10, +1), and BMP via "BM" + a ≥40-byte
+    * BITMAPINFOHEADER (little-endian i32 dims at 18/22 — top-down
+    * negative-height files report |height|, the sample count; planes
+    * must be 1 per the spec; "bit depth" is biBitCount at 28). Returns
+    * None for truncated/alien bytes — contained per file, like the PDF
+    * reader. */
   def imageMeta(content: Array[Byte]): Option[(String, Int, Int, Int)] = {
     def u2(i: Int): Int = ((content(i) & 0xff) << 8) | (content(i + 1) & 0xff)
     def u4(i: Int): Int = (u2(i) << 16) | u2(i + 2)
+    def le2(i: Int): Int = (content(i) & 0xff) | ((content(i + 1) & 0xff) << 8)
+    def le4(i: Int): Int = le2(i) | (le2(i + 2) << 16)
     if (content.length >= 25 &&
       (content(0) & 0xff) == 0x89 && content(1) == 'P' &&
       content(2) == 'N' && content(3) == 'G' &&
       new String(content, 12, 4, "ISO-8859-1") == "IHDR")
       Some(("png", u4(16), u4(20), content(24) & 0xff))
-    else if (content.length >= 4 &&
+    else if (content.length >= 13 &&
+      (new String(content, 0, 6, "ISO-8859-1") == "GIF87a" ||
+        new String(content, 0, 6, "ISO-8859-1") == "GIF89a")) {
+      val w = le2(6); val h = le2(8)
+      if (w <= 0 || h <= 0) None
+      else Some(("gif", w, h, ((content(10) >> 4) & 7) + 1))
+    } else if (content.length >= 30 && content(0) == 'B' && content(1) == 'M') {
+      // BITMAPINFOHEADER (or a longer V4/V5 header — size field ≥ 40)
+      val dib = le4(14)
+      val w = le4(18); val h = le4(22)
+      val planes = le2(26); val bpp = le2(28)
+      if (dib < 40 || w <= 0 || h == 0 || planes != 1 || bpp <= 0) None
+      else Some(("bmp", w, math.abs(h), bpp))
+    } else if (content.length >= 4 &&
       (content(0) & 0xff) == 0xff && (content(1) & 0xff) == 0xd8) {
       var i = 2
       while (i + 4 <= content.length && (content(i) & 0xff) == 0xff) {

@@ -73,6 +73,43 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** mm3b: GIF/BMP header metadata — the two remaining common web-corpus
+    * image headers, through the same batched seam and the same parser as
+    * mm3 (one `imageMeta` dispatching on real signatures): even doc_id →
+    * a genuine GIF89a skeleton (little-endian dims — the OPPOSITE byte
+    * order of PNG/JPEG, which the hash gate would catch if swapped — a
+    * flagged global color table the parser's field math must respect,
+    * colour-resolution bits as the depth), odd → a real "BM" +
+    * BITMAPINFOHEADER (little-endian i32 dims, planes = 1, biBitCount
+    * cycling 8/24/32). Pixel decode for these formats is a ledger
+    * decision (SURVEY §2.11.1): GIF's LZW is feasible future in-engine
+    * work; header metadata is what corpus filters key on today. */
+  def mm3bGifBmpMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val w = (nChars % 640).toInt + 1
+        val h = (nChars % 480).toInt + 1
+        if (id % 2 == 0) (id, Multimodal.gifHeader(w, h, (id % 8 + 1).toInt))
+        else (id, Multimodal.bmpHeader(w, h, ((id % 3) match {
+          case 0 => 8; case 1 => 24; case _ => 32
+        })))
+      }
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.batchSize).flatMap { batch =>
+          // per-batch decoder init would go here (mm1 contract)
+          batch.iterator.flatMap { case (id, bytes) =>
+            Multimodal.imageMeta(bytes).map {
+              case (f, w, h, bd) => (id, f, w, h, bd)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "format", "width", "height", "bit_depth")
+      .orderBy("doc_id")
+  }
+
   /** mm4: the resize stage as a first-class driver query — metadata math
     * today (the stub recomputes dims; a real impl also rewrites bytes),
     * truncating IEEE scale arithmetic both engines reproduce exactly. */
@@ -596,6 +633,7 @@ object MultimodalQueries {
     "mm1b_media_meta" -> (mm1bMediaMeta _),
 "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_image_meta" -> (mm3ImageMeta _),
+    "mm3b_gif_bmp_meta" -> (mm3bGifBmpMeta _),
     "mm4_resize_meta" -> (mm4ResizeMeta _),
     "mm5_pixel_stats" -> (mm5PixelStats _),
     "mm5b_palette_stats" -> (mm5bPaletteStats _),
@@ -676,6 +714,20 @@ object MultimodalQueries {
         |  CAST(n_chars % 640 + 1 AS INT) AS width,
         |  CAST(n_chars % 480 + 1 AS INT) AS height,
         |  CAST(8 AS INT) AS bit_depth
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm3b: even → gif (colour-resolution bits = doc_id%8+1), odd → bmp
+    // (biBitCount cycles 8/24/32 by doc_id%3); dims from the n_chars
+    // formulas. A row surviving the hash gate means the real GIF/BMP
+    // bytes round-tripped through the little-endian field math exactly.
+    "mm3b_gif_bmp_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp' END AS format,
+        |  CAST(n_chars % 640 + 1 AS INT) AS width,
+        |  CAST(n_chars % 480 + 1 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 1
+        |            ELSE CASE CAST(doc_id % 3 AS INT)
+        |                 WHEN 0 THEN 8 WHEN 1 THEN 24 ELSE 32 END
+        |       END AS INT) AS bit_depth
         |FROM documents ORDER BY doc_id""".stripMargin,
     // mm4: scale = maxDim / max(w,h) in double, components scaled THEN
     // truncated (Scala .toInt ≡ DuckDB trunc-then-cast; plain CAST rounds)
